@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() over the result — forces
+the full plan without driver-side collect of payload rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from commercial_rfp_data_pipeline_spark.registry import all_queries
+from commercial_rfp_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "rfp_clean_flagship",
+    "pricing_summary_q1",
+    "multi_join_order_lineitem_part",
+    "dedup_exact_deterministic",
+    "topk_orders_per_customer",
+    "window_rank_lag_running",
+    "keep_latest_global_date_literal",
+    "revenue_topn_with_order",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # extend with any registered queries not in the headline list (cheap
+    # coverage signal), capped to keep the bench fast
+    names += [n for n in sorted(queries) if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep benching; a failed query shows as -1
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Parquet-first I/O helpers + warehouse lifecycle.
+
+Mirrors the reference's storage semantics Spark-first:
+- overwrite-rebuild sinks (reference truncates the output container
+  before each write — commercial_rfp_content_doc_library_creation.py:81-84)
+  become ``mode("overwrite")``;
+- stage-to-stage handoff through named tables (the reference round-trips
+  Excel blobs between stages) becomes parquet round-trips through a
+  warehouse dir, or direct lazy DataFrame flow when no re-discovery
+  semantics are exercised;
+- idempotent DDL ensure-exists (commercial_rfp_indexer.py:67-83,153-159)
+  becomes ``ensure_table``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read the testdata tables and register each as a temp view so the
+    SQL API sees the same catalog the DuckDB oracle does."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def save_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Overwrite-rebuild sink (K1/K4). partition_by gives partition
+    pruning on downstream scans — at 100 TB, date/key partitioning is the
+    first-order scan-cost lever."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def ensure_table(spark: SparkSession, path: str, builder, name: str | None = None) -> DataFrame:
+    """Idempotent ensure-exists: if ``path`` has no parquet footer yet,
+    materialize ``builder()`` there; always return a reader on it.
+    Mirrors the reference's create-if-absent DDL lifecycle."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        builder().write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+    if name:
+        df.createOrReplaceTempView(name)
+    return df
+
+
+def read_excel_bridge(spark: SparkSession, path_or_bytes) -> DataFrame:
+    """Excel -> DataFrame (S2). Core Spark has no Excel source; the
+    reference reads with openpyxl driver-side
+    (commercial_rfp_raw_data_ingestion_and_cleaning.py:286). Excel files
+    are small config/landing artifacts — driver-side pandas then
+    parallelize is the right scale call; bulk data rides parquet."""
+    import pandas as pd  # local import: optional path
+
+    pdf = pd.read_excel(path_or_bytes, engine="openpyxl")
+    pdf.columns = [str(c) for c in pdf.columns]
+    return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
+
+
+def write_excel_bridge(df: DataFrame, path: str) -> None:
+    """DataFrame -> Excel (K1). Driver-side by design: Excel is not a
+    distributed format; this sink exists for reference parity only."""
+    df.toPandas().to_excel(path, index=False)

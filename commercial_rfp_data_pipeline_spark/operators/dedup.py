@@ -1,0 +1,119 @@
+"""Deterministic dedup / argmax / keep-latest family (SURVEY.md §2.6).
+
+pandas dedup survivors are positional (keep='first'/'last' by source
+order; ``idxmax`` returns the first max). Spark has no implicit row
+order, so every operator here takes an explicit ``order_by`` /
+``ordinal`` and is deterministic under any partitioning — verified by
+repartition-invariance tests (SURVEY.md §2.12.2).
+
+Scale notes: all of these are single-shuffle window operators — one
+hash exchange on the partition keys, then a per-partition sort. When
+several of them share the same keys (the flagship chain partitions by
+``question`` three times), Catalyst reuses the exchange. Skewed keys
+(one question duplicated millions of times) are handled by AQE skew
+splitting for the join forms; the window forms bound per-key work at
+O(rows-per-key log rows-per-key) sort cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered_window(keys: list[str], order_by: list[Column]) -> Window:
+    return Window.partitionBy(*keys).orderBy(*order_by)
+
+
+def dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """A6/A9 deterministic form: one survivor per key group, chosen by
+    ``order_by`` (ascending ordinal == pandas keep='first';
+    descending == keep='last'). Replaces nondeterministic
+    ``dropDuplicates``."""
+    w = _ordered_window(keys, order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], ordinal: str = "ord") -> DataFrame:
+    """pandas ``drop_duplicates(keep='first')`` (raw:251) with the
+    ingest ordinal standing in for source order."""
+    return dedup(df, keys, [F.col(ordinal).asc()])
+
+
+def dedup_keep_last(df: DataFrame, keys: list[str], ordinal: str = "ord") -> DataFrame:
+    """A7: ``keep='last'`` (citation:207; 1/raw:183-189)."""
+    return dedup(df, keys, [F.col(ordinal).desc()])
+
+
+def argmax_per_key(
+    df: DataFrame, keys: list[str], value: str, tiebreak: str = "ord"
+) -> DataFrame:
+    """A5: keep the full row attaining the per-key max of ``value``;
+    FIRST max wins on ties (pandas ``idxmax``, raw:270-276) — hence the
+    ascending positional tiebreak."""
+    return dedup(df, keys, [F.col(value).desc(), F.col(tiebreak).asc()])
+
+
+def keep_latest_per_key(
+    df: DataFrame, keys: list[str], date_col: str = "date", tiebreak: str = "ord"
+) -> DataFrame:
+    """J1 *intent* semantics: per-key keep-latest (the reusable engine
+    primitive; SURVEY.md §2.12.1)."""
+    return dedup(df, keys, [F.col(date_col).desc(), F.col(tiebreak).asc()])
+
+
+def keep_latest_global_date_semantics(
+    df: DataFrame, key: str = "question", date_col: str = "date"
+) -> DataFrame:
+    """J1 *literal* semantics (raw:257-268): keep a row iff its date is
+    in the GLOBAL set of per-duplicated-key max dates, OR its key is not
+    duplicated. A non-max row of key K1 survives if some other key's max
+    date collides with its date. This is what the reference computes —
+    preserved bug-for-bug; ``keep_latest_per_key`` is the intent form.
+
+    Implementation: one count window + one max-aggregate + a broadcast
+    left join against the (tiny) distinct max-date set — no row
+    explosion, no reliance on row identity.
+    """
+    w = Window.partitionBy(key)
+    flagged = df.withColumn("__dup", F.count(F.lit(1)).over(w) > 1)
+    max_dates = (
+        flagged.filter(F.col("__dup"))
+        .groupBy(key)
+        .agg(F.max(date_col).alias("__max_date"))
+        .select(F.col("__max_date").alias(date_col))
+        .distinct()
+        .withColumn("__in_max", F.lit(True))
+    )
+    kept = (
+        flagged.join(F.broadcast(max_dates), on=date_col, how="left")
+        .filter(~F.col("__dup") | F.coalesce(F.col("__in_max"), F.lit(False)))
+        .drop("__dup", "__in_max")
+    )
+    # restore caller column order (join moved date_col first)
+    return kept.select(*df.columns)
+
+
+def duplicate_audit(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A8: offending key groups with multiplicities (citation:196-204;
+    raw:260)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def group_count_having(
+    df: DataFrame, keys: list[str], min_count: int = 2
+) -> DataFrame:
+    """A1+A2: group sizes with a HAVING filter (raw:245-247)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )

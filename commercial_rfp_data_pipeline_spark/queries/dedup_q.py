@@ -1,0 +1,160 @@
+"""Dedup / argmax / keep-latest queries (SURVEY.md §2.6, §2.12) plus the
+exact-dedup path of the LLM-pipeline dedup family. Fuzzy dedup
+(MinHash/SimHash/Jaccard/embedding) lives in text_q.py / vector_q.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.operators.dedup import (
+    argmax_per_key,
+    dedup_keep_first,
+    dedup_keep_last,
+    duplicate_audit,
+    group_count_having,
+    keep_latest_global_date_semantics,
+    keep_latest_per_key,
+)
+from commercial_rfp_data_pipeline_spark.registry import query
+
+
+@query(
+    "dedup_exact_deterministic",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """A6 deterministic form: one survivor per (partkey, suppkey), chosen
+    by the explicit (orderkey, linenumber) ordinal — same survivors under
+    any partitioning (pandas keep='first' semantics, raw:251)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    li = li.withColumn(
+        "__ord", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    out = dedup_keep_first(li, ["l_partkey", "l_suppkey"], ordinal="__ord")
+    return out.drop("__ord")
+
+
+@query(
+    "dedup_keep_last",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             row_number() OVER (PARTITION BY l_partkey, l_suppkey
+                                ORDER BY l_orderkey DESC, l_linenumber DESC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_keep_last(spark, sf_dir):
+    """A7: keep='last' by ordinal (citation:207)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    li = li.withColumn("__ord", F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+    out = dedup_keep_last(li, ["l_partkey", "l_suppkey"], ordinal="__ord")
+    return out.drop("__ord")
+
+
+@query(
+    "group_count_having",
+    """
+    SELECT l_partkey, l_suppkey, count(*) AS cnt
+    FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
+    """,
+)
+def q_group_count_having(spark, sf_dir):
+    """A1+A2 (raw:245-247)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return group_count_having(li, ["l_partkey", "l_suppkey"], min_count=2).withColumnRenamed(
+        "count", "cnt"
+    )
+
+
+@query(
+    "duplicate_audit",
+    """
+    SELECT o_custkey, o_orderdate_d AS o_orderdate, n FROM (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate_d, count(*) AS n
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+    ) WHERE n > 1
+    """,
+)
+def q_duplicate_audit(spark, sf_dir):
+    """A8: offending (custkey, orderdate) groups with multiplicities
+    (citation:196-204)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+    return duplicate_audit(o, ["o_custkey", "o_orderdate"])
+
+
+@query(
+    "argmax_per_group",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS max_price FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_argmax(spark, sf_dir):
+    """A5: full-row argmax with first-max tiebreak (raw:270-276) —
+    priciest order per customer, orderkey as the positional ordinal."""
+    o = load_table(spark, sf_dir, "orders")
+    out = argmax_per_key(o, ["o_custkey"], "o_totalprice", tiebreak="o_orderkey")
+    return out.select(
+        "o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("max_price")
+    )
+
+
+@query(
+    "keep_latest_per_key",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_keep_latest(spark, sf_dir):
+    """J1 *intent* semantics as a reusable primitive (§2.12.1): latest
+    order per customer, deterministic tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    out = keep_latest_per_key(o, ["o_custkey"], date_col="o_orderdate", tiebreak="o_orderkey")
+    return out.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("latest_date")
+    )
+
+
+@query(
+    "keep_latest_global_date_literal",
+    """
+    WITH t AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate FROM orders)
+    SELECT o_custkey, o_orderkey, odate FROM t
+    WHERE o_custkey IN (SELECT o_custkey FROM t GROUP BY o_custkey HAVING count(*) = 1)
+       OR odate IN (SELECT max(odate) FROM t GROUP BY o_custkey HAVING count(*) > 1)
+    """,
+)
+def q_j1_literal(spark, sf_dir):
+    """J1 *literal* semantics (raw:257-268), preserved bug-for-bug: keep
+    a row iff its date is in the GLOBAL set of per-duplicated-key max
+    dates OR its key is not duplicated (SURVEY.md §2.12.1)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    return keep_latest_global_date_semantics(o, key="o_custkey", date_col="odate")

@@ -1,0 +1,300 @@
+"""Relational breadth: joins, aggregations, windows, set ops, sorts
+(SURVEY.md §2.5-§2.9) over the TPC-H-ish tables.
+
+Float discipline: monetary math runs in DECIMAL(12,2)/(18,4) so sums
+are exact and partitioning-order-independent, then final columns cast
+to DOUBLE — both engines produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.registry import query
+
+DEC = "decimal(12,2)"
+
+
+@query(
+    "pricing_summary_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> fused filter -> partial agg -> final agg.
+    One shuffle on the (tiny-cardinality) group keys; map-side combine
+    does nearly all the work, so this scales linearly to 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_equi_broadcast",
+    """
+    SELECT n.n_name AS nation,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name <> 'EUROPE'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_equi_broadcast(spark, sf_dir):
+    """Equi-join chain with explicitly broadcast dims — at 100 TB the
+    fact side never shuffles for dimension joins."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") != "EUROPE")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    """J2-shape: left-semi (EXISTS). No row duplication, no payload from
+    the probe side — cheapest existence check at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    """J3-shape: left-anti (NOT EXISTS) — the reference's blob/SharePoint
+    reconciliation set-difference (citation:47-113,133-156). Filtered
+    probe side keeps the result non-empty at every SF."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "set_ops_union_intersect_except",
+    """
+    WITH hi AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000),
+         pri AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, custkey FROM (SELECT DISTINCT custkey FROM (SELECT * FROM hi UNION SELECT * FROM pri))
+    UNION ALL
+    SELECT 'intersect' AS op, custkey FROM (SELECT custkey FROM hi INTERSECT SELECT custkey FROM pri)
+    UNION ALL
+    SELECT 'except' AS op, custkey FROM (SELECT custkey FROM hi EXCEPT SELECT custkey FROM pri)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """§2.9: union / intersect / except in one labeled result."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    pri = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    u = hi.union(pri).distinct().select(F.lit("union").alias("op"), "custkey")
+    i = hi.intersect(pri).select(F.lit("intersect").alias("op"), "custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity)
+    e = hi.subtract(pri).select(F.lit("except").alias("op"), "custkey")
+    return u.unionByName(i).unionByName(e)
+
+
+@query(
+    "window_rank_lag_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def q_window_rank_lag(spark, sf_dir):
+    """§2.7 breadth: rank / lag / running frame in one pass — one
+    shuffle on o_custkey, all three windows share the exchange+sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.rank().over(w).alias("rk"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-K per group — window row_number with deterministic tiebreak;
+    AQE turns this into partial per-partition top-k at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+        )
+    )
+
+
+@query(
+    "rollup_lineitem_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Grouping-set breadth (free Spark builtin; §2.6 note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "pivot_status_by_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot on a known value set (conditional-agg form — identical plan
+    either way, SQL-expressible for the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", qty)).cast("double").alias("qty_O"),
+        F.sum(F.when(F.col("l_linestatus") == "F", qty)).cast("double").alias("qty_F"),
+    )
+
+
+@query(
+    "revenue_topn_with_order",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_topn_orders(spark, sf_dir):
+    """O2-shape global top-N: Spark's orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-N then a tiny driver
+    merge, never a full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(price * (1 - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "multi_join_order_lineitem_part",
+    """
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY p.p_brand
+    """,
+)
+def q_multi_join(spark, sf_dir):
+    """Fact-fact-dim join: lineitem⋈orders shuffles on orderkey (AQE
+    may convert to broadcast at small SF); part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("gross"),
+        )
+    )

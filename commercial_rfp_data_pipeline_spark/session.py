@@ -1,0 +1,59 @@
+"""SparkSession builder with scale-appropriate defaults.
+
+Local mode is a single JVM; on a real cluster the same confs apply per
+executor. AQE is on so runtime statistics drive shuffle coalescing,
+skew-join splitting, and broadcast conversion — the 100-TB story relies
+on it (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "commercial_rfp_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Defaults: ``local[$SPARK_GRAFT_CPUS]`` (32), shuffle partitions
+    matched to cores (not Spark's default 200 — wrong for local and
+    tiny data; at real cluster scale callers raise it to ~2-3x total
+    cores), AQE + skew-join handling on, UTC session timezone so
+    timestamp comparisons against the DuckDB oracle (UTC-naive) are
+    stable, ANSI off for permissive multi-format parsing semantics
+    (the reference's pandas `errors='coerce'` model; SURVEY.md §4.3).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

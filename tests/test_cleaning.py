@@ -1,0 +1,151 @@
+"""Fidelity tests for the cleaning/dedup operators over hand-built
+fixtures engineered to hit every SURVEY.md §2.12 edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.operators.cleaning import (
+    clean_chain,
+    derive_keys,
+    filter_string_nulls,
+    normalize_whitespace,
+    parse_date_column,
+)
+from commercial_rfp_data_pipeline_spark.operators.dedup import (
+    argmax_per_key,
+    dedup_keep_first,
+    keep_latest_global_date_semantics,
+    keep_latest_per_key,
+)
+from commercial_rfp_data_pipeline_spark.validation import (
+    MissingColumnError,
+    require_columns,
+)
+
+
+def _rfp(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "ord long, `client name` string, `rfp type` string, consultant string, "
+        "date string, question string, response string",
+    )
+
+
+def test_string_null_asymmetry(spark):
+    """§2.12.3: question keeps 'nan' but drops 'none'; response drops
+    both — do not 'fix'."""
+    rows = [
+        (1, "c", "t", "x", "2024-01-01", "nan", "real answer"),
+        (2, "c", "t", "x", "2024-01-01", "none", "real answer"),
+        (3, "c", "t", "x", "2024-01-01", "NONE", "real answer"),
+        (4, "c", "t", "x", "2024-01-01", "real q", "nan"),
+        (5, "c", "t", "x", "2024-01-01", "real q", "NaN"),
+        (6, "c", "t", "x", "2024-01-01", "real q", "none"),
+        (7, "c", "t", "x", "2024-01-01", "real q", "fine"),
+        (8, "c", "t", "x", "2024-01-01", "contact", "fine"),
+        (9, "c", "t", "x", "2024-01-01", "real q", "N/A"),
+        (10, "c", "t", "x", "2024-01-01", "real q", "Not Applicable."),
+        (11, "c", "t", "x", "2024-01-01", "real q", ""),
+    ]
+    out = filter_string_nulls(_rfp(spark, rows))
+    assert sorted(r.ord for r in out.collect()) == [1, 7]
+
+
+def test_whitespace_collapse_and_trim(spark):
+    df = spark.createDataFrame([("  a \t\n b  ",)], "x string")
+    out = normalize_whitespace(df).collect()[0].x
+    assert out == "a b"
+
+
+def test_multi_format_dates_and_garbage(spark):
+    rows = [
+        (1, "c", "t", "x", "03/04/2024", "q1", "r"),
+        (2, "c", "t", "x", "2024-03-04", "q2", "r"),
+        (3, "c", "t", "x", "04-03-2024", "q3", "r"),
+        (4, "c", "t", "x", "garbage", "q4", "r"),
+    ]
+    out = parse_date_column(_rfp(spark, rows))
+    got = {r.ord: r.date.isoformat() for r in out.collect()}
+    # slash form is month-first; dash d-m-Y form is day-first (§7 hard part 4)
+    assert got == {1: "2024-03-04", 2: "2024-03-04", 3: "2024-03-04"}
+
+
+def test_key_hash_strip_then_truncate(spark):
+    """§2.12.4: md5 input is the first 120 chars of the whitespace-
+    STRIPPED key; two keys differing only in whitespace hash equal."""
+    import hashlib
+
+    q = "word " * 30  # 150 chars with spaces, 120 stripped
+    rows = [(1, "cli", "typ", "con", "2024-01-01", q, "resp")]
+    df = _rfp(spark, rows)
+    df = df.withColumn("date", F.to_date("date"))
+    out = derive_keys(df).collect()[0]
+    stripped = out.key.replace(" ", "")
+    expect = "RFP_Content_" + hashlib.md5(stripped[:120].encode()).hexdigest()
+    assert out.key_hash == expect
+    assert out.key.startswith("cli_2024-01-01_typ_con_")
+
+
+def test_j1_literal_vs_intent(spark):
+    """§2.12.1: the cross-question date collision. Q1 duplicated with
+    max date D; Q2 duplicated holding a non-max row whose date equals D.
+    Literal semantics keep that row; intent semantics drop it."""
+    rows = [
+        (1, "q1", "2024-05-01"),
+        (2, "q1", "2024-01-01"),
+        (3, "q2", "2024-06-01"),
+        (4, "q2", "2024-05-01"),  # non-max, but date == q1's max
+        (5, "q3", "2023-01-01"),  # not duplicated -> always kept
+    ]
+    df = spark.createDataFrame(rows, "ord long, question string, date string")
+    df = df.withColumn("date", F.to_date("date"))
+    literal = keep_latest_global_date_semantics(df, key="question", date_col="date")
+    assert sorted(r.ord for r in literal.collect()) == [1, 3, 4, 5]
+    intent = keep_latest_per_key(df, ["question"], date_col="date", tiebreak="ord")
+    assert sorted(r.ord for r in intent.collect()) == [1, 3, 5]
+
+
+def test_argmax_first_max_tiebreak(spark):
+    """A5: pandas idxmax returns the FIRST row attaining the max."""
+    rows = [(1, "q", 5), (2, "q", 9), (3, "q", 9), (4, "z", 1)]
+    df = spark.createDataFrame(rows, "ord long, question string, char_count int")
+    out = argmax_per_key(df, ["question"], "char_count", tiebreak="ord")
+    assert sorted(r.ord for r in out.collect()) == [2, 4]
+
+
+def test_dedup_deterministic_across_partitionings(spark):
+    """§5.4 property: same survivors under 1, 2, and 16 partitions."""
+    rows = [(i, f"k{i % 10}", f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "ord long, k string, v string")
+    expected = None
+    for n in (1, 2, 16):
+        out = dedup_keep_first(df.repartition(n), ["k"], ordinal="ord")
+        got = sorted((r.k, r.ord) for r in out.collect())
+        if expected is None:
+            expected = got
+        assert got == expected
+    assert [o for _, o in expected] == list(range(10))
+
+
+def test_clean_chain_end_to_end(spark):
+    rows = [
+        (1, "c", "t", "x", "03/04/2024", "  q   one  ", "  an answer  "),
+        (2, "c", "t", "x", "03/04/1999", "old", "dropped by window"),
+        (3, "c", "t", "x", "junk", "q2", "dropped by parse"),
+    ]
+    out = clean_chain(_rfp(spark, rows), as_of="2024-06-01")
+    got = out.collect()
+    assert len(got) == 1
+    assert got[0].question == "q one"
+    assert got[0].response == "an answer"
+
+
+def test_require_columns_suggests(spark):
+    df = spark.createDataFrame([("a",)], "questoin string")
+    try:
+        require_columns(df, ["question"])
+        raise AssertionError("should have raised")
+    except MissingColumnError as e:
+        assert "questoin" in str(e)
