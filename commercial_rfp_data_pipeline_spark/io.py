@@ -33,8 +33,24 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) which the Spark parquet
+    reader rejects — read it as raw nanos (legacy conf) and convert to
+    a micros TIMESTAMP_NTZ column (values are micro-aligned; truncation
+    is lossless and matches DuckDB's ns->us comparison semantics)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") in ("bigint", "long"):
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

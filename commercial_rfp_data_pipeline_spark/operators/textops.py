@@ -1,0 +1,270 @@
+"""Text-analysis operators for the LLM training-data pipeline
+(BASELINE.json extension surface): token counting, quality scoring,
+language ID, fingerprinting, shingling, MinHash signatures, SimHash.
+
+Everything is native column expressions (codegen'd, zero Python in the
+executor). Hashing uses md5 hex so the DuckDB oracle computes
+bit-identical values — engine-specific hashes (xxhash64 etc.) would be
+faster but unverifiable; swap ``HASH = F.md5`` for xxhash64 in
+production if oracle parity is not needed.
+
+Scale notes per operator are in the docstrings; the common theme: all
+shapes are either narrow maps (per-row expressions) or single-shuffle
+groupBy/self-join on content keys, with document-frequency caps
+guarding the shingle inverted index against hot-key explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "it")
+STOPWORDS_ES = ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los")
+STOPWORDS_FR = ("le", "la", "de", "et", "un", "en", "est", "que", "pour", "les")
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical text form shared by all text operators: lowercase,
+    whitespace-collapsed, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c.cast("string"), r"\s+", " ")))
+
+
+def words(col: Column | str) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty text -> 0."""
+    t = norm_text(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def _count_in(arr: Column, vocab: tuple[str, ...]) -> Column:
+    return F.size(F.filter(arr, lambda w: w.isin(*vocab)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (length, token count, punctuation
+    ratio, stopword ratio) + a blended [0,1] score. Narrow map — scales
+    embarrassingly."""
+    t = norm_text(text_col)
+    w = F.split(t, " ")
+    n_chars = F.length(t)
+    n_tokens = token_count(text_col)
+    punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), 0))
+    stop = _count_in(w, STOPWORDS_EN)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID (en/es/fr), deterministic tiebreak
+    en > es > fr on equal votes. Heuristic n-gram/lexicon approach —
+    per-row expression, no model, no shuffle."""
+    w = words(text_col)
+    en, es, fr = (
+        _count_in(w, STOPWORDS_EN),
+        _count_in(w, STOPWORDS_ES),
+        _count_in(w, STOPWORDS_FR),
+    )
+    pred = (
+        F.when((en >= es) & (en >= fr), F.lit("en"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        "doc_id",
+        en.alias("votes_en"),
+        es.alias("votes_es"),
+        fr.alias("votes_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (content
+    identity robust to whitespace/case), plus a 16-hex-char prefix as a
+    compact join key. Exact-dedup primitive: groupBy(fp) at any scale
+    is one shuffle of (fp, id) pairs only."""
+    fp = F.md5(norm_text(text_col))
+    return df.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(fp, 1, 16).alias("fp16"),
+        F.length(norm_text(text_col)).alias("n_chars"),
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document — the input to both
+    Jaccard and MinHash dedup. Built with sequence+transform (no UDF);
+    one row per (doc, shingle)."""
+    w = words(text_col)
+    idx = F.when(
+        F.size(w) >= k, F.sequence(F.lit(0), F.size(w) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the shingle inverted
+    index: self-join on shingle, count common, J = common/(na+nb-common).
+
+    Scale: the self-join fans out quadratically on hot shingles —
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    (boilerplate carries no dedup signal), bounding per-shingle work;
+    AQE skew-join splits whatever remains."""
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "sh", "left_semi")
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+N_MINHASH = 8
+BAND_SIZE = 2
+
+
+def minhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures banded for LSH. Hash h_s(x) = md5('s:' + x)
+    (hex-lexicographic min) for seeds 0..7; bands of 2 rows -> 4 bands;
+    band value = md5 of the seed-ordered minhash concat.
+
+    Scale: explode(seeds) is a narrow 8x map over distinct shingles; the
+    min-agg and band-agg are one shuffle each on doc_id. Candidate
+    recall/precision tunes via N_MINHASH/BAND_SIZE exactly as in the
+    standard MinHash-LSH construction."""
+    hashed = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
+        "sh",
+    ).select(
+        id_col,
+        "seed",
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias(
+            "h"
+        ),
+    )
+    minh = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    return (
+        minh.withColumn("band", F.expr(f"seed div {BAND_SIZE}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    "|",
+                )
+            ).alias("band_val")
+        )
+    )
+
+
+def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: docs sharing any (band, band_val) bucket.
+    The join key is the band hash — collisions are the candidates; no
+    quadratic all-pairs comparison ever happens."""
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_val")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_val")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint over distinct tokens. Bit b of token t =
+    high-bit of hex digit b of md5(t); document bit b = majority vote
+    (+1/-1) over tokens. 16 bits as a '0'/'1' string — string form keeps
+    the oracle expressible; production would pack 64 bits into a long.
+
+    Shape: explode tokens x bits (16x token rows), two groupBy's on
+    doc_id — linear in corpus size."""
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("w")))
+    )
+    bits = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    ).withColumn(
+        "vote",
+        F.when(
+            F.substring(F.col("h"), F.col("bit") + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    agg = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("s"))
+    return agg.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bit", "s"))),
+                lambda x: F.when(x["s"] > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        ).alias("simhash")
+    )

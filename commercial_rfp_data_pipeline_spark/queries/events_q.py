@@ -1,1 +1,170 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Event-time queries over ``events`` (event_id, ts, user_id,
+event_type, value, props-JSON): tumbling/sliding windows,
+sessionization, JSON extraction — the batch mirrors of the streaming
+extension (streaming/windows.py). Window arithmetic is written with
+explicit epoch math so the DuckDB oracle states the identical formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.registry import query
+
+DEC = "decimal(12,2)"
+
+
+@query(
+    "events_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windows (batch mirror of the streaming op)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "events_sliding_10m_5m",
+    """
+    WITH k AS (SELECT unnest(generate_series(0, 1)) AS k),
+    slotted AS (
+      SELECT e.event_type,
+             CAST(to_timestamp(((CAST(floor(epoch(e.ts)) AS BIGINT) // 300) - k.k) * 300) AS TIMESTAMP) AS window_start,
+             e.ts
+      FROM events e CROSS JOIN k
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM slotted
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) < CAST(floor(epoch(window_start)) AS BIGINT) + 600
+    GROUP BY window_start, event_type
+    """,
+)
+def q_sliding(spark, sf_dir):
+    """Sliding windows (10 min width, 5 min slide) via explicit slot
+    arithmetic: each event lands in width/slide windows — explode k,
+    shift the 5-min grid. Identical to F.window(ts,'10 minutes',
+    '5 minutes') but stated formula-for-formula with the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    out = e.select(
+        "event_type",
+        "ts",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("k"),
+    ).select(
+        "event_type",
+        "ts",
+        F.timestamp_seconds(((epoch / 300).cast("bigint") - F.col("k")) * 300)
+        .cast("timestamp_ntz")
+        .alias("window_start"),
+    )
+    out = out.filter(
+        F.unix_timestamp("ts") < F.unix_timestamp("window_start") + 600
+    )
+    return out.groupBy("window_start", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionization(spark, sf_dir):
+    """Batch sessionization: lag-gap flag + running sum = session id,
+    30-minute gap. One shuffle on user_id; both windows share the
+    exchange+sort (batch mirror of session_window streaming)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)).alias(
+            "new_session"
+        ),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w2).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """Semi-structured extraction from the props JSON column (regexp
+    form keeps engine and oracle byte-identical; production would use
+    get_json_object / variant)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(k).alias("sum_k")
+    )
+
+
+@query(
+    "events_type_value_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
+           CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_event_stats(spark, sf_dir):
+    """Multi-aggregate profile incl. exact distinct — at scale
+    count(DISTINCT) is the expensive path (two-phase shuffle);
+    approx_count_distinct is the cheap alternative (separate op)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min(v).cast("double").alias("min_value"),
+        F.max(v).cast("double").alias("max_value"),
+        F.sum(v).cast("double").alias("sum_value"),
+    )

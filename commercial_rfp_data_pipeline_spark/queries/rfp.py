@@ -188,3 +188,41 @@ def q_rfp_filtered(spark, sf_dir):
         "sme", "key", "key_hash",
         F.date_format("date_parsed", "yyyy-MM-dd").alias("date_iso"),
     )
+
+
+_RENDER_CASES = ", ".join(
+    f"CASE WHEN {c} IS NOT NULL AND trim({c}) <> '' THEN '{label}: ' || {c} END"
+    for c, label in (
+        ("client_name", "Client Name"),
+        ("rfp_type", "RFP Type"),
+        ("consultant", "Consultant"),
+        ("date", "Date"),
+        ("question", "Question"),
+        ("response", "Response"),
+        ("sme", "SME"),
+    )
+)
+
+RENDER_ORACLE = f"""
+WITH flagship AS ({FLAGSHIP_ORACLE})
+SELECT CASE WHEN lower(key_hash) LIKE '%.docx' THEN key_hash
+            ELSE key_hash || '.docx' END AS file_name,
+       'RFP_content_library.xlsx' AS source_file,
+       concat_ws(chr(10), 'Source File Name: RFP_content_library.xlsx', {_RENDER_CASES}) AS content
+FROM flagship
+"""
+
+
+@query("rfp_doc_render", RENDER_ORACLE)
+def q_doc_render(spark, sf_dir):
+    """P10+P11 over the flagship output: one rendered document per
+    cleaned row, labeled lines with blank fields skipped, 'Source File
+    Name' first, file named {key_hash}.docx
+    (doc_library:46-69,105-131)."""
+    from commercial_rfp_data_pipeline_spark.operators.documents import (
+        render_documents,
+    )
+
+    return render_documents(
+        flagship(spark, sf_dir, as_of=AS_OF), source_file="RFP_content_library.xlsx"
+    )

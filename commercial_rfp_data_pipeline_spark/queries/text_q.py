@@ -1,1 +1,243 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis + chunking queries over ``documents`` — the LLM
+training-data pipeline surface (BASELINE.json), each oracle-checked.
+
+DuckDB mirrors share the engine's hashing scheme (md5) so signatures
+are bit-identical; list/lambda SQL uses DuckDB 1.0 builtins only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
+from commercial_rfp_data_pipeline_spark.operators.textops import (
+    fingerprint,
+    jaccard_pairs,
+    lang_id,
+    minhash_bands,
+    minhash_candidate_pairs,
+    norm_text,
+    quality_features,
+    shingles,
+    simhash,
+    token_count,
+)
+from commercial_rfp_data_pipeline_spark.registry import query
+
+# shared SQL fragments ------------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g')))"
+
+_SHINGLES_CTE = f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+wordlists AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+        FROM wordlists)
+)
+"""
+
+
+@query(
+    "chunk_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             1 + (greatest(length(text) - 120, 0) + 89) // 90 AS n_chunks
+      FROM documents
+    )
+    SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id,
+           CAST(doc_id AS VARCHAR) AS parent_id,
+           CAST(pos AS INTEGER) AS pos,
+           substr(text, 1 + pos * 90, 120) AS chunk
+    FROM (SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS pos FROM base)
+    """,
+)
+def q_chunk(spark, sf_dir):
+    """SplitSkill re-expression (indexer:164-176): size 120 / overlap 30
+    on documents (the 2000/500 reference constants are module defaults;
+    small sizes make the testdata actually split). Pure expression +
+    posexplode — zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_text(docs, size=120, overlap=30)
+    return out.select("chunk_id", "parent_id", F.col("pos").cast("int").alias("pos"), "chunk")
+
+
+@query(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length({_NORM}) = 0 THEN 0
+                ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@query(
+    "text_quality_features",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    feat AS (
+      SELECT doc_id, t,
+             length(t) AS n_chars,
+             CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+             len(regexp_extract_all(t, '[.,;:!?]')) AS punct,
+             len(list_filter(string_split(t, ' '),
+                 w -> w IN ('the','a','of','to','and','in','is','for','on','it'))) AS stop
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN n_tokens > 0 THEN stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+           round(least(n_tokens / 200.0, 1.0) * 0.5
+                 + least(CASE WHEN n_tokens > 0 THEN stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5, 1.0) * 0.3
+                 + (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 10, 1.0)) * 0.2,
+                 6) AS quality_score
+    FROM feat
+    """,
+)
+def q_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs)
+
+
+@query(
+    "lang_id_heuristic",
+    f"""
+    WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    votes AS (
+      SELECT doc_id,
+        len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','for','on','it'))) AS votes_en,
+        len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))) AS votes_es,
+        len(list_filter(w, x -> x IN ('le','la','de','et','un','en','est','que','pour','les'))) AS votes_fr
+      FROM w
+    )
+    SELECT doc_id, votes_en, votes_es, votes_fr,
+           CASE WHEN votes_en >= votes_es AND votes_en >= votes_fr THEN 'en'
+                WHEN votes_es >= votes_fr THEN 'es' ELSE 'fr' END AS lang_pred
+    FROM votes
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs)
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM}) AS fp, substr(md5({_NORM}), 1, 16) AS fp16,
+           length({_NORM}) AS n_chars
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+@query(
+    "exact_dup_groups_by_fingerprint",
+    f"""
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_doc
+    FROM (SELECT doc_id, md5(substr({_NORM}, 1, 40)) AS fp FROM documents)
+    GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup at scale: hash-groupBy on a content fingerprint —
+    one shuffle of (fp, doc_id) pairs, canonical survivor = min id.
+    Fingerprints the 40-char normalized prefix so the synthetic corpus
+    actually contains duplicate groups at every SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(norm_text("text"), 1, 40))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE.strip()},
+    freq AS (SELECT sh AS fsh, count(*) AS df FROM sh GROUP BY sh),
+    sh2 AS (SELECT doc_id, sh FROM sh JOIN freq ON sh = fsh WHERE df <= 1000),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, common,
+           round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) >= 0.2
+    """,
+)
+def q_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.2 keeps the
+    result non-trivial on synthetic text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(shingles(docs), threshold=0.2, max_doc_freq=1000)
+
+
+@query(
+    "minhash_lsh_candidates",
+    f"""
+    WITH {_SHINGLES_CTE.strip()},
+    hashed AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+    ),
+    minh AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_val
+      FROM minh GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash(spark, sf_dir):
+    """MinHash(8 perms) + LSH(4 bands x 2) candidate pairs — the scale
+    path for fuzzy dedup: cost is linear in shingles, candidates come
+    from hash-bucket collisions, never an all-pairs scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(minhash_bands(shingles(docs)))
+
+
+@query(
+    "simhash_fingerprints",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN substr(h, CAST(bit + 1 AS INTEGER), 1) IN ('8','9','a','b','c','d','e','f')
+                      THEN 1 ELSE -1 END) AS s
+      FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)

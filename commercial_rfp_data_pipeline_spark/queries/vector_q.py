@@ -1,1 +1,210 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Vector-similarity queries over ``embeddings`` (vec_id,
+embedding float[64], label) — the reference's search surface (O5,
+indexer:95-137) plus the LLM-pipeline ANN extensions.
+
+Precision discipline: both engines cast float32 vectors to double
+before the cosine kernel and round similarities to 6 dp, so values
+hash-match. The exact path is the oracle (= the reference's
+myExhaustiveKnnProfile); LSH/IVF are the scale paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.operators.vector import (
+    embedding_neardup_pairs,
+    ivf_assign,
+    knn_exact,
+    knn_lsh,
+    lsh_buckets,
+)
+from commercial_rfp_data_pipeline_spark.registry import query
+
+DIM = 64
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+
+def _vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+
+
+def _queries_df(spark, sf_dir):
+    return (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+
+
+@query(
+    "knn_exact_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.q_id, e.vec_id, round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
+      FROM e JOIN q ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def q_knn_exact(spark, sf_dir):
+    """Exhaustive cosine top-5 for 5 query vectors — the correctness
+    oracle for every ANN variant. Corpus never shuffles; queries
+    broadcast."""
+    out = knn_exact(_vectors(spark, sf_dir), _queries_df(spark, sf_dir), k=5)
+    return out.select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+
+
+@query(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.35 — the synthetic
+    vectors are near-orthogonal, max pairwise sim ~0.48). All-pairs form
+    IS the oracle; the LSH-bucketed variant below is the scale path."""
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    return embedding_neardup_pairs(v, threshold=0.35)
+
+
+@query("ann_lsh_topk", None)
+def q_ann_lsh(spark, sf_dir):
+    """Sign-random-projection LSH ANN top-5 (rows-only: recall < 1 by
+    construction; judged against knn_exact_cosine_topk in tests)."""
+    out = knn_lsh(
+        _vectors(spark, sf_dir), _queries_df(spark, sf_dir), dim=DIM, k=5, n_bits=6
+    )
+    return out.select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+
+
+def _planes_sql(n_bits: int) -> str:
+    """Mirror operators.vector._hyperplane as SQL list literals."""
+    import math
+
+    planes = []
+    for b in range(n_bits):
+        comps = ", ".join(
+            f"{math.sin(1 + (b * DIM + j) * 0.7391)!r}" for j in range(DIM)
+        )
+        planes.append(f"[{comps}]")
+    return ", ".join(planes)
+
+
+@query(
+    "lsh_bucket_histogram",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (SELECT unnest([{_planes_sql(6)}]) AS plane,
+                      unnest(generate_series(0, 5)) AS bit),
+    bits AS (
+      SELECT e.vec_id, p.bit,
+             CASE WHEN list_dot_product(e.v, p.plane) >= 0 THEN '1' ELSE '0' END AS b
+      FROM e CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, string_agg(b, '' ORDER BY bit) AS bucket FROM bits GROUP BY vec_id
+    )
+    SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+    """,
+)
+def q_lsh_histogram(spark, sf_dir):
+    """Bucket occupancy of the LSH index — oracle-checks the bucketing
+    itself (the deterministic hyperplanes reproduce in SQL), so the
+    rows-only ANN path sits on a verified foundation."""
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    return (
+        lsh_buckets(v, dim=DIM, n_bits=6)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "ivf_coarse_assignment",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % 16 = 0),
+    sims AS (
+      SELECT e.vec_id, c.cent_id,
+             round(list_cosine_similarity(e.v, c.cent_vec), 6) AS cent_sim
+      FROM e CROSS JOIN cents c
+    )
+    SELECT vec_id, cent_id, cent_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
+      FROM sims
+    ) WHERE rn = 1
+    """,
+)
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: nearest-centroid assignment (broadcast
+    centroids, narrow pass). Deterministic centroid choice stands in for
+    k-means; the Spark plumbing (assign -> partition by list) is the
+    100-TB layout primitive."""
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    out = ivf_assign(v, n_centroids=16)
+    return out.select("vec_id", "cent_id", "cent_sim")
+
+
+@query(
+    "label_centroid_similarity",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    byidx AS (
+      SELECT label, i.i AS idx, avg(v[i.i]) AS comp
+      FROM e, (SELECT unnest(generate_series(1, 64)) AS i) i
+      GROUP BY label, i.i
+    ),
+    cents AS (SELECT label, array_agg(comp ORDER BY idx) AS cent FROM byidx GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(e.v, c.cent), 6) AS sim_to_own
+      FROM e JOIN cents c ON e.label = c.label
+    )
+    SELECT label, count(*) AS n, round(avg(sim_to_own), 6) AS avg_sim
+    FROM scored GROUP BY label
+    """,
+)
+def q_label_centroid(spark, sf_dir):
+    """Per-label mean vector + mean member-to-centroid cosine — the
+    aggregate-over-arrays primitive (posexplode -> avg per index ->
+    re-assemble) used for cluster QC at scale."""
+    e = _vectors(spark, sf_dir)
+    exploded = e.select("vec_id", "label", F.posexplode("embedding").alias("idx", "x"))
+    cents = (
+        exploded.groupBy("label", "idx")
+        .agg(F.avg("x").alias("comp"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "comp"))),
+                lambda s: s["comp"],
+            ).alias("cent")
+        )
+    )
+    from commercial_rfp_data_pipeline_spark.operators.vector import cosine
+
+    scored = e.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("cent")), 6).alias("sim_to_own"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("sim_to_own"), 6).alias("avg_sim")
+    )

@@ -50,6 +50,8 @@ def _register_all() -> None:
         text_q,
         vector_q,
         events_q,
+        reconcile_q,
+        multimodal_q,
     )
 
 

@@ -1,0 +1,95 @@
+"""Structured Streaming extension (SURVEY.md §2.11, §7 phase 5).
+
+The reference has NO streaming — every run is a full batch recompute
+triggered by HTTP (commerical_rfp_data_ingestion_main.py:13); this
+module is the extension mandated by BASELINE.json's LLM-pipeline
+generality, clearly flagged as such.
+
+Batch/stream parity: each streaming op mirrors a batch query in
+queries/events_q.py, so the DuckDB-checked batch result doubles as the
+oracle for the streaming path (tests assert stream == batch on the
+finite testdata).
+
+Scale: parquet-source streams partition by file; watermarks bound
+state; ``dropDuplicatesWithinWatermark`` gives the streaming dedup the
+reference's A6 would need in incremental form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayable finite stream over the events parquet (one file =
+    one micro-batch in tests; kafka/files in production). Same
+    TIMESTAMP(NANOS) workaround as io.load_table — read nanos as long,
+    convert to micros TIMESTAMP_NTZ."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file sources need a dir
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
+        # watermarks need TIMESTAMP (not NTZ); session tz is UTC so the
+        # values line up with the batch NTZ mirror
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts — append-mode safe."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows with watermark — the streaming form of the
+    batch lag+cumsum sessionization."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on event_id bounded by watermark state."""
+    return events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_completion(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a finite stream to completion through a memory sink and
+    return the materialized result (test/driver harness path).
+
+    mode='complete' for aggregations (append would hold back windows
+    the watermark never passes on finite data); mode='append' for
+    non-aggregating streams (dedup, projections)."""
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.table(name)
