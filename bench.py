@@ -37,6 +37,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
     queries = all_queries()
+    # warm the JVM, codegen, and parquet reader once (not timed) so the
+    # first timed query doesn't absorb ~10s of session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
     names = [n for n in HEADLINE if n in queries]
     # extend with any registered queries not in the headline list (cheap
     # coverage signal), capped to keep the bench fast

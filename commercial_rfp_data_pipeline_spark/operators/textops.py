@@ -112,23 +112,35 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Distinct word k-gram shingles per document — the input to both
     Jaccard and MinHash dedup. Built with sequence+transform (no UDF);
-    one row per (doc, shingle)."""
-    w = words(text_col)
+    one row per (doc, shingle).
+
+    The word array is materialized as a column FIRST — inlining the
+    tokenizer expression into the lambda would re-run the regex for
+    every element_at (measured 8x slowdown). ``parallelism``
+    repartitions before the CPU-bound expansion: a single parquet file
+    otherwise pins the whole explode to one task."""
+    wdf = df.select(F.col(id_col), words(text_col).alias("w"))
+    if parallelism:
+        wdf = wdf.repartition(parallelism)
     idx = F.when(
-        F.size(w) >= k, F.sequence(F.lit(0), F.size(w) - k)
+        F.size("w") >= k, F.sequence(F.lit(0), F.size("w") - k)
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+            " ", *[F.element_at(F.col("w"), (i + j + 1).cast("int")) for j in range(k)]
         ),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh"))
+        wdf.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh"))
         .distinct()
     )
 
@@ -137,7 +149,7 @@ def jaccard_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_doc_freq: int = 1000,
+    max_doc_freq: int = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shingle inverted
     index: self-join on shingle, count common, J = common/(na+nb-common).
@@ -182,37 +194,37 @@ def minhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (hex-lexicographic min) for seeds 0..7; bands of 2 rows -> 4 bands;
     band value = md5 of the seed-ordered minhash concat.
 
-    Scale: explode(seeds) is a narrow 8x map over distinct shingles; the
-    min-agg and band-agg are one shuffle each on doc_id. Candidate
-    recall/precision tunes via N_MINHASH/BAND_SIZE exactly as in the
-    standard MinHash-LSH construction."""
-    hashed = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
-        "sh",
-    ).select(
-        id_col,
-        "seed",
-        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))).alias(
-            "h"
-        ),
+    Shape: ONE groupBy(doc) computing all 8 mins as aggregate columns
+    (map-side combine collapses each partition to one row per doc before
+    the single shuffle — no seed explosion), then a tiny 4x unpivot of
+    per-doc band values. Candidate recall/precision tunes via
+    N_MINHASH/BAND_SIZE exactly as in the standard construction."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(N_MINHASH)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    n_bands = N_MINHASH // BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * BAND_SIZE + j}")
+                            for j in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    minh = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
-    return (
-        minh.withColumn("band", F.expr(f"seed div {BAND_SIZE}"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                    "|",
-                )
-            ).alias("band_val")
-        )
-    )
+    return sigs.select(
+        id_col, F.explode(band_structs).alias("bv")
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
 
 
 def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -170,7 +170,7 @@ def q_exact_dup_groups(spark, sf_dir):
     f"""
     WITH {_SHINGLES_CTE.strip()},
     freq AS (SELECT sh AS fsh, count(*) AS df FROM sh GROUP BY sh),
-    sh2 AS (SELECT doc_id, sh FROM sh JOIN freq ON sh = fsh WHERE df <= 1000),
+    sh2 AS (SELECT doc_id, sh FROM sh JOIN freq ON sh = fsh WHERE df <= 100),
     counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -189,7 +189,8 @@ def q_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs (threshold 0.2 keeps the
     result non-trivial on synthetic text)."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(shingles(docs), threshold=0.2, max_doc_freq=1000)
+    par = spark.sparkContext.defaultParallelism
+    return jaccard_pairs(shingles(docs, parallelism=par), threshold=0.2, max_doc_freq=100)
 
 
 @query(
@@ -216,7 +217,8 @@ def q_minhash(spark, sf_dir):
     path for fuzzy dedup: cost is linear in shingles, candidates come
     from hash-bucket collisions, never an all-pairs scan."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(minhash_bands(shingles(docs)))
+    par = spark.sparkContext.defaultParallelism
+    return minhash_candidate_pairs(minhash_bands(shingles(docs, parallelism=par)))
 
 
 @query(
