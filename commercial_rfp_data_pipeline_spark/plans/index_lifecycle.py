@@ -1,0 +1,83 @@
+"""Vector-index lifecycle (SURVEY.md §2.11): the reference's
+chunk -> embed -> index pipeline with idempotent-ensure and
+reset-and-rebuild semantics
+(commercial_rfp_indexer.py:256-263;
+commercial_rfp_delete_index_files_and_reset_indexer.py:27-66).
+
+Spark-first: the "index" is a pair of warehouse tables (chunks,
+embeddings) built lazily and materialized with overwrite; reset = the
+same overwrite (the reference's delete-all-then-reindex collapses into
+one atomic rewrite); search = broadcast-query exact KNN over the
+embeddings table (the reference's exhaustive-KNN profile), with the
+LSH path available for scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
+from commercial_rfp_data_pipeline_spark.operators.embedder import HashedBowEmbedder
+from commercial_rfp_data_pipeline_spark.operators.vector import knn_exact
+
+CHUNK_SIZE, CHUNK_OVERLAP = 120, 30  # test-scale; reference 2000/500
+
+
+def build_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+
+
+def build_embeddings(chunks: DataFrame, dim: int = 64) -> DataFrame:
+    return HashedBowEmbedder(dim=dim).embed(chunks, text_col="chunk", id_col="chunk_id")
+
+
+def ensure_index(spark: SparkSession, sf_dir: str, warehouse: str) -> tuple[str, str]:
+    """Idempotent ensure-exists for both tables (indexer:67-83 shape)."""
+    chunks_path = os.path.join(warehouse, "chunks")
+    emb_path = os.path.join(warehouse, "embeddings")
+    for path, builder in (
+        (chunks_path, lambda: build_chunks(spark, sf_dir)),
+        (emb_path, lambda: build_embeddings(build_chunks(spark, sf_dir))),
+    ):
+        try:
+            spark.read.parquet(path).limit(1).collect()
+        except Exception:
+            builder().write.mode("overwrite").parquet(path)
+    return chunks_path, emb_path
+
+
+def reset_and_rebuild(spark: SparkSession, sf_dir: str, warehouse: str) -> None:
+    """delete_index:27-66 collapses to an atomic overwrite of both
+    tables — no paged 1000-doc delete loop needed under Spark's sink
+    model."""
+    build_chunks(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(warehouse, "chunks")
+    )
+    build_embeddings(build_chunks(spark, sf_dir)).write.mode("overwrite").parquet(
+        os.path.join(warehouse, "embeddings")
+    )
+
+
+def search(
+    spark: SparkSession, warehouse: str, query_texts: list[str], k: int = 5
+) -> DataFrame:
+    """Query-time vectorizer + exhaustive KNN (indexer:119-136): embed
+    the query strings with the same embedder, top-k over the stored
+    embeddings table."""
+    emb = spark.read.parquet(os.path.join(warehouse, "embeddings"))
+    qdf = spark.createDataFrame(
+        [(f"q{i}", t) for i, t in enumerate(query_texts)], "q_id string, qtext string"
+    )
+    qvec = HashedBowEmbedder().embed(qdf, text_col="qtext", id_col="q_id")
+    return knn_exact(
+        emb,
+        qvec.select(F.col("q_id"), F.col("embedding").alias("q_vec")),
+        k=k,
+        id_col="chunk_id",
+        vec_col="embedding",
+    )

@@ -1,0 +1,225 @@
+"""Advanced relational breadth: as-of join, bucketized range join,
+extended window functions, exact/approx distinct, percentiles —
+operators Spark lacks as single builtins, re-expressed with the
+idiomatic scalable compositions (pyspark guide: common OLAP patterns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.registry import query
+
+DEC = "decimal(12,2)"
+
+
+@query(
+    "asof_join_last_signup_before_purchase",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(signup_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, last_signup_ts
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native one): for each purchase, the
+    most recent signup of the same user at or before it — via the
+    union-sort-carry-forward pattern: tag both streams, one window per
+    user carrying the running max signup ts. ONE shuffle on user_id,
+    no range explosion — the scalable as-of form (vs per-group
+    merge_asof or a theta join)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn("last_signup_ts", F.max("signup_ts").over(w))
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "last_signup_ts",
+    )
+
+
+@query(
+    "range_join_events_within_1h",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           b.sec - a.sec AS gap_s
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND b.sec - a.sec BETWEEN 0 AND 3600
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range join via time-bucketing: pairs of clicks by the same user
+    within 1 hour. Spark side joins on (user_id, bucket) with each
+    left row exploded into its bucket and the next (candidate windows),
+    then filters the exact range — turning an unbounded theta join into
+    an equi-join with 2x fanout. The oracle states the naive theta
+    form; results are identical."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_timestamp("ts").alias("sec"),
+        )
+        .withColumn("bucket", (F.col("sec") / 3600).cast("bigint"))
+    )
+    # right side: event b listed under its own bucket and the previous
+    # one, so any a with sec within 3600s of b shares a bucket with it
+    b = e.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("sec").alias("sec_b"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") - 1)).alias("bucket"),
+    )
+    joined = e.join(
+        b,
+        (e.user_id == b.user_id_b) & (e.bucket == b.bucket),
+    ).filter(
+        (F.col("event_id") < F.col("id_b"))
+        & ((F.col("sec_b") - F.col("sec")).between(0, 3600))
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        "id_b",
+        (F.col("sec_b") - F.col("sec")).alias("gap_s"),
+    ).distinct()
+
+
+@query(
+    "window_function_breadth",
+    """
+    SELECT o_orderkey, o_custkey,
+           dense_rank() OVER w AS drk,
+           ntile(4) OVER w AS quartile,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           round(percent_rank() OVER w, 6) AS prk,
+           round(cume_dist() OVER w, 6) AS cd,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_breadth(spark, sf_dir):
+    """§2.7 breadth: dense_rank / ntile / lead / percent_rank /
+    cume_dist / first+last value — all sharing one exchange+sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+    )
+
+
+@query(
+    "distinct_counts_exact",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_exact(spark, sf_dir):
+    """A3-shape exact distinct counts (two-phase shuffle at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("distinct_counts_approx", None)
+def q_distinct_approx(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — the single-pass scale
+    alternative (rows-only: sketch estimates are engine-specific;
+    tests bound the error vs the exact query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "percentiles_exact",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). percentile_approx is the sketch path at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "cube_aggregation",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )

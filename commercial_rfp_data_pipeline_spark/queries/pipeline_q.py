@@ -1,0 +1,110 @@
+"""End-to-end vector pipeline queries: documents -> chunk -> embed ->
+search, the reference's whole indexing dataflow
+(commercial_rfp_indexer.py) oracle-checked stage by stage — including
+the embeddings themselves (the hermetic hashed-BoW embedder is pure
+arithmetic both engines state identically)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+    build_chunks,
+    build_embeddings,
+)
+from commercial_rfp_data_pipeline_spark.operators.vector import knn_exact
+from commercial_rfp_data_pipeline_spark.registry import query
+
+_CHUNKS_CTE = """
+chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id,
+         substr(text, 1 + pos * 90, 120) AS chunk
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS pos
+    FROM (SELECT doc_id, text,
+                 1 + (greatest(length(text) - 120, 0) + 89) // 90 AS n_chunks
+          FROM documents)
+  )
+)
+"""
+
+_EMBED_CTES = """
+toks AS (
+  SELECT chunk_id,
+         unnest(string_split(lower(trim(regexp_replace(chunk, '\\s+', ' ', 'g'))), ' ')) AS tok
+  FROM chunks
+),
+bucketed AS (
+  SELECT chunk_id,
+         ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % 64 AS bucket
+  FROM toks
+),
+bcounts AS (
+  SELECT chunk_id, bucket, CAST(count(*) AS DOUBLE) AS c
+  FROM bucketed GROUP BY chunk_id, bucket
+),
+grid AS (
+  SELECT ids.chunk_id, js.j
+  FROM (SELECT DISTINCT chunk_id FROM chunks) ids,
+       (SELECT unnest(generate_series(0, 63)) AS j) js
+),
+dense AS (
+  SELECT g.chunk_id, g.j, coalesce(c.c, 0.0) AS x
+  FROM grid g LEFT JOIN bcounts c ON g.chunk_id = c.chunk_id AND g.j = c.bucket
+),
+norms AS (SELECT chunk_id, sqrt(sum(x * x)) AS nrm FROM dense GROUP BY chunk_id),
+unit AS (
+  SELECT d.chunk_id, d.j, round(d.x / n.nrm, 6) AS x
+  FROM dense d JOIN norms n USING (chunk_id)
+)
+"""
+
+
+@query(
+    "chunk_embeddings_hashed_bow",
+    f"""
+    WITH {_CHUNKS_CTE.strip()},
+    {_EMBED_CTES.strip()}
+    SELECT chunk_id, CAST(j AS INTEGER) AS j, x FROM unit
+    """,
+)
+def q_chunk_embeddings(spark, sf_dir):
+    """Embeddings of every chunk, exploded to (chunk_id, component
+    index, value) so the oracle compares scalars — pins the embedder's
+    arithmetic end to end."""
+    emb = build_embeddings(build_chunks(spark, sf_dir))
+    return emb.select(
+        "chunk_id", F.posexplode("embedding").alias("j", "x")
+    ).select("chunk_id", F.col("j").cast("int").alias("j"), "x")
+
+
+@query(
+    "semantic_search_pipeline",
+    f"""
+    WITH {_CHUNKS_CTE.strip()},
+    {_EMBED_CTES.strip()},
+    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
+    q AS (SELECT chunk_id AS q_id, v AS q_vec FROM vecs
+          WHERE chunk_id IN ('0_0', '1_0', '2_0')),
+    sims AS (
+      SELECT q.q_id, e.chunk_id,
+             round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
+      FROM vecs e JOIN q ON e.chunk_id <> q.q_id
+    )
+    SELECT q_id, chunk_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, chunk_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def q_semantic_search(spark, sf_dir):
+    """The reference's whole query path (indexer:95-137) in one lazy
+    plan: chunk -> embed -> query-time vectorize -> exhaustive cosine
+    top-3. Every stage oracle-checked; the LSH path swaps in for scale."""
+    emb = build_embeddings(build_chunks(spark, sf_dir))
+    qvec = emb.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")).select(
+        F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_exact(emb, qvec, k=3, id_col="chunk_id", vec_col="embedding")
+    return out.select("q_id", "chunk_id", "sim", F.col("rnk").cast("int").alias("rnk"))

@@ -52,6 +52,8 @@ def _register_all() -> None:
         events_q,
         reconcile_q,
         multimodal_q,
+        pipeline_q,
+        advanced_q,
     )
 
 

@@ -1,0 +1,122 @@
+"""Tests for sources (S2 Excel bridge, S4 header promotion, S5
+pagination), sinks (K3 document write, warehouse lifecycle), and the
+embedder contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.sources.ingest import (
+    from_header_rows,
+    paginated_scan,
+)
+
+
+def test_header_promotion(spark):
+    df = from_header_rows(spark, [["A", "b"], ["1", "x"], ["2", "y"]])
+    assert df.columns == ["A", "b"]
+    assert df.count() == 2
+    assert from_header_rows(spark, []).count() == 0
+    assert from_header_rows(spark, [["only", "header"]]).count() == 0
+
+
+def test_paginated_scan(spark):
+    pages = {None: ([{"name": "a"}, {"name": "b"}], "p2"), "p2": ([{"name": "c"}], None)}
+
+    def fetch(cursor):
+        return pages[cursor]
+
+    df = paginated_scan(spark, fetch, "name string")
+    assert sorted(r.name for r in df.collect()) == ["a", "b", "c"]
+
+
+def test_excel_bridge_roundtrip(spark, tmp_path):
+    openpyxl = pytest.importorskip("openpyxl")  # noqa: F841
+    from commercial_rfp_data_pipeline_spark.io import (
+        read_excel_bridge,
+        write_excel_bridge,
+    )
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "Name string, val double")
+    path = str(tmp_path / "t.xlsx")
+    write_excel_bridge(df, path)
+    back = read_excel_bridge(spark, path)
+    assert sorted((r.Name, r.val) for r in back.collect()) == [("a", 1.0), ("b", 2.0)]
+
+
+def test_document_sink_partitioned(spark, sf_dir, tmp_path):
+    from commercial_rfp_data_pipeline_spark.operators.documents import (
+        render_documents,
+        write_documents,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.flagship import flagship
+
+    docs = render_documents(flagship(spark, sf_dir), source_file="lib.xlsx")
+    out = str(tmp_path / "docs")
+    write_documents(docs, out)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert {"file_name", "source_file", "content", "prefix"} <= set(back.columns)
+    row = back.filter(F.col("content").contains("Question:")).first()
+    assert row.content.startswith("Source File Name: lib.xlsx")
+    assert row.file_name.endswith(".docx")
+
+
+def test_index_lifecycle(spark, sf_dir, tmp_path):
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        ensure_index,
+        reset_and_rebuild,
+        search,
+    )
+
+    wh = str(tmp_path / "wh")
+    chunks_path, emb_path = ensure_index(spark, sf_dir, wh)
+    n1 = spark.read.parquet(emb_path).count()
+    assert n1 > 0
+    # idempotent: second ensure is a no-op (same row count)
+    ensure_index(spark, sf_dir, wh)
+    assert spark.read.parquet(emb_path).count() == n1
+    # reset+rebuild overwrites in place
+    reset_and_rebuild(spark, sf_dir, wh)
+    assert spark.read.parquet(emb_path).count() == n1
+    hits = search(spark, wh, ["spark filter join table", "stream window"], k=3)
+    rows = hits.collect()
+    assert len(rows) == 6
+    assert all(0 <= r.rnk <= 3 for r in rows)
+
+
+def test_embedder_expression_vs_pandas_batch(spark, sf_dir):
+    """The Catalyst-expression embedder and the Arrow-batched pandas
+    embedder implement the same math — vectors must agree."""
+    from commercial_rfp_data_pipeline_spark.operators.embedder import (
+        HashedBowEmbedder,
+        PandasBatchEmbedder,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import build_chunks
+
+    chunks = build_chunks(spark, sf_dir).limit(100)
+    a = HashedBowEmbedder().embed(chunks, "chunk", "chunk_id").collect()
+    b = PandasBatchEmbedder().embed(chunks, "chunk", "chunk_id").collect()
+    av = {r.chunk_id: r.embedding for r in a}
+    bv = {r.chunk_id: r.embedding for r in b}
+    assert set(av) == set(bv)
+    for cid in av:
+        assert av[cid] == pytest.approx(bv[cid], abs=2e-6), cid
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from commercial_rfp_data_pipeline_spark.queries.advanced_q import (
+        q_distinct_approx,
+        q_distinct_exact,
+    )
+
+    exact = {r.l_returnflag: r.n_parts for r in q_distinct_exact(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: r.n_parts_approx
+        for r in q_distinct_approx(spark, sf_dir).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.1, (k, n, approx[k])
