@@ -8,7 +8,12 @@ The engine's contract mirrors that seam:
 - ``HashedBowEmbedder`` — the hermetic deterministic local
   implementation: L2-normalized hashed bag-of-words. Component j of
   dim d = count of tokens whose md5 maps to bucket j. Pure Catalyst
-  expressions, so the DuckDB oracle can reproduce the vectors exactly;
+  expressions, so the DuckDB oracle can reproduce the vectors exactly.
+  Shuffle-free by construction: the whole vector is assembled per row
+  with higher-order array functions (transform/filter/aggregate) — a
+  narrow map that scales linearly with no exchange, vs the naive
+  explode -> groupBy(id, bucket) -> collect shape which shuffles every
+  token twice;
 - ``PandasBatchEmbedder`` — the production-shaped path: Arrow-batched
   ``mapInPandas`` calling a vectorized embed function per batch (this
   is where a real model/service client plugs in). Ships with the same
@@ -30,48 +35,60 @@ from pyspark.sql import functions as F
 DEFAULT_DIM = 64  # testdata embedding width; reference uses 1536 (indexer:55)
 
 
-def _bucket_expr(dim: int) -> Column:
+def _bucket_of(tok: Column, dim: int) -> Column:
     """Token -> bucket: first two md5 hex chars as a 0..255 int, mod
-    dim. Stated with instr arithmetic (not conv) so the DuckDB oracle
-    reproduces it verbatim."""
-    h = F.md5(F.col("tok"))
-    hexd = "0123456789abcdef"
-    v1 = F.expr(f"instr('{hexd}', substring(md5(tok), 1, 1))") - 1
-    v2 = F.expr(f"instr('{hexd}', substring(md5(tok), 2, 1))") - 1
-    return ((v1 * 16 + v2) % dim).cast("bigint")
+    dim (conv base-16; the oracle states the same value with strpos
+    arithmetic — identical results, compared by value not by plan)."""
+    return F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("bigint") % dim
 
 
 class HashedBowEmbedder:
-    """Deterministic local embedder: L2-normalized hashed BoW counts."""
+    """Deterministic local embedder: L2-normalized hashed BoW counts.
+
+    Entirely per-row (narrow): tokenize -> bucket each token -> count
+    per component with filter/size -> normalize. O(dim x n_tokens)
+    codegen'd comparisons per row, zero shuffles — at 100 TB this is a
+    pure map stage limited only by scan bandwidth, where the exploded
+    groupBy formulation would shuffle ~10^12 token rows."""
 
     def __init__(self, dim: int = DEFAULT_DIM):
         self.dim = dim
 
+    def embed_parts(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """(id, _arr, _norm): raw per-bucket counts + L2 norm, before
+        normalization. Staged through separate projections on purpose:
+        each stage's expensive expression (the md5-per-token bucket
+        array, the count array) is referenced downstream as a
+        *projected attribute*, evaluated once per row — nested
+        directly, optimizer rules (CollapseProject across lambda
+        bodies, InferFiltersFromGenerate) would inline the whole tree
+        into every consumer and re-evaluate it per array element.
+        Counting is a single `aggregate` pass over the bucket array
+        (md5 once per token), not a per-component filter scan."""
+        dim = self.dim
+        toks = F.split(
+            F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+        )
+        buckets = F.transform(toks, lambda t: _bucket_of(t, dim))
+        counts = F.aggregate(
+            F.col("_buckets"),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, b: F.transform(
+                acc, lambda x, i: F.when(i.cast("bigint") == b, x + 1.0).otherwise(x)
+            ),
+        )
+        norm = F.sqrt(F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, x: a + x * x))
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), buckets.alias("_buckets"))
+            .select(F.col(id_col), counts.alias("_arr"))
+            .withColumn("_norm", norm)
+        )
+
     def embed(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        toks = df.select(
-            F.col(id_col),
-            F.explode(
-                F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
-            ).alias("tok"),
-        )
-        counts = (
-            toks.withColumn("bucket", _bucket_expr(self.dim))
-            .groupBy(id_col, "bucket")
-            .agg(F.count(F.lit(1)).cast("double").alias("c"))
-        )
-        # assemble dense vector: sorted (bucket, c) pairs -> dim-length array
-        dense = counts.groupBy(id_col).agg(
-            F.map_from_entries(F.array_sort(F.collect_list(F.struct("bucket", "c")))).alias(
-                "m"
-            )
-        )
-        arr = F.transform(
-            F.sequence(F.lit(0), F.lit(self.dim - 1)),
-            lambda j: F.coalesce(F.element_at(F.col("m"), j.cast("bigint")), F.lit(0.0)),
-        )
-        norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
-        unit = F.transform(arr, lambda x: F.round(x / norm, 6))
-        return dense.select(F.col(id_col), unit.alias("embedding"))
+        parts = self.embed_parts(df, text_col, id_col)
+        unit = F.transform(F.col("_arr"), lambda x: F.round(x / F.col("_norm"), 6))
+        return parts.select(F.col(id_col), unit.alias("embedding"))
 
 
 class PandasBatchEmbedder:

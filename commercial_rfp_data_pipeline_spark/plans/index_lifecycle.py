@@ -32,8 +32,30 @@ def build_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_text(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
 
 
+def _spread(chunks: DataFrame) -> DataFrame:
+    """Embedding is compute-bound per row; a small source file scans as
+    1-2 partitions, serializing the whole job. Repartition to the
+    session's parallelism — the shuffled payload is just chunk text
+    (bytes ≈ input size, cheap next to the per-token hashing), and the
+    exchange doubles as an optimizer barrier so the embedding
+    expression is planned against plain attributes."""
+    sc = chunks.sparkSession.sparkContext
+    return chunks.repartition(sc.defaultParallelism)
+
+
 def build_embeddings(chunks: DataFrame, dim: int = 64) -> DataFrame:
-    return HashedBowEmbedder(dim=dim).embed(chunks, text_col="chunk", id_col="chunk_id")
+    return HashedBowEmbedder(dim=dim).embed(
+        _spread(chunks), text_col="chunk", id_col="chunk_id"
+    )
+
+
+def build_embedding_parts(chunks: DataFrame, dim: int = 64) -> DataFrame:
+    """(chunk_id, _arr, _norm) pre-normalization form — lets consumers
+    that re-shape the vector (e.g. posexplode to scalars) normalize
+    AFTER the reshape, keeping every planned expression small."""
+    return HashedBowEmbedder(dim=dim).embed_parts(
+        _spread(chunks), text_col="chunk", id_col="chunk_id"
+    )
 
 
 def ensure_index(spark: SparkSession, sf_dir: str, warehouse: str) -> tuple[str, str]:

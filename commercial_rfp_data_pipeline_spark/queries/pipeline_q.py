@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
     build_chunks,
+    build_embedding_parts,
     build_embeddings,
 )
 from commercial_rfp_data_pipeline_spark.operators.vector import knn_exact
@@ -73,10 +74,14 @@ def q_chunk_embeddings(spark, sf_dir):
     """Embeddings of every chunk, exploded to (chunk_id, component
     index, value) so the oracle compares scalars — pins the embedder's
     arithmetic end to end."""
-    emb = build_embeddings(build_chunks(spark, sf_dir))
-    return emb.select(
-        "chunk_id", F.posexplode("embedding").alias("j", "x")
-    ).select("chunk_id", F.col("j").cast("int").alias("j"), "x")
+    parts = build_embedding_parts(build_chunks(spark, sf_dir))
+    return parts.select(
+        "chunk_id", "_norm", F.posexplode("_arr").alias("j", "x")
+    ).select(
+        "chunk_id",
+        F.col("j").cast("int").alias("j"),
+        F.round(F.col("x") / F.col("_norm"), 6).alias("x"),
+    )
 
 
 @query(
