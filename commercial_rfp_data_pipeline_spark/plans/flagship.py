@@ -53,12 +53,19 @@ DUP_MOD = 250  # self-join modulus manufacturing duplicate q/r groups
 def rfp_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the rfp_raw fixture view from documents (see module doc)."""
     d1 = load_table(spark, sf_dir, "documents").alias("d1")
+    # the join key equality forces d2.doc_id ∈ [0, DUP_MOD) — state it
+    # explicitly so the build side is provably 250 rows and broadcasts;
+    # qtext is only ever read in its first 150 chars (question snippet
+    # 1..130, response snippet 11..150), so truncate before shipping
     d2 = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.col("text").alias("qtext"))
+        .filter(F.col("doc_id") < DUP_MOD)
+        .select("doc_id", F.substring("text", 1, 150).alias("qtext"))
         .alias("d2")
     )
-    joined = d1.join(d2, F.col("d1.doc_id") % DUP_MOD == F.col("d2.doc_id"), "inner")
+    joined = d1.join(
+        F.broadcast(d2), F.col("d1.doc_id") % DUP_MOD == F.col("d2.doc_id"), "inner"
+    )
     i = F.col("d1.doc_id")
     base_date = F.date_add(F.to_date(F.lit("1994-01-01")), ((i * 7) % 1600).cast("int"))
     date_str = (

@@ -104,10 +104,18 @@ def q_chunk_embeddings(spark, sf_dir):
     """,
 )
 def q_semantic_search(spark, sf_dir):
-    """The reference's whole query path (indexer:95-137) in one lazy
-    plan: chunk -> embed -> query-time vectorize -> exhaustive cosine
-    top-3. Every stage oracle-checked; the LSH path swaps in for scale."""
-    emb = build_embeddings(build_chunks(spark, sf_dir))
+    """The reference's whole query path (indexer:95-137): chunk ->
+    embed -> query-time vectorize -> exhaustive cosine top-3. Every
+    stage oracle-checked; the LSH path swaps in for scale.
+
+    The built embeddings are cached before the search — the index
+    BUILD materializes, then search reads the materialization (exactly
+    the reference's indexer-then-query lifecycle; ensure_index does the
+    durable parquet form). Without the boundary the cosine kernel's
+    multiple references to `embedding` re-inline the whole hashed-BoW
+    construction per reference — interpreted HOF expressions get no
+    codegen/CSE, measured ~25x slower."""
+    emb = build_embeddings(build_chunks(spark, sf_dir)).cache()
     qvec = emb.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")).select(
         F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
