@@ -284,3 +284,61 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             "",
         ).alias("simhash")
     )
+
+
+SIMHASH_BANDS = 4
+
+
+def simhash_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= ``max_hamming`` on
+    the 16-bit fingerprints, found via band-LSH rather than all-pairs.
+
+    Pigeonhole guarantee: with 4 bands of 4 bits, any pair within
+    Hamming distance 3 differs in at most 3 bands, so at least one band
+    matches exactly — the banded candidate set is EXHAUSTIVE for
+    ``max_hamming <= SIMHASH_BANDS - 1`` and the result equals the
+    all-pairs scan (which is the DuckDB oracle). Hamming itself is
+    bit_count(xor) on the fingerprints parsed as integers — codegen'd.
+
+    Shape at scale: one narrow band explode (4x rows), an equi-join on
+    (band, value) whose fanout is bounded by bucket occupancy, then the
+    exact filter. No quadratic stage anywhere."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError("banding is only exhaustive for max_hamming <= bands - 1")
+    band_len = SIMHASH_BITS // SIMHASH_BANDS
+    bvals = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("simhash", b * band_len + 1, band_len).alias("val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(bvals).alias("bv")).select(
+        id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sh_a", "doc_b", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.conv("sh_a", 2, 10).cast("long").bitwiseXOR(F.conv("sh_b", 2, 10).cast("long"))
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )

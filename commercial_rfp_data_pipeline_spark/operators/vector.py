@@ -193,3 +193,53 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def ivf_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Full IVF top-k: corpus vectors live in their nearest-centroid
+    cell (ivf_assign); each query probes its ``nprobe`` nearest cells
+    and ranks exactly within them. Deterministic end to end (centroid
+    choice, probe order, (sim DESC, id) ranking) so the whole ANN path
+    is SQL-expressible and oracle-checked — recall loss vs knn_exact is
+    a property of the probe count, not nondeterminism.
+
+    Shape at scale: centroids broadcast twice (corpus assignment +
+    query probing); the probe join shuffles on cent_id, so per-query
+    work is the probed cells' occupancy (~ nprobe * n / n_centroids),
+    not the whole corpus. The cell layout is the same partitioning a
+    persisted IVF index would use (partitionBy(cent_id) parquet)."""
+    cents = vectors.filter(F.col(id_col) % (256 // n_centroids) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    assigned = ivf_assign(vectors, n_centroids, id_col, vec_col).select(
+        id_col, vec_col, "cent_id"
+    )
+    qj = queries.crossJoin(F.broadcast(cents))
+    qsim = F.round(cosine(F.col(q_vec_col), F.col("cent_vec")), 6)
+    wq = Window.partitionBy(q_id_col).orderBy(F.col("probe_sim").desc(), F.col("cent_id"))
+    probes = (
+        qj.select(q_id_col, q_vec_col, "cent_id", qsim.alias("probe_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(q_id_col, q_vec_col, "cent_id")
+    )
+    j = assigned.join(F.broadcast(probes), "cent_id").filter(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        j.select(F.col(q_id_col), F.col(id_col), sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -158,3 +158,63 @@ def q_j1_literal(spark, sf_dir):
         "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
     )
     return keep_latest_global_date_semantics(o, key="o_custkey", date_col="odate")
+
+
+_DRAFT_NORM = "lower(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g')))"
+
+
+@query(
+    "draft_dedup_longest_survivor",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, {_DRAFT_NORM} AS norm,
+             md5(substr({_DRAFT_NORM}, 1, 40)) AS qkey
+      FROM documents
+    )
+    SELECT doc_id, qkey, CAST(length(norm) AS BIGINT) AS n_chars FROM (
+      SELECT doc_id, qkey, norm,
+             row_number() OVER (PARTITION BY qkey
+                                ORDER BY length(norm) DESC, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn = 1
+    """,
+)
+def q_draft_dedup_longest(spark, sf_dir):
+    """A10 (1/raw:191-205): the draft's longest-survivor dedup — group
+    by a NORMALIZED key (lowercase/ws-collapsed 40-char prefix), keep
+    the longest text, positional tiebreak. Distinct from A5: the dedup
+    key is a derived normalization, not a raw column."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = norm_text("text")
+    keyed = docs.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.md5(F.substring(norm, 1, 40)).alias("qkey"),
+    ).withColumn("n_chars", F.length("norm").cast("bigint"))
+    out = argmax_per_key(keyed, ["qkey"], "n_chars", tiebreak="doc_id")
+    return out.select("doc_id", "qkey", "n_chars")
+
+
+@query(
+    "duplicate_examples_top10",
+    """
+    SELECT o_custkey, odate, n FROM (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, count(*) AS n
+      FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+      HAVING count(*) > 1
+    ) ORDER BY n DESC, o_custkey, odate LIMIT 10
+    """,
+)
+def q_duplicate_examples(spark, sf_dir):
+    """O4 (citation:203): the duplicate-audit 'examples' truncation —
+    top-10 offending groups under a TOTAL deterministic order (count
+    DESC, then keys), so LIMIT is reproducible in both engines. Compiles
+    to TakeOrderedAndProject: per-partition heads, driver merge — no
+    global sort at scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    offenders = duplicate_audit(o, ["o_custkey", "odate"])
+    return offenders.orderBy(F.col("n").desc(), "o_custkey", "odate").limit(10)

@@ -143,3 +143,30 @@ def q_citation_map(spark, sf_dir):
         F.col("p_partkey").alias("ord"),
     )
     return dedup_keep_last(mapping, ["file_name"], ordinal="ord").drop("ord")
+
+
+KEEP_PREFIX = "1995-06"  # F12 keep_date parameter (utils:96)
+
+
+@query(
+    "retention_prune_by_date_prefix",
+    f"""
+    SELECT 'doc_' || CAST(o_orderkey AS VARCHAR) || '.docx' AS name,
+           strftime(o_orderdate, '%Y-%m-%d') AS created
+    FROM orders
+    WHERE NOT starts_with(strftime(o_orderdate, '%Y-%m-%d'), '{KEEP_PREFIX}')
+    """,
+)
+def q_retention_prune(spark, sf_dir):
+    """F12 (utils:90-106): the delete-list — files whose createdDateTime
+    does NOT start with the keep date. String-prefix date matching
+    preserved as in the reference (not a range predicate); orders stand
+    in as the file listing."""
+    o = load_table(spark, sf_dir, "orders")
+    created = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return o.select(
+        F.concat(F.lit("doc_"), F.col("o_orderkey").cast("string"), F.lit(".docx")).alias(
+            "name"
+        ),
+        created.alias("created"),
+    ).filter(~created.startswith(KEEP_PREFIX))

@@ -21,6 +21,7 @@ from commercial_rfp_data_pipeline_spark.operators.textops import (
     quality_features,
     shingles,
     simhash,
+    simhash_pairs,
     token_count,
 )
 from commercial_rfp_data_pipeline_spark.registry import query
@@ -243,3 +244,47 @@ def q_minhash(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs)
+
+
+_SIMHASH_CTE = f"""
+toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+bits AS (
+  SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM toks
+),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN substr(h, CAST(bit + 1 AS INTEGER), 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, bit
+),
+sh AS (
+  SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "simhash_neardup_pairs",
+    f"""
+    WITH {_SIMHASH_CTE.strip()},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(generate_series(1, 16),
+                 i -> substr(a.simhash, CAST(i AS INTEGER), 1)
+                   <> substr(b.simhash, CAST(i AS INTEGER), 1))) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming <= 3 via 4x4-bit band LSH.
+    The banding is EXHAUSTIVE for distance <= bands-1 (pigeonhole), so
+    the oracle is the naive all-pairs scan and the results must match
+    exactly — the candidate-pruning trick is itself what's verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(simhash(docs))

@@ -16,6 +16,7 @@ from commercial_rfp_data_pipeline_spark.io import load_table
 from commercial_rfp_data_pipeline_spark.operators.vector import (
     embedding_neardup_pairs,
     ivf_assign,
+    ivf_search,
     knn_exact,
     knn_lsh,
     lsh_buckets,
@@ -160,6 +161,50 @@ def q_ivf_assign(spark, sf_dir):
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
     out = ivf_assign(v, n_centroids=16)
     return out.select("vec_id", "cent_id", "cent_sim")
+
+
+@query(
+    "ivf_topk_search",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % 16 = 0),
+    assigned AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cent_vec), 6) DESC, c.cent_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT q_id, q_vec, cent_id FROM (
+        SELECT q.q_id, q.q_vec, c.cent_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.q_vec, c.cent_vec), 6) DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    sims AS (
+      SELECT p.q_id, a.vec_id, round(list_cosine_similarity(a.v, p.q_vec), 6) AS sim
+      FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ivf_search(spark, sf_dir):
+    """Full IVF ANN: corpus in nearest-centroid cells, queries probe
+    their 2 nearest cells, exact rank within. Deterministic end to end,
+    so unlike most ANN implementations the whole path is oracle-checked
+    — recall loss vs knn_exact_cosine_topk is a measured property of
+    nprobe, not noise (tests pin it)."""
+    out = ivf_search(
+        _vectors(spark, sf_dir), _queries_df(spark, sf_dir), n_centroids=16, nprobe=2, k=5
+    )
+    return out.select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
 
 
 @query(

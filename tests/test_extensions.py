@@ -63,6 +63,51 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert recall > 0.3, f"recall collapsed: {recall}"
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF@nprobe=2 recall against the exact top-5: deterministic, so
+    the value is pinned by construction — assert it stays nontrivial
+    and that every IVF hit's sim <= the exact top-1's sim per query."""
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        q_ivf_search,
+        q_knn_exact,
+    )
+
+    exact_rows = q_knn_exact(spark, sf_dir).collect()
+    ivf_rows = q_ivf_search(spark, sf_dir).collect()
+    exact = {(r.q_id, r.vec_id) for r in exact_rows}
+    ivf = {(r.q_id, r.vec_id) for r in ivf_rows}
+    assert ivf, "IVF returned nothing"
+    recall = len(exact & ivf) / len(exact)
+    assert recall > 0.2, f"recall collapsed: {recall}"
+    top1 = {r.q_id: r.sim for r in exact_rows if r.rnk == 1}
+    assert all(r.sim <= top1[r.q_id] for r in ivf_rows)
+
+
+def test_simhash_banding_exhaustive(spark, sf_dir):
+    """The 4x4-bit band join must find EXACTLY the all-pairs Hamming<=3
+    set (pigeonhole), under different partitionings."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        simhash,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sh = simhash(docs).collect()
+    naive = set()
+    for i, a in enumerate(sh):
+        for b in sh[i + 1 :]:
+            d = sum(x != y for x, y in zip(a.simhash, b.simhash))
+            if d <= 3:
+                pair = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                naive.add(pair)
+    for nparts in (1, 7):
+        sh_df = simhash(docs).repartition(nparts)
+        got = {
+            (r.doc_a, r.doc_b) for r in simhash_pairs(sh_df).collect()
+        }
+        assert got == naive
+
+
 def test_multimodal_stub_and_plumbing(spark, sf_dir):
     from commercial_rfp_data_pipeline_spark.operators.multimodal import (
         attach_binary,
