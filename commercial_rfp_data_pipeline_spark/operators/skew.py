@@ -1,0 +1,60 @@
+"""Skew mitigation primitives (SURVEY.md §7 phase 5 scale hygiene).
+
+The reference's hot key is `question` (boilerplate questions recur
+across thousands of RFPs); at 100 TB a single hot key turns one
+reducer into the job's critical path. Two standing mitigations:
+
+- AQE skew-join splitting is ON session-wide (session.py) — runtime
+  re-planning for joins.
+- For aggregations, `salted_two_phase_agg` below: decomposable
+  aggregates (count/sum/min/max) compute per (key, salt) first — the
+  hot key's rows spread over ``n_salts`` reducers — then combine
+  per key. Result is EXACTLY the plain groupBy (oracle-checkable);
+  only the shuffle layout changes.
+
+Salt must be deterministic (no rand(): retries/speculative tasks would
+double-count): hash of a high-cardinality sibling column mod n_salts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    salt_src: str,
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {count, sum, min, max} (decomposable: combine fn of partials is
+    sum for count/sum, min for min, max for max).
+
+    Phase 1 groups by (keys + salt) — the hot key fans out over
+    ``n_salts`` reducers; phase 2 groups by keys alone over the tiny
+    partial table. Same two-shuffle cost Catalyst's partial/final
+    aggregation already gives for simple aggregates, but effective
+    even when the planner's partial aggregation is defeated (e.g.
+    distinct-heavy plans) — and the pattern generalizes to any
+    algebraic aggregate."""
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).alias("__salt")
+    phase1 = [
+        (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(F.col(src))).alias(out)
+        for out, (src, fn) in aggs.items()
+    ]
+    combine = {
+        "count": F.sum,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }
+    phase2 = [
+        combine[fn](F.col(out)).alias(out) for out, (_, fn) in aggs.items()
+    ]
+    partial = df.groupBy(*keys, salt).agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2)

@@ -208,6 +208,53 @@ def q_percentiles(spark, sf_dir):
 
 
 @query(
+    "salted_skew_aggregation",
+    """
+    SELECT l_returnflag,
+           n,
+           CAST(sum_qty AS DOUBLE) AS sum_qty,
+           CAST(max_price AS DOUBLE) AS max_price
+    FROM (
+      SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             max(l_extendedprice) AS max_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation on a genuinely hot key
+    (l_returnflag: 3 values over 600k rows — a 3-reducer bottleneck in
+    a naive plan). The salted result is EXACTLY the plain groupBy
+    (which is the oracle); only the shuffle layout differs — the hot
+    key's rows spread over 16 salt buckets before combining."""
+    from commercial_rfp_data_pipeline_spark.operators.skew import (
+        salted_two_phase_agg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_qty_dec", F.col("l_quantity").cast(DEC)
+    )
+    out = salted_two_phase_agg(
+        li,
+        keys=["l_returnflag"],
+        salt_src="l_orderkey",
+        aggs={
+            "n": ("l_quantity", "count"),
+            "sum_qty": ("l_qty_dec", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+@query(
     "cube_aggregation",
     """
     SELECT l_returnflag, l_linestatus,

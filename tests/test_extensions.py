@@ -157,6 +157,98 @@ def test_streaming_dedup(spark, sf_dir):
     assert got.count() == n
 
 
+def test_stateful_running_stats_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running stats on finite replay == batch
+    groupBy (the batch side is the oracle-checked plan family)."""
+    from commercial_rfp_data_pipeline_spark.streaming.stateful import (
+        user_running_stats,
+    )
+    from commercial_rfp_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    got_df = run_to_completion(user_running_stats(stream), "t_stateful", mode="update")
+    # update mode may emit once per key per batch: keep the final row
+    # (max n_events) per user
+    rows = got_df.collect()
+    got = {}
+    for r in rows:
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 6), r.last_ts)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n, float(r.total), r.last_ts) for r in batch}
+    assert set(got) == set(want)
+    for uid in want:
+        gn, gt, gts = got[uid]
+        wn, wt, wts = want[uid]
+        assert gn == wn and gt == pytest.approx(wt, abs=1e-6), uid
+        assert gts.replace(tzinfo=None) == wts.replace(tzinfo=None), uid
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    """Salted two-phase aggregation must equal the plain groupBy for
+    every decomposable aggregate, under different salt counts."""
+    from commercial_rfp_data_pipeline_spark.operators.skew import (
+        salted_two_phase_agg,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (r.n, round(r.s, 2), r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    for n_salts in (2, 16):
+        out = salted_two_phase_agg(
+            li.withColumn("qd", F.col("l_quantity").cast("decimal(12,2)")),
+            keys=["l_returnflag"],
+            salt_src="l_orderkey",
+            aggs={"n": ("l_quantity", "count"), "s": ("qd", "sum"), "mx": ("l_extendedprice", "max")},
+            n_salts=n_salts,
+        )
+        got = {r.l_returnflag: (r.n, round(r.s, 2), r.mx) for r in out.collect()}
+        assert got == plain
+
+
+def test_save_and_ensure_table_lifecycle(spark, sf_dir, tmp_path):
+    """K2/K4 + idempotent DDL: overwrite-rebuild keeps counts stable;
+    ensure_table builds once and is a no-op when present."""
+    from commercial_rfp_data_pipeline_spark.io import ensure_table, save_table
+
+    df = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "archive")
+    save_table(df, out)
+    save_table(df, out)  # overwrite, not append
+    assert spark.read.parquet(out).count() == df.count()
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return df
+
+    p2 = str(tmp_path / "ensured")
+    ensure_table(spark, p2, builder)
+    ensure_table(spark, p2, builder)
+    assert calls == [1]
+
+
 def test_streaming_sessions_run(spark, sf_dir):
     from commercial_rfp_data_pipeline_spark.streaming.windows import (
         read_events_stream,

