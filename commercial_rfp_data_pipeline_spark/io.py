@@ -90,6 +90,27 @@ def ensure_table(spark: SparkSession, path: str, builder, name: str | None = Non
     return df
 
 
+def save_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: list[str],
+    n_buckets: int = 8,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table — the
+    co-located-join primitive: two tables bucketed on the same keys
+    with the same bucket count join WITHOUT any Exchange (and without
+    a Sort when sortBy matches), because rows are already hash-placed
+    by key on disk. At 100 TB this converts every recurring fact-fact
+    join on the bucket keys from a full shuffle into a local zip —
+    the write-once shuffle is amortized over all downstream joins.
+    (test_plan_shapes asserts the exchange-free plan.)"""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(name)
+
+
 def read_excel_bridge(spark: SparkSession, path_or_bytes) -> DataFrame:
     """Excel -> DataFrame (S2). Core Spark has no Excel source; the
     reference reads with openpyxl driver-side

@@ -46,6 +46,21 @@ def _count_in(arr: Column, vocab: tuple[str, ...]) -> Column:
     return F.size(F.filter(arr, lambda w: w.isin(*vocab)))
 
 
+# BPE-style pre-tokenizer classes (contractions, letter runs, digit
+# runs, punctuation runs) — the GPT-2 pattern family restricted to
+# syntax both Java regex (Spark) and RE2 (DuckDB) execute identically
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish subword-boundary token count: splits letter runs, digit
+    runs, punctuation runs, and English contractions separately —
+    tracks LLM tokenizer pre-segmentation far closer than whitespace
+    counting (e.g. 'don't stop!!' -> [don]['t][stop][!!] = 4, not 2).
+    Narrow per-row expression, codegen'd."""
+    return F.size(F.regexp_extract_all(norm_text(col), F.lit(BPE_PATTERN), 0))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (length, token count, punctuation
     ratio, stopword ratio) + a blended [0,1] score. Narrow map — scales
@@ -186,6 +201,55 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer et al. 2003): hash every word k-gram, slide a window of
+    ``w`` consecutive k-gram hashes, keep each window's minimum — the
+    selected set is a position-robust fingerprint with guaranteed
+    coverage (any match of length >= w+k-1 shares a fingerprint).
+
+    Formulated as DISTINCT over per-window minima, which is exactly
+    equivalent to the classic 'select minimum of each window' and maps
+    to one window function + distinct in both Spark and SQL. Incomplete
+    tail windows are excluded (count over window == w), matching the
+    standard definition.
+
+    Shape: one shuffle on doc_id for the window (shared with the
+    k-gram construction), then a distinct on (doc, fp) — linear in
+    corpus size, no joins."""
+    wdf = df.select(F.col(id_col), words(text_col).alias("wd"))
+    toks = wdf.select(F.col(id_col), F.posexplode("wd").alias("pos", "w0"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("w0")] + [F.lead("w0", j).over(win) for j in range(1, k)]
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            F.lead("w0", k - 1).over(win).isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .drop("_full")
+    )
+    wwin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select(
+            F.col(id_col),
+            F.min("h").over(wwin).alias("fp"),
+            (F.count(F.lit(1)).over(wwin) == w).alias("_complete"),
+        )
+        .filter("_complete")
+        .select(id_col, "fp")
+        .distinct()
     )
 
 

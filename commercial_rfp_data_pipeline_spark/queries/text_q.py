@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from commercial_rfp_data_pipeline_spark.io import load_table
 from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
 from commercial_rfp_data_pipeline_spark.operators.textops import (
+    bpe_token_count,
     fingerprint,
     jaccard_pairs,
     lang_id,
@@ -23,6 +24,7 @@ from commercial_rfp_data_pipeline_spark.operators.textops import (
     simhash,
     simhash_pairs,
     token_count,
+    winnowing_fingerprints,
 )
 from commercial_rfp_data_pipeline_spark.registry import query
 
@@ -78,6 +80,53 @@ def q_chunk(spark, sf_dir):
 def q_token_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+@query(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all({_NORM},
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer count (letter/digit/punct runs +
+    contractions) — the LLM token-budget estimator; whitespace count
+    is the `token_count` sibling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
+@query(
+    "winnowing_fingerprints",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    wordlists AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+      SELECT doc_id, i AS pos, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM wordlists)
+    ),
+    winmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM winmin WHERE cnt = 4
+    """,
+)
+def q_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: k=3 word-grams,
+    window w=4, keep each window's min hash — position-robust content
+    fingerprints with guaranteed match coverage, the plagiarism/
+    near-dup detection primitive at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=3, w=4)
 
 
 @query(

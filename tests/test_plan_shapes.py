@@ -84,6 +84,33 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     assert p.count("Exchange") == 1, p
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Tables bucketed on the join key with matching bucket counts must
+    sort-merge-join with ZERO Exchange — the co-located join that makes
+    recurring 100-TB fact-fact joins shuffle-free."""
+    from commercial_rfp_data_pipeline_spark.io import save_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    save_bucketed(o, "t_orders_b", ["o_custkey"], n_buckets=4, sort_by=["o_custkey"])
+    save_bucketed(c, "t_customer_b", ["c_custkey"], n_buckets=4, sort_by=["c_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("t_orders_b")
+        cb = spark.table("t_customer_b")
+        j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        p = plan(j)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        # and the counts are right (the plan actually runs)
+        assert j.count() == o.join(c, o.o_custkey == c.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
 def test_knn_exact_broadcasts_queries(spark, sf_dir):
     """Exact KNN: the corpus side must never shuffle — queries arrive
     via broadcast; ranking shuffles only the per-query candidate
