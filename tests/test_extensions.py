@@ -144,6 +144,24 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert g == w
 
 
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    """Streaming sliding-window counts == the oracle-checked batch
+    sliding query on finite replay."""
+    from commercial_rfp_data_pipeline_spark.queries.events_q import q_sliding
+    from commercial_rfp_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        sliding_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_completion(sliding_counts(stream), "t_sliding", mode="complete")
+    want = q_sliding(spark, sf_dir).select("window_start", "event_type", "n")
+    g = {(r.window_start, r.event_type): r.n for r in got.collect()}
+    w = {(r.window_start, r.event_type): r.n for r in want.collect()}
+    assert g == w
+
+
 def test_streaming_dedup(spark, sf_dir):
     from commercial_rfp_data_pipeline_spark.streaming.windows import (
         read_events_stream,

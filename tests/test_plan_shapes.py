@@ -84,6 +84,26 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     assert p.count("Exchange") == 1, p
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """save_table(partition_by=...) + a filter on the partition column
+    must prune at the directory level (PartitionFilters), reading only
+    the matching partition — the first-order scan-cost lever at 100 TB
+    (README §scale: date/key-partitioned layout)."""
+    from commercial_rfp_data_pipeline_spark.io import save_table
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    save_table(o, out, partition_by=["o_year"])
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    p = plan(back)
+    assert "PartitionFilters: [isnotnull(o_year" in p, p
+    assert "(o_year" in p.split("PartitionFilters")[1][:80]
+    years = {r.o_year for r in back.select("o_year").distinct().collect()}
+    assert years == {1995}
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Tables bucketed on the join key with matching bucket counts must
     sort-merge-join with ZERO Exchange — the co-located join that makes
