@@ -85,16 +85,6 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(v, threshold=0.35)
 
 
-@query("ann_lsh_topk", None)
-def q_ann_lsh(spark, sf_dir):
-    """Sign-random-projection LSH ANN top-5 (rows-only: recall < 1 by
-    construction; judged against knn_exact_cosine_topk in tests)."""
-    out = knn_lsh(
-        _vectors(spark, sf_dir), _queries_df(spark, sf_dir), dim=DIM, k=5, n_bits=6
-    )
-    return out.select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
-
-
 def _planes_sql(n_bits: int) -> str:
     """Mirror operators.vector._hyperplane as SQL list literals."""
     import math
@@ -106,6 +96,46 @@ def _planes_sql(n_bits: int) -> str:
         )
         planes.append(f"[{comps}]")
     return ", ".join(planes)
+
+
+_BUCKETS_CTE = f"""
+planes AS (SELECT unnest([{_planes_sql(6)}]) AS plane,
+                  unnest(generate_series(0, 5)) AS bit),
+buckets AS (
+  SELECT vec_id, string_agg(CASE WHEN list_dot_product(v, plane) >= 0
+                                 THEN '1' ELSE '0' END, '' ORDER BY bit) AS bucket
+  FROM e CROSS JOIN planes GROUP BY vec_id
+)
+"""
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_BUCKETS_CTE.strip()},
+    eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM eb WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.q_id, eb.vec_id, round(list_cosine_similarity(eb.v, q.q_vec), 6) AS sim
+      FROM eb JOIN q ON eb.bucket = q.bucket AND eb.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ann_lsh(spark, sf_dir):
+    """Sign-random-projection LSH ANN top-5. The hyperplanes are
+    deterministic and reproduced as SQL literals, so — unusually for an
+    ANN path — the WHOLE pipeline (bucketing, candidate probe, re-rank)
+    is oracle-checked; recall vs knn_exact_cosine_topk is pinned in
+    tests as a property of the bit count, not noise."""
+    out = knn_lsh(
+        _vectors(spark, sf_dir), _queries_df(spark, sf_dir), dim=DIM, k=5, n_bits=6
+    )
+    return out.select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
 
 
 @query(
