@@ -271,41 +271,28 @@ def q_minhash(spark, sf_dir):
     return minhash_candidate_pairs(minhash_bands(shingles(docs, parallelism=par)))
 
 
-@query(
-    "simhash_fingerprints",
-    f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
-    ),
-    bits AS (
-      SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM toks
-    ),
-    votes AS (
-      SELECT doc_id, bit,
-             sum(CASE WHEN substr(h, CAST(bit + 1 AS INTEGER), 1) IN ('8','9','a','b','c','d','e','f')
-                      THEN 1 ELSE -1 END) AS s
-      FROM bits GROUP BY doc_id, bit
-    )
-    SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
-)
-def q_simhash(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs)
-
+# bit b of a token's md5 = bit (3 - b%4) of hex digit b//4 (MSB-first
+# binary expansion of the digest, first 64 bits) — mirrored from
+# operators.textops._HEX_WITH_BIT
+_BIT_TEST = """
+CASE CAST(bit % 4 AS INTEGER)
+  WHEN 0 THEN substr(h, CAST(bit // 4 + 1 AS INTEGER), 1) IN ('8','9','a','b','c','d','e','f')
+  WHEN 1 THEN substr(h, CAST(bit // 4 + 1 AS INTEGER), 1) IN ('4','5','6','7','c','d','e','f')
+  WHEN 2 THEN substr(h, CAST(bit // 4 + 1 AS INTEGER), 1) IN ('2','3','6','7','a','b','e','f')
+  ELSE substr(h, CAST(bit // 4 + 1 AS INTEGER), 1) IN ('1','3','5','7','9','b','d','f')
+END
+"""
 
 _SIMHASH_CTE = f"""
 toks AS (
   SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
 ),
 bits AS (
-  SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 15)) AS bit FROM toks
+  SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 63)) AS bit FROM toks
 ),
 votes AS (
   SELECT doc_id, bit,
-         sum(CASE WHEN substr(h, CAST(bit + 1 AS INTEGER), 1) IN ('8','9','a','b','c','d','e','f')
-                  THEN 1 ELSE -1 END) AS s
+         sum(CASE WHEN {_BIT_TEST.strip()} THEN 1 ELSE -1 END) AS s
   FROM bits GROUP BY doc_id, bit
 ),
 sh AS (
@@ -316,12 +303,24 @@ sh AS (
 
 
 @query(
+    "simhash_fingerprints",
+    f"""
+    WITH {_SIMHASH_CTE.strip()}
+    SELECT doc_id, simhash FROM sh
+    """,
+)
+def q_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@query(
     "simhash_neardup_pairs",
     f"""
     WITH {_SIMHASH_CTE.strip()},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_filter(generate_series(1, 16),
+             len(list_filter(generate_series(1, 64),
                  i -> substr(a.simhash, CAST(i AS INTEGER), 1)
                    <> substr(b.simhash, CAST(i AS INTEGER), 1))) AS hamming
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -331,9 +330,10 @@ sh AS (
     """,
 )
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs at Hamming <= 3 via 4x4-bit band LSH.
-    The banding is EXHAUSTIVE for distance <= bands-1 (pigeonhole), so
-    the oracle is the naive all-pairs scan and the results must match
-    exactly — the candidate-pruning trick is itself what's verified."""
+    """SimHash near-dup pairs at Hamming <= 3 of 64 bits via 4x16-bit
+    band LSH. The banding is EXHAUSTIVE for distance <= bands-1
+    (pigeonhole), so the oracle is the naive all-pairs scan and the
+    results must match exactly — the candidate-pruning trick is itself
+    what's verified."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(simhash(docs))
