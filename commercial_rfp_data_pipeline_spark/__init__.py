@@ -20,5 +20,29 @@ Design principles (SURVEY.md §7):
 
 from commercial_rfp_data_pipeline_spark.session import get_spark
 
+
+def _register_self_contained_pickling() -> None:
+    """Serialize this package's functions BY VALUE in Spark closures.
+
+    mapInPandas / applyInPandasWithState closures that reference
+    module-level helpers are otherwise pickled by reference, and the
+    executor-side Python workers then need the package importable —
+    true on a real cluster (wheel on PYTHONPATH / --py-files) but NOT
+    when a driver harness imports this repo from an arbitrary cwd via
+    sys.path. Pickle-by-value makes every shipped closure
+    self-contained, so the engine works no matter how the repo landed
+    on the driver's path."""
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover — older pyspark layouts
+        pass
+
+
+_register_self_contained_pickling()
+
 __all__ = ["get_spark"]
 __version__ = "0.1.0"
