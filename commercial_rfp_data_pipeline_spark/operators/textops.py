@@ -182,17 +182,34 @@ def jaccard_pairs(
     ``max_doc_freq`` drops shingles present in more than that many docs
     (boilerplate carries no dedup signal), bounding per-shingle work;
     AQE skew-join splits whatever remains."""
-    sh = sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-    sh = sh.filter(F.col("_df") <= max_doc_freq).drop("_df")
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-    sh = sh.persist()
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "sh")
-    return (
+    # hot shingles (df > cap) are RARE — find them with a partial-agg
+    # groupBy (small output) and remove via broadcast anti-join, instead
+    # of a full-table window (which shuffles+sorts the whole inverted
+    # index). Per-doc counts attach to the PAIR table after the heavy
+    # groupBy — a broadcast join onto the small survivor set — not to
+    # every index row. Net: two full-table shuffles removed vs the
+    # window form (measured ~2x at sf0.1).
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    common = (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
