@@ -57,3 +57,37 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def production_conf(total_cores: int, executor_mem_gb: int) -> dict[str, str]:
+    """Recommended confs for a real multi-executor cluster at the
+    100-TB design point — the deltas vs the local-mode defaults above.
+    Callers pass these as ``extra_conf`` (or spark-submit --conf).
+
+    Rationale per key:
+    - shuffle partitions ~2.5x total cores: enough tasks for stragglers
+      and AQE coalescing headroom without scheduler overload;
+    - 128 MB scan partitions: matches parquet row-group sizing so one
+      task ≈ one row group stack, keeping partitions within executor
+      memory even at wide schemas;
+    - broadcast threshold scaled to executor memory (dims up to ~1% of
+      heap are cheaper to ship than to shuffle the fact side);
+    - RocksDB state store: streaming state (dedup, sessions) larger
+      than heap spills to local disk with incremental checkpoints;
+    - shuffle compression + zstd: network is the scarce resource at
+      1000 executors."""
+    return {
+        "spark.sql.shuffle.partitions": str(int(total_cores * 2.5)),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            min(executor_mem_gb * 10, 256) * 1024 * 1024 // 10
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(96 * 1024 * 1024),
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.io.compression.codec": "zstd",
+        "spark.shuffle.compress": "true",
+        "spark.speculation": "true",
+    }

@@ -175,6 +175,55 @@ def test_streaming_dedup(spark, sf_dir):
     assert got.count() == n
 
 
+def test_streaming_parquet_sink_end_to_end(spark, sf_dir, tmp_path):
+    """Full incremental pipeline shape: stream -> watermarked tumbling
+    agg -> parquet file sink with checkpoint — the durable-output path
+    a production run uses (append mode; finite replay flushes windows
+    the watermark passes)."""
+    from commercial_rfp_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        tumbling_counts,
+    )
+
+    out = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"window_start", "event_type", "n"}
+    # append mode emits only watermark-closed windows: every emitted
+    # row must agree with the batch computation
+    from commercial_rfp_data_pipeline_spark.queries.events_q import q_tumbling
+
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in q_tumbling(spark, sf_dir).collect()
+    }
+    rows = back.collect()
+    assert rows, "sink produced no files"
+    for r in rows:
+        assert want[(r.window_start.replace(tzinfo=None), r.event_type)] == r.n
+
+
+def test_production_conf_sanity():
+    from commercial_rfp_data_pipeline_spark.session import production_conf
+
+    conf = production_conf(total_cores=4000, executor_mem_gb=32)
+    assert int(conf["spark.sql.shuffle.partitions"]) == 10000
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
+    assert "RocksDBStateStoreProvider" in conf[
+        "spark.sql.streaming.stateStore.providerClass"
+    ]
+
+
 def test_stateful_running_stats_matches_batch(spark, sf_dir):
     """applyInPandasWithState running stats on finite replay == batch
     groupBy (the batch side is the oracle-checked plan family)."""
