@@ -121,3 +121,49 @@ def q_semantic_search(spark, sf_dir):
     )
     out = knn_exact(emb, qvec, k=3, id_col="chunk_id", vec_col="embedding")
     return out.select("q_id", "chunk_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+
+
+KEYWORD = "vector"  # hybrid-search keyword prefilter term
+
+
+@query(
+    "hybrid_keyword_vector_search",
+    f"""
+    WITH {_CHUNKS_CTE.strip()},
+    {_EMBED_CTES.strip()},
+    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
+    kw AS (
+      SELECT v.chunk_id, v.v FROM vecs v JOIN chunks c USING (chunk_id)
+      WHERE lower(c.chunk) LIKE '%{KEYWORD}%'
+    ),
+    q AS (SELECT chunk_id AS q_id, v AS q_vec FROM vecs
+          WHERE chunk_id IN ('0_0', '1_0', '2_0')),
+    sims AS (
+      SELECT q.q_id, kw.chunk_id,
+             round(list_cosine_similarity(kw.v, q.q_vec), 6) AS sim
+      FROM kw JOIN q ON kw.chunk_id <> q.q_id
+    )
+    SELECT q_id, chunk_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, chunk_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid search (indexer:138-146's keyword/semantic config over
+    chunk text, re-expressed): keyword prefilter restricts the
+    candidate set — pushed into the scan as a LIKE predicate, so at
+    100 TB the vector kernel only touches matching chunks — then exact
+    cosine ranks within it. Full-text BM25 scoring is out of scope
+    (the reference delegates it to the search service); containment
+    prefilter + vector rank is the engine-side contract."""
+    chunks = build_chunks(spark, sf_dir).filter(
+        F.lower(F.col("chunk")).contains(KEYWORD)
+    )
+    emb_all = build_embeddings(build_chunks(spark, sf_dir)).cache()
+    qvec = emb_all.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")).select(
+        F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    kw_emb = emb_all.join(chunks.select("chunk_id"), "chunk_id", "left_semi")
+    out = knn_exact(kw_emb, qvec, k=3, id_col="chunk_id", vec_col="embedding")
+    return out.select("q_id", "chunk_id", "sim", F.col("rnk").cast("int").alias("rnk"))
