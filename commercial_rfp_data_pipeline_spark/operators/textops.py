@@ -315,7 +315,13 @@ def minhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH candidate pairs: docs sharing any (band, band_val) bucket.
     The join key is the band hash — collisions are the candidates; no
-    quadratic all-pairs comparison ever happens."""
+    quadratic all-pairs comparison ever happens.
+
+    The band table (4 rows/doc) is persisted: both self-join sides
+    read the materialization instead of re-running the shingle build +
+    signature groupBy twice. At 100 TB this is the parquet'd LSH index
+    a dedup service keeps between runs."""
+    bands = bands.persist()
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_val")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_val")
     return (
@@ -404,11 +410,14 @@ def simhash_pairs(
     # two 32-bit halves (a single 64-bit binary conv overflows long),
     # so the join-side Hamming check is two codegen'd bit_count(xor)es
     half = SIMHASH_BITS // 2
+    # persist the (tiny, one-row-per-doc) fingerprint table so both
+    # self-join sides read it instead of re-running the 64-vote token
+    # aggregation twice
     sh = sh.withColumn(
         "sh_hi", F.conv(F.substring("simhash", 1, half), 2, 10).cast("long")
     ).withColumn(
         "sh_lo", F.conv(F.substring("simhash", half + 1, half), 2, 10).cast("long")
-    )
+    ).persist()
     bvals = F.array(
         *[
             F.struct(
