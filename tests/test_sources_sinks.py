@@ -88,6 +88,55 @@ def test_index_lifecycle(spark, sf_dir, tmp_path):
     assert all(0 <= r.rnk <= 3 for r in rows)
 
 
+def test_full_pipeline_six_stages(spark, sf_dir, tmp_path):
+    """The reference's whole six-stage main (SURVEY.md §3.1) as one
+    run: [1] ensure containers -> warehouse dirs; [2] ensure index;
+    [3] clean+key (flagship); [4] per-row document library; [5] reset
+    and rebuild the index; [6] reconcile two listings into a citation
+    map. Each stage's output feeds the next through the warehouse,
+    preserving the reference's re-discovery semantics."""
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.operators.documents import (
+        docx_name_filter,
+        reconcile_listings,
+        render_documents,
+        write_documents,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.flagship import flagship
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        ensure_index,
+        reset_and_rebuild,
+        search,
+    )
+
+    wh = str(tmp_path / "warehouse")  # stage 1: container ensure
+    _, emb_path = ensure_index(spark, sf_dir, wh)  # stage 2: index DDL
+    cleaned = flagship(spark, sf_dir)  # stage 3: clean + key
+    docs = render_documents(cleaned, source_file="RFP_content_library.xlsx")
+    doc_dir = str(tmp_path / "doclib")
+    write_documents(docs, doc_dir)  # stage 4: per-row library
+    reset_and_rebuild(spark, sf_dir, wh)  # stage 5: wipe + re-run
+    hits = search(spark, wh, ["table join filter"], k=2)
+    assert hits.count() == 2
+    # stage 6: reconcile the doc library against a stale remote listing
+    lib = docx_name_filter(spark.read.parquet(doc_dir).select("file_name"), "file_name")
+    remote = lib.limit(3).withColumn(
+        "file_name", F.concat(F.lit("stale_"), F.col("file_name"))
+    )
+    to_upload, to_delete = reconcile_listings(
+        lib.withColumnRenamed("file_name", "name"),
+        remote.withColumnRenamed("file_name", "name"),
+    )
+    assert to_upload.count() == lib.count()  # nothing stale matches
+    assert to_delete.count() == 3
+    mapping = to_upload.select(
+        F.col("name").alias("file_name"),
+        F.concat(F.lit("https://host/preview/"), F.col("name")).alias("preview_url"),
+    )
+    assert mapping.count() == cleaned.count()
+
+
 def test_embedder_expression_vs_pandas_batch(spark, sf_dir):
     """The Catalyst-expression embedder and the Arrow-batched pandas
     embedder implement the same math — vectors must agree."""
