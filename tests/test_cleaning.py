@@ -142,6 +142,58 @@ def test_clean_chain_end_to_end(spark):
     assert got[0].response == "an answer"
 
 
+def test_hash_algo_dispatch(spark):
+    """P5 (raw:40-47): md5/sha1/sha256 hex selectable, error otherwise
+    — digests match hashlib exactly."""
+    import hashlib
+
+    import pytest
+
+    from commercial_rfp_data_pipeline_spark.functions.scalar import hash_hex
+
+    df = spark.createDataFrame([("payload",)], "x string")
+    got = df.select(
+        hash_hex("x", "md5").alias("m"),
+        hash_hex("x", "sha1").alias("s1"),
+        hash_hex("x", "sha256").alias("s2"),
+    ).collect()[0]
+    assert got.m == hashlib.md5(b"payload").hexdigest()
+    assert got.s1 == hashlib.sha1(b"payload").hexdigest()
+    assert got.s2 == hashlib.sha256(b"payload").hexdigest()
+    with pytest.raises(ValueError, match="unsupported hash"):
+        hash_hex("x", "crc32")
+
+
+def test_value_length_and_canonicalize(spark):
+    """P7 string-length + P9 alternation branches (raw:306-310)."""
+    from commercial_rfp_data_pipeline_spark.functions.scalar import (
+        canonicalize_confirmed,
+        value_length,
+    )
+
+    rows = [
+        (1, "abc", "CONFIRMED"),
+        (2, "", "Confirmed via BlueInsights."),
+        (3, None, "Yes. Confirmed."),
+        (4, "xy", "confirmed via mail"),
+        (5, "xy", "something else"),
+    ]
+    df = spark.createDataFrame(rows, "ord long, v string, resp string")
+    got = {
+        r.ord: (r.n, r.canon)
+        for r in df.select(
+            "ord",
+            value_length("v").alias("n"),
+            canonicalize_confirmed("resp").alias("canon"),
+        ).collect()
+    }
+    assert got[1] == (3, "Confirmed")
+    assert got[2] == (0, "Confirmed")
+    assert got[3][0] is None and got[3][1] == "Confirmed"
+    assert got[4] == (2, "Confirmed")
+    assert got[5] == (2, "something else")
+
+
 def test_require_columns_suggests(spark):
     df = spark.createDataFrame([("a",)], "questoin string")
     try:
