@@ -128,7 +128,7 @@ def q_sessionization(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS sum_k
+           CAST(sum(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
