@@ -23,9 +23,14 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replayable finite stream over the events parquet (one file =
-    one micro-batch in tests; kafka/files in production). Same
-    TIMESTAMP(NANOS) workaround as io.load_table — read nanos as long,
-    convert to micros TIMESTAMP_NTZ."""
+    one micro-batch in tests; kafka/files in production).
+
+    ``ts`` has shipped in two physical parquet layouts — TIMESTAMP(NANOS)
+    (readable only as raw long under ``nanosAsLong``) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    ``withWatermark`` requires plain TIMESTAMP, so normalize both: the
+    session timezone is UTC, making the NTZ→TZ cast value-preserving and
+    keeping stream results aligned with the batch mirror."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -33,10 +38,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # file sources need a dir
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") in ("bigint", "long"):
-        # watermarks need TIMESTAMP (not NTZ); session tz is UTC so the
-        # values line up with the batch NTZ mirror
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.to_timestamp("ts"))
     return stream
 
 
