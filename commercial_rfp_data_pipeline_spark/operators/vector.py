@@ -84,46 +84,107 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
+    small_side: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold, via
-    block-broadcast matrix multiply: one side is collected and
-    broadcast as a numpy matrix (unit-normalized), the distributed side
-    streams through mapInPandas computing a BLAS block x matrix product
-    per Arrow batch — ~100x faster than per-pair array expressions.
+    """Embedding-cosine near-duplicate pairs above a threshold —
+    EXACT all-pairs, fully distributed (no driver collect).
 
-    Scale: the broadcast side must fit in executor memory ((rows x dim
-    x 8) bytes — 1M x 768 = 6 GB is the practical ceiling); beyond
-    that, tile the broadcast side into column blocks and union the
-    results, or prefilter candidates with lsh_buckets so only
-    bucket-mates are compared."""
+    Default path: **block-grid all-pairs matmul**. Each vector hashes
+    into one of ``n_blocks`` blocks; each row is replicated to the
+    ``n_blocks`` unordered block-pairs containing its block; one
+    ``applyInPandas`` per block-pair runs a BLAS matmul between the two
+    blocks (unit-normalized, so the product IS the cosine). Exactness
+    is preserved because every unordered id pair lands in exactly one
+    block-pair group.
+
+    Scale: shuffle volume = n_blocks x corpus; per-task memory =
+    2 x (n / n_blocks) x dim x 8 bytes — size n_blocks so a block
+    pair fits an executor (e.g. 100M x 768-dim rows with n_blocks=512
+    is ~2.3 GB per task). Compute stays O(n^2) as all-pairs must; for
+    approximate mode at extreme scale, prefilter with ``lsh_buckets``
+    and feed each bucket through this same kernel.
+
+    ``small_side=True`` keeps the old broadcast kernel (corpus
+    collected + broadcast, distributed side streams through
+    ``mapInPandas``) for when one side is known tiny."""
     import numpy as np
     import pandas as pd
 
-    pdf = vectors.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = vectors.sparkSession
-    b = spark.sparkContext.broadcast((ids, mat))
+    if small_side:
+        pdf = vectors.select(id_col, vec_col).toPandas()
+        ids = pdf[id_col].to_numpy()
+        mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        spark = vectors.sparkSession
+        b = spark.sparkContext.broadcast((ids, mat))
 
-    def run(batches):
-        b_ids, b_mat = b.value
-        for block in batches:
-            rows_ids = block[id_col].to_numpy()
-            rows = np.array([list(v) for v in block[vec_col]], dtype=np.float64)
-            rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
-            sims = np.round(rows @ b_mat.T, 6)
+        def run(batches):
+            b_ids, b_mat = b.value
+            for block in batches:
+                rows_ids = block[id_col].to_numpy()
+                rows = np.array([list(v) for v in block[vec_col]], dtype=np.float64)
+                rows = rows / np.linalg.norm(rows, axis=1, keepdims=True)
+                sims = np.round(rows @ b_mat.T, 6)
+                ia, ib = np.nonzero(sims >= threshold)
+                keep = rows_ids[ia] < b_ids[ib]
+                yield pd.DataFrame(
+                    {
+                        "id_a": rows_ids[ia[keep]],
+                        "id_b": b_ids[ib[keep]],
+                        "sim": sims[ia[keep], ib[keep]],
+                    }
+                )
+
+        return vectors.mapInPandas(run, schema="id_a long, id_b long, sim double")
+
+    blocked = vectors.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    # row in block b joins every unordered pair {b, j}: key = lo*NB + hi
+    pair_keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda j: F.least(F.col("_blk"), j) * n_blocks
+            + F.greatest(F.col("_blk"), j),
+        )
+    )
+    exploded = blocked.withColumn("_pk", F.explode(pair_keys))
+
+    def grid_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = divmod(int(pdf["_pk"].iloc[0]), n_blocks)
+        ids = pdf[id_col].to_numpy()
+        mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if pa == pb:
+            sims = np.round(mat @ mat.T, 6)
             ia, ib = np.nonzero(sims >= threshold)
-            keep = rows_ids[ia] < b_ids[ib]
-            yield pd.DataFrame(
+            keep = ids[ia] < ids[ib]
+            return pd.DataFrame(
                 {
-                    "id_a": rows_ids[ia[keep]],
-                    "id_b": b_ids[ib[keep]],
+                    "id_a": ids[ia[keep]],
+                    "id_b": ids[ib[keep]],
                     "sim": sims[ia[keep], ib[keep]],
                 }
             )
+        blks = pdf["_blk"].to_numpy()
+        a_mask, b_mask = blks == pa, blks == pb
+        sims = np.round(mat[a_mask] @ mat[b_mask].T, 6)
+        ia, ib = np.nonzero(sims >= threshold)
+        ida, idb = ids[a_mask][ia], ids[b_mask][ib]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ida, idb),
+                "id_b": np.maximum(ida, idb),
+                "sim": sims[ia, ib],
+            }
+        )
 
-    return vectors.mapInPandas(run, schema="id_a long, id_b long, sim double")
+    return exploded.groupBy("_pk").applyInPandas(
+        grid_cell, schema="id_a long, id_b long, sim double"
+    )
 
 
 def _hyperplane(dim: int, bit: int) -> list[float]:

@@ -145,3 +145,29 @@ def test_knn_exact_broadcasts_queries(spark, sf_dir):
     first_exchange = p.find("Exchange")
     assert scan_pos != -1
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_embedding_neardup_default_path_never_collects(spark, sf_dir, monkeypatch):
+    """The default (block-grid) near-dup path must be fully distributed:
+    no toPandas/collect on the corpus lineage. Guarded by monkeypatching
+    the driver-collect entry points to raise."""
+    from pyspark.sql import DataFrame
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        embedding_neardup_pairs,
+    )
+
+    def _boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("driver collect on the corpus path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    out = embedding_neardup_pairs(v, threshold=0.35)
+    assert out.count() > 0
+    # the plan is a grouped Arrow exec over the block grid, not a
+    # broadcast of a collected matrix
+    assert "FlatMapGroupsInPandas" in plan(out)
