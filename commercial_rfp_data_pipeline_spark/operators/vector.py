@@ -247,30 +247,72 @@ def knn_lsh(
     )
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "ivf",
+) -> DataFrame:
+    """Deterministic seeded hash-sample of ``n_centroids`` corpus
+    vectors as coarse centroids (standing in for k-means — the Spark
+    plumbing is identical): rank by ``md5(seed || id)`` and take the
+    first ``n_centroids``. Valid for ANY id distribution (dense,
+    sparse, skewed) and any centroid count; md5 hex is identical in
+    Spark and DuckDB so the choice is oracle-reproducible. The
+    orderBy().limit() compiles to TakeOrdered — per-partition partial
+    top-k, no global sort, and only (hash, id, vec) ever moves."""
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return (
+        vectors.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "cent_id")
+        .limit(n_centroids)
+        .select("cent_id", "cent_vec", _norm(F.col("cent_vec")).alias("_cn"))
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF coarse quantization: centroids = the vectors whose id % step
-    == 0 (deterministic 'sample' standing in for k-means — the Spark
-    plumbing is identical); each vector joins its nearest centroid by
-    cosine. Broadcast centroids; one narrow pass."""
-    cents = vectors.filter(F.col(id_col) % (256 // n_centroids) == 0).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("cent_vec"),
-        _norm(F.col(vec_col)).alias("_cn"),
-    )
+    """IVF coarse quantization: each vector joins its nearest centroid
+    by cosine. Broadcast centroids; one narrow pass. Pass a prebuilt
+    (persisted) ``cents`` to share the index across assign + probe —
+    ivf_search does. Output keeps the vector and its norm so callers
+    rank within cells without recomputing either.
+
+    The per-vector argmax is ``max_by`` with an explicit
+    (cent_sim, -cent_id) tiebreak struct, NOT a row_number window:
+    after the broadcast join every vector's centroid rows are already
+    co-located, so the partial aggregate collapses to one row per
+    vector map-side and the shuffle moves n rows, not n*k."""
+    if cents is None:
+        cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     vn = vectors.withColumn("_n", _norm(F.col(vec_col)))
     j = vn.crossJoin(F.broadcast(cents))
     sim = _dot(F.col(vec_col), F.col("cent_vec")) / (F.col("_n") * F.col("_cn"))
-    scored = j.select(id_col, vec_col, "cent_id", F.round(sim, 6).alias("cent_sim"))
-    w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    scored = j.select(
+        id_col, vec_col, "_n", "cent_id", F.round(sim, 6).alias("cent_sim")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct("cent_id", "cent_sim", vec_col, "_n"),
+            F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("_neg")),
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        F.col(f"_b.{vec_col}").alias(vec_col),
+        F.col("_b._n").alias("_n"),
+        F.col("_b.cent_id").alias("cent_id"),
+        F.col("_b.cent_sim").alias("cent_sim"),
     )
 
 
@@ -292,19 +334,18 @@ def ivf_search(
     is SQL-expressible and oracle-checked — recall loss vs knn_exact is
     a property of the probe count, not nondeterminism.
 
-    Shape at scale: centroids broadcast twice (corpus assignment +
-    query probing); the probe join shuffles on cent_id, so per-query
-    work is the probed cells' occupancy (~ nprobe * n / n_centroids),
-    not the whole corpus. The cell layout is the same partitioning a
-    persisted IVF index would use (partitionBy(cent_id) parquet)."""
-    cents = vectors.filter(F.col(id_col) % (256 // n_centroids) == 0).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("cent_vec"),
-        _norm(F.col(vec_col)).alias("_cn"),
-    )
-    assigned = ivf_assign(vectors, n_centroids, id_col, vec_col).select(
-        id_col, vec_col, "cent_id", _norm(F.col(vec_col)).alias("_n")
-    )
+    Shape at scale: the centroid table is built ONCE and persisted (it
+    is n_centroids rows), then broadcast to both the corpus assignment
+    and the query probing — the corpus scan behind it runs a single
+    time instead of three. The probe join shuffles on cent_id, so
+    per-query work is the probed cells' occupancy (~ nprobe * n /
+    n_centroids), not the whole corpus. The cell layout is the same
+    partitioning a persisted IVF index would use (partitionBy(cent_id)
+    parquet) for repeated querying."""
+    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col).persist()
+    assigned = ivf_assign(
+        vectors, n_centroids, id_col, vec_col, cents=cents
+    ).select(id_col, vec_col, "cent_id", "_n")
     qn = queries.withColumn("_qn", _norm(F.col(q_vec_col)))
     qj = qn.crossJoin(F.broadcast(cents))
     qsim = F.round(

@@ -171,7 +171,8 @@ def q_lsh_histogram(spark, sf_dir):
     "ivf_coarse_assignment",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % 16 = 0),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
+              ORDER BY md5('ivf' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
     sims AS (
       SELECT e.vec_id, c.cent_id,
              round(list_cosine_similarity(e.v, c.cent_vec), 6) AS cent_sim
@@ -197,7 +198,8 @@ def q_ivf_assign(spark, sf_dir):
     "ivf_topk_search",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e WHERE vec_id % 16 = 0),
+    cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
+              ORDER BY md5('ivf' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
     assigned AS (
       SELECT vec_id, v, cent_id FROM (
         SELECT e.vec_id, e.v, c.cent_id,
