@@ -152,18 +152,27 @@ KEYWORD = "vector"  # hybrid-search keyword prefilter term
 def q_hybrid_search(spark, sf_dir):
     """Hybrid search (indexer:138-146's keyword/semantic config over
     chunk text, re-expressed): keyword prefilter restricts the
-    candidate set — pushed into the scan as a LIKE predicate, so at
-    100 TB the vector kernel only touches matching chunks — then exact
-    cosine ranks within it. Full-text BM25 scoring is out of scope
-    (the reference delegates it to the search service); containment
-    prefilter + vector rank is the engine-side contract."""
-    chunks = build_chunks(spark, sf_dir).filter(
-        F.lower(F.col("chunk")).contains(KEYWORD)
+    candidate set BEFORE the embedding stage — the LIKE predicate runs
+    against the chunk scan, and only matching chunks (plus the three
+    query chunks) are ever embedded. At 100 TB the expensive stage is
+    the embed, so the filter sits below it; the cosine kernel then
+    ranks within the filtered set. Full-text BM25 scoring is out of
+    scope (the reference delegates it to the search service);
+    containment prefilter + vector rank is the engine-side contract.
+
+    Both embedded sides are cached: the corpus side because the cosine
+    kernel references the vector per pair (uncached, the interpreted
+    hashed-BoW construction would re-inline per reference — no
+    codegen/CSE for HOF expressions, measured ~25x); the query side is
+    three rows feeding a broadcast."""
+    chunks = build_chunks(spark, sf_dir)
+    kw_emb = build_embeddings(
+        chunks.filter(F.lower(F.col("chunk")).contains(KEYWORD))
+    ).cache()
+    qvec = (
+        build_embeddings(chunks.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")))
+        .select(F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .cache()
     )
-    emb_all = build_embeddings(build_chunks(spark, sf_dir)).cache()
-    qvec = emb_all.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")).select(
-        F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    kw_emb = emb_all.join(chunks.select("chunk_id"), "chunk_id", "left_semi")
     out = knn_exact(kw_emb, qvec, k=3, id_col="chunk_id", vec_col="embedding")
     return out.select("q_id", "chunk_id", "sim", F.col("rnk").cast("int").alias("rnk"))
