@@ -226,3 +226,36 @@ def q_doc_render(spark, sf_dir):
     return render_documents(
         flagship(spark, sf_dir, as_of=AS_OF), source_file="RFP_content_library.xlsx"
     )
+
+
+@query(
+    "hash_algo_dispatch",
+    """
+    SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+    FROM documents
+    """,
+)
+def q_hash_dispatch(spark, sf_dir):
+    """P5 hash-algo dispatch (raw_data_ingestion:40-47): selectable
+    md5/sha1/sha256 hex digest. The md5 and sha256 branches are
+    oracle-checked here; sha1 is registered rows-only below because
+    DuckDB ships no sha1()."""
+    from commercial_rfp_data_pipeline_spark.functions.scalar import hash_hex
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        hash_hex(F.col("text"), "md5").alias("md5_hex"),
+        hash_hex(F.col("text"), "sha256").alias("sha256_hex"),
+    )
+
+
+@query("hash_algo_dispatch_sha1")
+def q_hash_dispatch_sha1(spark, sf_dir):
+    """P5 sha1 branch — rows-only check (DuckDB has no sha1 builtin);
+    the digest value itself is pinned by a pytest fixture against
+    hashlib."""
+    from commercial_rfp_data_pipeline_spark.functions.scalar import hash_hex
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", hash_hex(F.col("text"), "sha1").alias("sha1_hex"))
