@@ -43,16 +43,41 @@ def render_documents(
     fields: tuple[tuple[str, str], ...] = RENDER_FIELDS,
 ) -> DataFrame:
     """P10+P11: rendered text ('Source File Name' line always first,
-    doc_library:59) + derived file name ('{key_hash}.docx', no double
-    suffix — doc_library:112-115)."""
+    doc_library:59) + derived file name.
+
+    Column-fallback chains (doc_library:90-124, SURVEY.md §1.3):
+    - response column resolves `response` -> `fixed answer` (raises
+      with a did-you-mean if neither exists); the rendered label stays
+      'Response' either way.
+    - key column resolves `key_hash` -> FIRST column (legacy tables).
+      With key_hash the name is '{key_hash}.docx' (no double suffix —
+      doc_library:112-115); on the legacy path it is
+      'RFP_Content_Library_{int(ref)}.docx' with integral floats
+      coerced to int (doc_library:122-123)."""
+    from commercial_rfp_data_pipeline_spark.validation import resolve_column
+
+    resolved = resolve_column(df, ["response", "fixed answer"])
+    fields = tuple((resolved if c == "response" else c, label) for c, label in fields)
     content = F.concat_ws(
         "\n",
         F.lit(f"Source File Name: {source_file}"),
-        *[_labeled(c, label) for c, label in fields],
+        # absent columns render like blank ones: skipped
+        *[_labeled(c, label) for c, label in fields if c in df.columns],
     )
-    file_name = F.when(
-        F.lower(F.col("key_hash")).endswith(".docx"), F.col("key_hash")
-    ).otherwise(F.concat(F.col("key_hash"), F.lit(".docx")))
+    if "key_hash" in df.columns:
+        file_name = F.when(
+            F.lower(F.col("key_hash")).endswith(".docx"), F.col("key_hash")
+        ).otherwise(F.concat(F.col("key_hash"), F.lit(".docx")))
+    else:
+        ref = F.col(df.columns[0])
+        num = ref.cast("double")
+        ref_str = F.when(
+            num.isNotNull() & (num == F.floor(num)),
+            num.cast("bigint").cast("string"),
+        ).otherwise(ref.cast("string"))
+        file_name = F.concat(
+            F.lit("RFP_Content_Library_"), ref_str, F.lit(".docx")
+        )
     return df.select(
         file_name.alias("file_name"),
         F.lit(source_file).alias("source_file"),

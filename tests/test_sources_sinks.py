@@ -169,3 +169,45 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.1, (k, n, approx[k])
+
+
+def test_render_column_fallbacks(spark):
+    """doc_library:90-124 fallback chains: response -> 'fixed answer'
+    (label stays 'Response'), key_hash -> first column with the legacy
+    RFP_Content_Library_{int(ref)}.docx naming (integral floats coerced
+    to int)."""
+    import pytest
+
+    from commercial_rfp_data_pipeline_spark.operators.documents import (
+        render_documents,
+    )
+    from commercial_rfp_data_pipeline_spark.validation import MissingColumnError
+
+    # response -> fixed answer, key_hash present
+    df = spark.createDataFrame(
+        [("7.0", "abc123", "q1", "the answer")],
+        ["ref", "key_hash", "question", "fixed answer"],
+    )
+    row = render_documents(df, source_file="s.xlsx").collect()[0]
+    assert row.file_name == "abc123.docx"
+    assert "Response: the answer" in row.content
+
+    # no key_hash: legacy first-column naming, integral float -> int
+    legacy = spark.createDataFrame(
+        [("7.0", "q1", "r1"), ("x9", "q2", "r2")],
+        ["ref", "question", "response"],
+    )
+    names = {
+        r.file_name for r in render_documents(legacy, source_file="s.xlsx").collect()
+    }
+    assert names == {
+        "RFP_Content_Library_7.docx",
+        "RFP_Content_Library_x9.docx",
+    }
+
+    # neither response nor fixed answer -> helpful error
+    with pytest.raises(MissingColumnError):
+        render_documents(
+            spark.createDataFrame([("k", "q")], ["key_hash", "question"]),
+            source_file="s.xlsx",
+        )
