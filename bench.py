@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from commercial_rfp_data_pipeline_spark.io import release_pinned
 from commercial_rfp_data_pipeline_spark.registry import all_queries
 from commercial_rfp_data_pipeline_spark.session import get_spark
 
@@ -71,9 +72,10 @@ def main() -> None:
         t0 = time.time()
         queries[name](spark, sf_dir).count()
         elapsed = round(time.time() - t0, 3)
-        # queries are self-contained: drop any persist()/cache() blocks
-        # a query left behind so storage memory can't squeeze execution
-        # memory (shuffle/sort spill) for the queries that follow
+        # queries are self-contained: release the pinned build products
+        # (io.pin) and any stray cache so storage memory can't squeeze
+        # execution memory (shuffle/sort spill) for queries that follow
+        release_pinned()
         spark.catalog.clearCache()
         return elapsed
 

@@ -32,6 +32,27 @@ TABLES = (
 )
 
 
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist a build product (LSH band table, simhash fingerprints,
+    IVF centroids, pruned inverted index) and track it for explicit
+    release. Operators persist intermediates that multiple plan
+    branches read; since the operator returns a LAZY DataFrame there is
+    no in-function point where unpersist is safe — the discipline is a
+    session-level release point instead: harnesses call
+    ``release_pinned()`` between queries (bench.py, verify_local)."""
+    _PINNED.append(df.persist())
+    return df
+
+
+def release_pinned() -> None:
+    """Unpersist every pinned build product (see ``pin``)."""
+    while _PINNED:
+        _PINNED.pop().unpersist()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 
@@ -43,6 +64,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # get_spark sets this in the builder; re-assert here because the
+        # external driver constructs its own SparkSession that bypasses
+        # our builder, and the flag must be live before the scan plans.
+        # Idempotent, read at planning time — safe mid-session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") in ("bigint", "long"):

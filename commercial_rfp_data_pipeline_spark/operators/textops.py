@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from commercial_rfp_data_pipeline_spark.io import pin
+
 STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "it")
 STOPWORDS_ES = ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los")
 STOPWORDS_FR = ("le", "la", "de", "et", "un", "en", "est", "que", "pour", "les")
@@ -195,7 +197,7 @@ def jaccard_pairs(
         .filter(F.col("df") > max_doc_freq)
         .select("sh")
     )
-    sh = sh.join(F.broadcast(hot), "sh", "left_anti").persist()
+    sh = pin(sh.join(F.broadcast(hot), "sh", "left_anti"))
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -205,11 +207,14 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # na/nb are one row per doc — they GROW with the corpus, so no
+    # forced broadcast: AQE converts to broadcast while they are small
+    # and falls back to a shuffled join once they are not
     na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -321,7 +326,7 @@ def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFra
     read the materialization instead of re-running the shingle build +
     signature groupBy twice. At 100 TB this is the parquet'd LSH index
     a dedup service keeps between runs."""
-    bands = bands.persist()
+    bands = pin(bands)
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "band_val")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "band_val")
     return (
@@ -391,9 +396,9 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance <= ``max_hamming`` on
-    the 16-bit fingerprints, found via band-LSH rather than all-pairs.
+    the 64-bit fingerprints, found via band-LSH rather than all-pairs.
 
-    Pigeonhole guarantee: with 4 bands of 4 bits, any pair within
+    Pigeonhole guarantee: with 4 bands of 16 bits, any pair within
     Hamming distance 3 differs in at most 3 bands, so at least one band
     matches exactly — the banded candidate set is EXHAUSTIVE for
     ``max_hamming <= SIMHASH_BANDS - 1`` and the result equals the
@@ -413,11 +418,13 @@ def simhash_pairs(
     # persist the (tiny, one-row-per-doc) fingerprint table so both
     # self-join sides read it instead of re-running the 64-vote token
     # aggregation twice
-    sh = sh.withColumn(
-        "sh_hi", F.conv(F.substring("simhash", 1, half), 2, 10).cast("long")
-    ).withColumn(
-        "sh_lo", F.conv(F.substring("simhash", half + 1, half), 2, 10).cast("long")
-    ).persist()
+    sh = pin(
+        sh.withColumn(
+            "sh_hi", F.conv(F.substring("simhash", 1, half), 2, 10).cast("long")
+        ).withColumn(
+            "sh_lo", F.conv(F.substring("simhash", half + 1, half), 2, 10).cast("long")
+        )
+    )
     bvals = F.array(
         *[
             F.struct(

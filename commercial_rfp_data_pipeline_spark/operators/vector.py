@@ -342,7 +342,9 @@ def ivf_search(
     n_centroids), not the whole corpus. The cell layout is the same
     partitioning a persisted IVF index would use (partitionBy(cent_id)
     parquet) for repeated querying."""
-    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col).persist()
+    from commercial_rfp_data_pipeline_spark.io import pin
+
+    cents = pin(ivf_centroids(vectors, n_centroids, id_col, vec_col))
     assigned = ivf_assign(
         vectors, n_centroids, id_col, vec_col, cents=cents
     ).select(id_col, vec_col, "cent_id", "_n")

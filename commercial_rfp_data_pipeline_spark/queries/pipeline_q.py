@@ -13,6 +13,7 @@ from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
     build_embedding_parts,
     build_embeddings,
 )
+from commercial_rfp_data_pipeline_spark.io import pin
 from commercial_rfp_data_pipeline_spark.operators.vector import knn_exact
 from commercial_rfp_data_pipeline_spark.registry import query
 
@@ -115,7 +116,7 @@ def q_semantic_search(spark, sf_dir):
     multiple references to `embedding` re-inline the whole hashed-BoW
     construction per reference — interpreted HOF expressions get no
     codegen/CSE, measured ~25x slower."""
-    emb = build_embeddings(build_chunks(spark, sf_dir)).cache()
+    emb = pin(build_embeddings(build_chunks(spark, sf_dir)))
     qvec = emb.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")).select(
         F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -166,13 +167,12 @@ def q_hybrid_search(spark, sf_dir):
     codegen/CSE for HOF expressions, measured ~25x); the query side is
     three rows feeding a broadcast."""
     chunks = build_chunks(spark, sf_dir)
-    kw_emb = build_embeddings(
-        chunks.filter(F.lower(F.col("chunk")).contains(KEYWORD))
-    ).cache()
-    qvec = (
+    kw_emb = pin(
+        build_embeddings(chunks.filter(F.lower(F.col("chunk")).contains(KEYWORD)))
+    )
+    qvec = pin(
         build_embeddings(chunks.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")))
         .select(F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-        .cache()
     )
     out = knn_exact(kw_emb, qvec, k=3, id_col="chunk_id", vec_col="embedding")
     return out.select("q_id", "chunk_id", "sim", F.col("rnk").cast("int").alias("rnk"))

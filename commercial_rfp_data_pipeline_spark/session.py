@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # events.parquet has shipped with TIMESTAMP(NANOS) ts, readable
+        # only as raw longs under this legacy flag (io.load_table and
+        # streaming.read_events_stream convert back to timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -80,7 +84,8 @@ def production_conf(total_cores: int, executor_mem_gb: int) -> dict[str, str]:
         "spark.sql.shuffle.partitions": str(int(total_cores * 2.5)),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.sql.autoBroadcastJoinThreshold": str(
-            min(executor_mem_gb * 10, 256) * 1024 * 1024 // 10
+            # ~1% of executor heap (10 MB per GB), capped at 256 MB
+            min(executor_mem_gb * 10, 256) * 1024 * 1024
         ),
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(96 * 1024 * 1024),
         "spark.sql.streaming.stateStore.providerClass": (

@@ -23,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb
 
-from commercial_rfp_data_pipeline_spark.io import TABLES
+from commercial_rfp_data_pipeline_spark.io import TABLES, release_pinned
 from commercial_rfp_data_pipeline_spark.registry import all_oracles, all_queries
 from commercial_rfp_data_pipeline_spark.session import get_spark
 
@@ -70,6 +70,7 @@ def main():
     failures = []
     for name in names:
         t0 = time.time()
+        release_pinned()  # each query re-pins its own build products
         try:
             sdf = queries[name](spark, args.sf)
             scols = sdf.columns
