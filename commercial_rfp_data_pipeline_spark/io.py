@@ -136,20 +136,172 @@ def save_bucketed(
     writer.format("parquet").saveAsTable(name)
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index -> A1-style letters."""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _write_xlsx_minimal(header: list[str], rows: list[tuple], path: str) -> None:
+    """Minimal OOXML writer (xlsx = zipped XML): one sheet, inline
+    strings, numbers as numeric cells. Fallback for containers without
+    openpyxl — readable by Excel/pandas/openpyxl and by the reader
+    below."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(ri: int, ci: int, v) -> str:
+        ref = f"{_col_letter(ci)}{ri + 1}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            v = str(v)
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return (
+            f'<c r="{ref}" t="inlineStr"><is>'
+            f'<t xml:space="preserve">{escape(str(v))}</t></is></c>'
+        )
+
+    body = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(cell(ri, ci, v) for ci, v in enumerate(row))
+        + "</row>"
+        for ri, row in enumerate([tuple(header)] + list(rows))
+    )
+    decl = '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    ct = (
+        f'{decl}<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    )
+    rels = (
+        f'{decl}<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        f'{decl}<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        f'{decl}<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    sheet = (
+        f'{decl}<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{body}</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def _read_xlsx_minimal(path_or_bytes) -> tuple[list[str], list[list]]:
+    """Minimal OOXML reader: first worksheet, supports inline strings,
+    shared strings, and numeric cells. Returns (header, rows) with
+    row 0 promoted to header (the reference's S4 rule)."""
+    import io as _io
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    src = (
+        _io.BytesIO(path_or_bytes)
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else path_or_bytes
+    )
+    with zipfile.ZipFile(src) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                for si in root.iter(f"{_XLSX_NS}si")
+            ]
+        sheet_name = sorted(
+            n for n in z.namelist() if n.startswith("xl/worksheets/sheet")
+        )[0]
+        root = ET.fromstring(z.read(sheet_name))
+    grid: list[list] = []
+    for row in root.iter(f"{_XLSX_NS}row"):
+        cells: dict[int, object] = {}
+        for c in row.iter(f"{_XLSX_NS}c"):
+            ref = c.get("r", "A1")
+            ci = 0
+            for ch in ref:
+                if ch.isalpha():
+                    ci = ci * 26 + (ord(ch.upper()) - 64)
+            ci -= 1
+            kind = c.get("t", "n")
+            if kind == "inlineStr":
+                val = "".join(t.text or "" for t in c.iter(f"{_XLSX_NS}t"))
+            else:
+                v = c.find(f"{_XLSX_NS}v")
+                raw = v.text if v is not None else None
+                if raw is None:
+                    val = None
+                elif kind == "s":
+                    val = shared[int(raw)]
+                elif kind == "str":
+                    val = raw
+                else:
+                    val = float(raw)
+            cells[ci] = val
+        width = max(cells) + 1 if cells else 0
+        grid.append([cells.get(i) for i in range(width)])
+    width = max((len(r) for r in grid), default=0)
+    grid = [r + [None] * (width - len(r)) for r in grid]
+    header = [str(c) for c in (grid[0] if grid else [])]
+    return header, grid[1:]
+
+
 def read_excel_bridge(spark: SparkSession, path_or_bytes) -> DataFrame:
     """Excel -> DataFrame (S2). Core Spark has no Excel source; the
     reference reads with openpyxl driver-side
     (commercial_rfp_raw_data_ingestion_and_cleaning.py:286). Excel files
     are small config/landing artifacts — driver-side pandas then
-    parallelize is the right scale call; bulk data rides parquet."""
+    parallelize is the right scale call; bulk data rides parquet.
+    Falls back to the minimal OOXML reader when openpyxl is absent."""
     import pandas as pd  # local import: optional path
 
-    pdf = pd.read_excel(path_or_bytes, engine="openpyxl")
+    try:
+        import openpyxl  # noqa: F401
+
+        pdf = pd.read_excel(path_or_bytes, engine="openpyxl")
+    except ImportError:
+        header, rows = _read_xlsx_minimal(path_or_bytes)
+        pdf = pd.DataFrame(rows, columns=header)
     pdf.columns = [str(c) for c in pdf.columns]
     return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))
 
 
 def write_excel_bridge(df: DataFrame, path: str) -> None:
     """DataFrame -> Excel (K1). Driver-side by design: Excel is not a
-    distributed format; this sink exists for reference parity only."""
-    df.toPandas().to_excel(path, index=False)
+    distributed format; this sink exists for reference parity only.
+    Falls back to the minimal OOXML writer when openpyxl is absent."""
+    pdf = df.toPandas()
+    try:
+        import openpyxl  # noqa: F401
+
+        pdf.to_excel(path, index=False)
+    except ImportError:
+        _write_xlsx_minimal(
+            [str(c) for c in pdf.columns],
+            [tuple(r) for r in pdf.itertuples(index=False)],
+            path,
+        )

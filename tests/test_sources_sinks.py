@@ -34,7 +34,8 @@ def test_paginated_scan(spark):
 
 
 def test_excel_bridge_roundtrip(spark, tmp_path):
-    openpyxl = pytest.importorskip("openpyxl")  # noqa: F841
+    """S2/K1 bridge round-trip — runs with openpyxl when present, else
+    through the minimal OOXML shim (xlsx = zipped XML)."""
     from commercial_rfp_data_pipeline_spark.io import (
         read_excel_bridge,
         write_excel_bridge,
@@ -45,6 +46,31 @@ def test_excel_bridge_roundtrip(spark, tmp_path):
     write_excel_bridge(df, path)
     back = read_excel_bridge(spark, path)
     assert sorted((r.Name, r.val) for r in back.collect()) == [("a", 1.0), ("b", 2.0)]
+    # bytes input path (the reference reads BytesIO downloads)
+    with open(path, "rb") as f:
+        payload = f.read()
+    again = read_excel_bridge(spark, payload)
+    assert again.count() == 2
+
+
+def test_xlsx_shim_types_and_blanks(spark, tmp_path):
+    """The minimal OOXML shim itself: strings with whitespace, None
+    cells, ints and floats survive a write/read cycle regardless of
+    openpyxl availability."""
+    from commercial_rfp_data_pipeline_spark.io import (
+        _read_xlsx_minimal,
+        _write_xlsx_minimal,
+    )
+
+    path = str(tmp_path / "shim.xlsx")
+    _write_xlsx_minimal(
+        ["name", "qty", "note"],
+        [("a b  c", 2.0, None), ("<x&y>", 1.5, "ok")],
+        path,
+    )
+    header, rows = _read_xlsx_minimal(path)
+    assert header == ["name", "qty", "note"]
+    assert rows == [["a b  c", 2.0, None], ["<x&y>", 1.5, "ok"]]
 
 
 def test_document_sink_partitioned(spark, sf_dir, tmp_path):
