@@ -47,29 +47,36 @@ def render_documents(
 
     Column-fallback chains (doc_library:90-124, SURVEY.md §1.3):
     - response column resolves `response` -> `fixed answer` (raises
-      with a did-you-mean if neither exists); the rendered label stays
-      'Response' either way.
+      with a did-you-mean if neither exists); the label is the resolved
+      column title-cased, mirroring ``response_col.title()``
+      (doc_library:55).
     - key column resolves `key_hash` -> FIRST column (legacy tables).
       With key_hash the name is '{key_hash}.docx' (no double suffix —
       doc_library:112-115); on the legacy path it is
       'RFP_Content_Library_{int(ref)}.docx' with integral floats
-      coerced to int (doc_library:122-123)."""
+      coerced to int (doc_library:122-123).
+    Rows whose key is null/blank are skipped entirely (F11,
+    doc_library:107-109,120-121)."""
     from commercial_rfp_data_pipeline_spark.validation import resolve_column
 
     resolved = resolve_column(df, ["response", "fixed answer"])
-    fields = tuple((resolved if c == "response" else c, label) for c, label in fields)
+    fields = tuple(
+        (resolved, resolved.title()) if c == "response" else (c, label)
+        for c, label in fields
+    )
     content = F.concat_ws(
         "\n",
         F.lit(f"Source File Name: {source_file}"),
         # absent columns render like blank ones: skipped
         *[_labeled(c, label) for c, label in fields if c in df.columns],
     )
+    key = F.col("key_hash" if "key_hash" in df.columns else df.columns[0])
     if "key_hash" in df.columns:
         file_name = F.when(
             F.lower(F.col("key_hash")).endswith(".docx"), F.col("key_hash")
         ).otherwise(F.concat(F.col("key_hash"), F.lit(".docx")))
     else:
-        ref = F.col(df.columns[0])
+        ref = key
         num = ref.cast("double")
         ref_str = F.when(
             num.isNotNull() & (num == F.floor(num)),
@@ -78,19 +85,87 @@ def render_documents(
         file_name = F.concat(
             F.lit("RFP_Content_Library_"), ref_str, F.lit(".docx")
         )
-    return df.select(
+    return df.filter(key.isNotNull() & (F.trim(key) != "")).select(
         file_name.alias("file_name"),
         F.lit(source_file).alias("source_file"),
         content.alias("content"),
     )
 
 
+_DOCX_DECL = '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+_DOCX_CT = (
+    f'{_DOCX_DECL}<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+_DOCX_RELS = (
+    f'{_DOCX_DECL}<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+    "</Relationships>"
+)
+
+
+def docx_bytes(content: str) -> bytes:
+    """K3's byte payload: serialize rendered text as a REAL .docx
+    container (OOXML zip with one <w:p> paragraph per line) — the same
+    document python-docx's Document/add_paragraph produces for the
+    reference (doc_library:46-69), minus styling parts no consumer of
+    these documents reads. Pure function of the content string, so the
+    sink below can run it inside foreachPartition executors."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    paras = "".join(
+        f'<w:p><w:r><w:t xml:space="preserve">{escape(line)}</w:t></w:r></w:p>'
+        for line in content.split("\n")
+    )
+    doc = (
+        f'{_DOCX_DECL}<w:document '
+        'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{paras}</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _DOCX_CT)
+        z.writestr("_rels/.rels", _DOCX_RELS)
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def write_docx_files(df: DataFrame, out_dir: str) -> int:
+    """K3 byte sink: one real .docx file per rendered row, named by
+    ``file_name``, written from the executors via foreachPartition (the
+    reference's per-row upload loop, parallelized — exactly what its
+    1/ draft reached for with thread pools). ``out_dir`` must be a
+    shared filesystem path in cluster mode; swap the ``open`` for a
+    blob PUT transport for object stores (see upload_partitioned).
+    Returns the number of documents written (from a count on the same
+    materialized frame, not a second scan)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    rendered = df.select("file_name", "content").persist()
+    n = rendered.count()
+
+    def emit(rows) -> None:
+        for r in rows:
+            payload = docx_bytes(r["content"])
+            with open(os.path.join(out_dir, r["file_name"]), "wb") as f:
+                f.write(payload)
+
+    rendered.foreachPartition(emit)
+    rendered.unpersist()
+    return n
+
+
 def write_documents(df: DataFrame, out_dir: str) -> None:
     """K3/K4: truncate-and-rebuild per-key document sink. Text payloads
     partition by key prefix so a 100-TB corpus writes as many
-    independent files; docx byte-rendering would wrap `content` in a
-    foreachPartition writer (bytes = python-docx serialization of the
-    same lines — driver-side concern, out of the data plane)."""
+    independent files; ``write_docx_files`` above is the byte-true
+    variant emitting one real .docx container per row."""
     (
         df.withColumn("prefix", F.substring("file_name", 13, 2))  # 2 hex chars
         .write.mode("overwrite")

@@ -216,7 +216,8 @@ def test_render_column_fallbacks(spark):
     )
     row = render_documents(df, source_file="s.xlsx").collect()[0]
     assert row.file_name == "abc123.docx"
-    assert "Response: the answer" in row.content
+    # label mirrors response_col.title() (doc_library:55)
+    assert "Fixed Answer: the answer" in row.content
 
     # no key_hash: legacy first-column naming, integral float -> int
     legacy = spark.createDataFrame(
@@ -237,3 +238,36 @@ def test_render_column_fallbacks(spark):
             spark.createDataFrame([("k", "q")], ["key_hash", "question"]),
             source_file="s.xlsx",
         )
+
+
+def test_docx_byte_sink(spark, sf_dir, tmp_path):
+    """K3 byte parity: write_docx_files emits one real .docx container
+    per rendered row from the executors; unzipping word/document.xml
+    gives back exactly the rendered lines as paragraphs."""
+    import os
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    from commercial_rfp_data_pipeline_spark.operators.documents import (
+        render_documents,
+        write_docx_files,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.flagship import flagship
+
+    docs = render_documents(flagship(spark, sf_dir), source_file="lib.xlsx")
+    out = str(tmp_path / "docx")
+    n = write_docx_files(docs, out)
+    files = os.listdir(out)
+    assert n == docs.count() == len(files)
+    assert all(f.endswith(".docx") for f in files)
+
+    sample = docs.limit(1).collect()[0]
+    ns = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    with zipfile.ZipFile(os.path.join(out, sample.file_name)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paras = [
+        "".join(t.text or "" for t in p.iter(f"{ns}t"))
+        for p in root.iter(f"{ns}p")
+    ]
+    assert paras == sample.content.split("\n")
+    assert paras[0].startswith("Source File Name: ")
