@@ -135,17 +135,20 @@ def shingles(
     k: int = 3,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """Distinct word k-gram shingles per document — the input to both
-    Jaccard and MinHash dedup. One row per (doc, shingle).
+    """Word k-gram shingles per document — the input to both Jaccard
+    and MinHash dedup. One row per (doc, shingle) occurrence;
+    duplicates are NOT removed here because every consumer is
+    duplicate-insensitive (jaccard_pairs builds postings with
+    collect_set, minhash_bands takes min over hashes) — a global
+    distinct would shuffle the whole (doc, sh) index for nothing.
 
     Built as posexplode -> lead(k-1) window -> concat, NOT as an array
     higher-order function: lambda expressions (transform/element_at)
     are interpreted per element outside whole-stage codegen, and the
     HOF form measured ~9x slower than this window form on the same
-    data. The window shuffles (doc_id, pos, word) rows once — at 100 TB
-    that is the same shuffle the downstream inverted index needs
-    anyway. ``parallelism`` repartitions first so a single source file
-    doesn't pin tokenization to one task."""
+    data. The window shuffles (doc_id, pos, word) rows once.
+    ``parallelism`` repartitions first so a single source file doesn't
+    pin tokenization to one task."""
     wdf = df.select(F.col(id_col), words(text_col).alias("w"))
     if parallelism:
         wdf = wdf.repartition(parallelism)
@@ -160,7 +163,6 @@ def shingles(
         )
         .filter("_full")
         .drop("_full")
-        .distinct()
     )
 
 
@@ -170,40 +172,45 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int = 100,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via the shingle inverted
-    index: self-join on shingle, count common, J = common/(na+nb-common).
+    """Exact n-gram Jaccard near-dup pairs via shingle POSTINGS LISTS:
+    one groupBy(sh) builds the inverted index as a sorted doc array per
+    shingle, the df cap drops hot shingles (boilerplate carries no
+    dedup signal), and candidate pairs come from an array-combinations
+    expression over each posting — no self-join of the index at all.
+    J = common/(na+nb-common).
 
-    Shape: doc-frequency and per-doc shingle counts ride along as
-    window aggregates (two shuffles, no extra joins), then the pruned
-    inverted index is persisted ONCE and both sides of the self-join
-    read the materialization — without it the whole shingle build runs
-    twice. At 100 TB the persist becomes a parquet write of the
-    inverted index (the durable artifact a dedup service would keep).
-
-    Scale: the self-join fans out quadratically on hot shingles —
-    ``max_doc_freq`` drops shingles present in more than that many docs
-    (boilerplate carries no dedup signal), bounding per-shingle work;
-    AQE skew-join splits whatever remains."""
-    # hot shingles (df > cap) are RARE — find them with a partial-agg
-    # groupBy (small output) and remove via broadcast anti-join, instead
-    # of a full-table window (which shuffles+sorts the whole inverted
-    # index). Per-doc counts attach to the PAIR table after the heavy
-    # groupBy — a broadcast join onto the small survivor set — not to
-    # every index row. Net: two full-table shuffles removed vs the
-    # window form (measured ~2x at sf0.1).
-    hot = (
+    Shape at scale: ONE shuffle of (sh, doc) into postings (map-side
+    combine), then the pair stream is bounded by sum(df^2)/2 over
+    surviving shingles (df <= max_doc_freq, so <= ~5k pairs per
+    shingle) feeding a pair-keyed groupBy. The former self-join form
+    shuffled the whole index twice more. The postings table is pinned —
+    at 100 TB it becomes the parquet'd inverted index a dedup service
+    keeps between runs."""
+    postings = pin(
         sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_doc_freq)
-        .select("sh")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("docs"))
+        .filter(F.size("docs") <= max_doc_freq)
     )
-    sh = pin(sh.join(F.broadcast(hot), "sh", "left_anti"))
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    counts = (
+        postings.select(F.explode("docs").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    # combinations (docs[i], docs[j]) for i<j — codegen'd array ops;
+    # docs is sorted, so doc_a < doc_b holds by construction
+    docs = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
