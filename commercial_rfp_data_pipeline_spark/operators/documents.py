@@ -137,26 +137,50 @@ def docx_bytes(content: str) -> bytes:
 
 def write_docx_files(df: DataFrame, out_dir: str) -> int:
     """K3 byte sink: one real .docx file per rendered row, named by
-    ``file_name``, written from the executors via foreachPartition (the
-    reference's per-row upload loop, parallelized — exactly what its
-    1/ draft reached for with thread pools). ``out_dir`` must be a
-    shared filesystem path in cluster mode; swap the ``open`` for a
-    blob PUT transport for object stores (see upload_partitioned).
-    Returns the number of documents written (from a count on the same
-    materialized frame, not a second scan)."""
+    ``file_name``. A local-filesystem transport plugged into the K7
+    upload seam — ``out_dir`` must be a shared filesystem path in
+    cluster mode; object stores swap in an HTTP PUT transport
+    (``upload_documents``)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    rendered = df.select("file_name", "content").persist()
+
+    def put(name: str, payload: bytes) -> None:
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(payload)
+
+    return upload_documents(df, put)
+
+
+def upload_documents(
+    df: DataFrame,
+    put,
+    name_col: str = "file_name",
+    content_col: str = "content",
+    render=docx_bytes,
+) -> int:
+    """K7: per-row file upload PUT (reference
+    commercial_rfp_data_ingestion_utils.py:76-88, driven by the
+    citation mapper's upload loop at citation:148-164). The transport
+    is an injectable ``put(name: str, payload: bytes) -> None``
+    callable shipped to the executors — production wraps an HTTP PUT
+    (overwrite semantics, like the reference's Graph ':/content'
+    endpoint); tests inject a local writer. ``render`` turns the
+    content column into payload bytes (default: the real .docx
+    container).
+
+    Shape: foreachPartition fans the I/O out across executors — the
+    distributed form of the reference draft's ThreadPoolExecutor
+    (1/citation:119-139). Returns the uploaded row count (counted on
+    the same materialized frame, not a second scan)."""
+    rendered = df.select(name_col, content_col).persist()
     n = rendered.count()
 
-    def emit(rows) -> None:
+    def run(rows) -> None:
         for r in rows:
-            payload = docx_bytes(r["content"])
-            with open(os.path.join(out_dir, r["file_name"]), "wb") as f:
-                f.write(payload)
+            put(r[name_col], render(r[content_col]))
 
-    rendered.foreachPartition(emit)
+    rendered.foreachPartition(run)
     rendered.unpersist()
     return n
 

@@ -271,3 +271,41 @@ def test_docx_byte_sink(spark, sf_dir, tmp_path):
     ]
     assert paras == sample.content.split("\n")
     assert paras[0].startswith("Source File Name: ")
+
+
+def test_k7_upload_transport_seam(spark, sf_dir, tmp_path):
+    """K7: the upload sink drives an injected put(name, bytes)
+    transport from the executors — here a local writer standing in for
+    the reference's Graph PUT — and only the reconciliation's to_upload
+    side is pushed."""
+    import os
+
+    from commercial_rfp_data_pipeline_spark.operators.documents import (
+        reconcile_listings,
+        render_documents,
+        upload_documents,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.flagship import flagship
+
+    docs = render_documents(flagship(spark, sf_dir), source_file="lib.xlsx")
+    remote = docs.select("file_name").limit(20)  # already uploaded
+    to_upload, _ = reconcile_listings(
+        docs.select(F.col("file_name").alias("name")),
+        remote.withColumnRenamed("file_name", "name"),
+    )
+    pending = docs.join(
+        to_upload.withColumnRenamed("name", "file_name"), "file_name", "left_semi"
+    )
+
+    out = str(tmp_path / "uploads")
+    os.makedirs(out)
+
+    def put(name: str, payload: bytes) -> None:
+        with open(os.path.join(out, name), "wb") as f:
+            f.write(payload)
+
+    n = upload_documents(pending, put, render=lambda c: c.encode("utf-8"))
+    uploaded = os.listdir(out)
+    assert n == docs.count() - 20 == len(uploaded)
+    with open(os.path.join(out, uploaded[0])) as f:
+        assert f.read().startswith("Source File Name: lib.xlsx")
