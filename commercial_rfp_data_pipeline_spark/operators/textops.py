@@ -370,11 +370,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     doc before the single shuffle — the same no-explosion pattern as
     minhash_bands). A tokens-x-bits explode form shuffled 64x the
     token count and measured far slower."""
-    toks = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w"))
-        .distinct()
-        .withColumn("h", F.md5(F.col("w")))
-    )
+    # array_distinct already dedups tokens WITHIN each doc, and rows
+    # carry one doc each — a global .distinct() here would be a full
+    # extra shuffle for nothing
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(words(text_col))).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
     votes = [
         F.sum(
             F.when(
@@ -460,17 +461,29 @@ def simhash_pairs(
         "band",
         "val",
     )
-    # Hamming filter BEFORE the dedup of multi-band matches: survivors
-    # are rare, so the cheap predicate runs streaming in the join
-    # output and the distinct only shuffles the surviving pair set
     ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
         F.col("lo_a").bitwiseXOR(F.col("lo_b"))
     )
+
+    # Dedup of multi-band matches WITHOUT a distinct shuffle: keep a
+    # candidate only where the matched band is the FIRST band the two
+    # fingerprints agree on — for every earlier band j the 16-bit
+    # slices must differ. Pure codegen'd bit arithmetic on the packed
+    # halves, so the join output streams straight to the result.
+    def _band_bits(side: str, j: int):
+        src = F.col(f"hi_{side}") if j < 2 else F.col(f"lo_{side}")
+        return F.shiftright(src, 16) if j % 2 == 0 else src.bitwiseAND(F.lit(65535))
+
+    first_match = F.lit(True)
+    for j in range(SIMHASH_BANDS - 1):
+        first_match = first_match & (
+            (F.col("band") <= j) | (_band_bits("a", j) != _band_bits("b", j))
+        )
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .filter(first_match)
         .select("doc_a", "doc_b", "hamming")
-        .distinct()
     )
