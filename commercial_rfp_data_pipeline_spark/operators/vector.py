@@ -187,6 +187,47 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_lsh(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPROXIMATE embedding near-dup pairs: candidates are restricted
+    to LSH bucket-mates (sign-random-projection, deterministic planes),
+    then scored exactly with a per-bucket BLAS matmul. The extreme-
+    scale path: compute drops from O(n^2) to sum(bucket^2), recall vs
+    ``embedding_neardup_pairs`` is a measured property of ``n_bits``
+    (cosine-similar vectors collide with prob (1 - theta/pi)^bits) —
+    and because the bucketing is deterministic the WHOLE approximate
+    path stays oracle-checkable."""
+    import numpy as np
+    import pandas as pd
+
+    bucketed = lsh_buckets(vectors, dim, n_bits, vec_col)
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(mat @ mat.T, 6)
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "sim": sims[ia[keep], ib[keep]],
+            }
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        cell, schema="id_a long, id_b long, sim double"
+    )
+
+
 def _hyperplane(dim: int, bit: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component j of
     plane b = sin(1 + (b * dim + j) * 0.7391) — fixed, engine-agnostic,

@@ -85,6 +85,31 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(v, threshold=0.35)
 
 
+_LSH_NEARDUP_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {buckets},
+    eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id))
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale path for near-dup: candidates restricted to LSH
+    bucket-mates, exact per-bucket matmul scoring. Deterministic
+    bucketing keeps even the approximate path hash-checked; recall vs
+    the exact all-pairs variant is a property of the bit count (tests
+    pin it)."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    return embedding_neardup_pairs_lsh(v, dim=DIM, threshold=0.35, n_bits=6)
+
+
 def _planes_sql(n_bits: int) -> str:
     """Mirror operators.vector._hyperplane as SQL list literals."""
     import math
@@ -285,3 +310,10 @@ def q_label_centroid(spark, sf_dir):
     return scored.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg("sim_to_own"), 6).alias("avg_sim")
     )
+
+
+# registered down here because the oracle reuses _BUCKETS_CTE
+query(
+    "embedding_neardup_lsh",
+    _LSH_NEARDUP_ORACLE.format(buckets=_BUCKETS_CTE.strip()),
+)(_q_embedding_neardup_lsh)

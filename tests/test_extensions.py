@@ -326,3 +326,21 @@ def test_streaming_sessions_run(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     got = run_to_completion(session_counts(stream), "t_sessions", mode="complete")
     assert got.count() > 0
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
+    """The bucketed near-dup path returns a SUBSET of the exact
+    all-pairs result (same scoring, restricted candidates); recall is
+    a deterministic property of the bit count — assert it stays
+    nontrivial."""
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        _q_embedding_neardup_lsh,
+        q_embedding_neardup,
+    )
+
+    exact = {(r.id_a, r.id_b): r.sim for r in q_embedding_neardup(spark, sf_dir).collect()}
+    lsh = {(r.id_a, r.id_b): r.sim for r in _q_embedding_neardup_lsh(spark, sf_dir).collect()}
+    assert lsh, "LSH near-dup returned nothing"
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == lsh[k] for k in lsh)  # identical scoring
+    assert len(lsh) / len(exact) > 0.15
