@@ -358,7 +358,7 @@ def ivf_assign(
 
 
 def ivf_search(
-    vectors: DataFrame,
+    vectors: DataFrame | None,
     queries: DataFrame,
     n_centroids: int = 16,
     nprobe: int = 2,
@@ -367,6 +367,8 @@ def ivf_search(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    cents: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Full IVF top-k: corpus vectors live in their nearest-centroid
     cell (ivf_assign); each query probes its ``nprobe`` nearest cells
@@ -382,13 +384,17 @@ def ivf_search(
     per-query work is the probed cells' occupancy (~ nprobe * n /
     n_centroids), not the whole corpus. The cell layout is the same
     partitioning a persisted IVF index would use (partitionBy(cent_id)
-    parquet) for repeated querying."""
+    parquet — plans.index_lifecycle.ensure_ivf_index materializes
+    exactly that and passes the read-back tables in via
+    ``cents``/``assigned``)."""
     from commercial_rfp_data_pipeline_spark.io import pin
 
-    cents = pin(ivf_centroids(vectors, n_centroids, id_col, vec_col))
-    assigned = ivf_assign(
-        vectors, n_centroids, id_col, vec_col, cents=cents
-    ).select(id_col, vec_col, "cent_id", "_n")
+    if cents is None:
+        cents = pin(ivf_centroids(vectors, n_centroids, id_col, vec_col))
+    if assigned is None:
+        assigned = ivf_assign(
+            vectors, n_centroids, id_col, vec_col, cents=cents
+        ).select(id_col, vec_col, "cent_id", "_n")
     qn = queries.withColumn("_qn", _norm(F.col(q_vec_col)))
     qj = qn.crossJoin(F.broadcast(cents))
     qsim = F.round(

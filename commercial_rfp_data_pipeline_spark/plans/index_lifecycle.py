@@ -85,6 +85,99 @@ def reset_and_rebuild(spark: SparkSession, sf_dir: str, warehouse: str) -> None:
     )
 
 
+def ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, warehouse: str, n_centroids: int = 16
+) -> tuple[str, str]:
+    """Durable IVF index over the chunk embeddings: a centroid table
+    plus the corpus assignment written ``partitionBy(cent_id)`` — the
+    partition layout IS the index. Probing then reads only the probed
+    cells' files (static partition pruning on cent_id), so repeated
+    queries never rescan the corpus; at 100 TB this is the artifact an
+    ANN service keeps between runs. Idempotent like ensure_index."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    _, emb_path = ensure_index(spark, sf_dir, warehouse)
+    cents_path = os.path.join(warehouse, "ivf_centroids")
+    cells_path = os.path.join(warehouse, "ivf_cells")
+    try:
+        spark.read.parquet(cents_path).limit(1).collect()
+        spark.read.parquet(cells_path).limit(1).collect()
+    except Exception:
+        emb = spark.read.parquet(emb_path)
+        ivf_centroids(
+            emb, n_centroids, id_col="chunk_id", vec_col="embedding"
+        ).write.mode("overwrite").parquet(cents_path)
+        cents = spark.read.parquet(cents_path)
+        ivf_assign(
+            emb, n_centroids, id_col="chunk_id", vec_col="embedding", cents=cents
+        ).write.mode("overwrite").partitionBy("cent_id").parquet(cells_path)
+    return cents_path, cells_path
+
+
+def ivf_search_index(
+    spark: SparkSession,
+    warehouse: str,
+    query_texts: list[str],
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Probe the materialized IVF index: embed the query strings, pick
+    each query's ``nprobe`` nearest centroids, then scan ONLY those
+    cells' partitions (the probe list is tiny by construction —
+    n_queries x nprobe ids — so collecting it to build a static
+    partition filter is the right call) and rank exactly within."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import ivf_search
+
+    cents = spark.read.parquet(os.path.join(warehouse, "ivf_centroids"))
+    qdf = spark.createDataFrame(
+        [(f"q{i}", t) for i, t in enumerate(query_texts)], "q_id string, qtext string"
+    )
+    qvec = (
+        HashedBowEmbedder()
+        .embed(qdf, text_col="qtext", id_col="q_id")
+        .select("q_id", F.col("embedding").alias("q_vec"))
+    )
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    qn = qvec.withColumn("_qn", _norm(F.col("q_vec")))
+    scored = qn.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "cent_id",
+        F.round(
+            _dot(F.col("q_vec"), F.col("cent_vec")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("probe_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("probe_sim").desc(), F.col("cent_id"))
+    probe_ids = [
+        r.cent_id
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("cent_id")
+        .distinct()
+        .collect()
+    ]
+    cells = (
+        spark.read.parquet(os.path.join(warehouse, "ivf_cells"))
+        .filter(F.col("cent_id").isin(probe_ids))
+        .select("chunk_id", "embedding", "cent_id", "_n")
+    )
+    return ivf_search(
+        None,
+        qvec,
+        nprobe=nprobe,
+        k=k,
+        id_col="chunk_id",
+        vec_col="embedding",
+        cents=cents,
+        assigned=cells,
+    )
+
+
 def search(
     spark: SparkSession, warehouse: str, query_texts: list[str], k: int = 5
 ) -> DataFrame:

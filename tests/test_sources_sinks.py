@@ -309,3 +309,49 @@ def test_k7_upload_transport_seam(spark, sf_dir, tmp_path):
     assert n == docs.count() - 20 == len(uploaded)
     with open(os.path.join(out, uploaded[0])) as f:
         assert f.read().startswith("Source File Name: lib.xlsx")
+
+
+def test_ivf_index_lifecycle_and_pruned_probe(spark, sf_dir, tmp_path):
+    """ensure_ivf_index materializes centroids + cells partitioned by
+    cent_id; probing reads only the probed cells (static partition
+    pruning) and returns exactly what the from-scratch IVF search
+    computes on the same embeddings."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import ivf_search
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        HashedBowEmbedder,
+        ensure_ivf_index,
+        ivf_search_index,
+    )
+
+    wh = str(tmp_path / "wh")
+    cents_path, cells_path = ensure_ivf_index(spark, sf_dir, wh)
+    n_cells = spark.read.parquet(cells_path).count()
+    ensure_ivf_index(spark, sf_dir, wh)  # idempotent
+    assert spark.read.parquet(cells_path).count() == n_cells
+
+    queries = ["spark filter join table", "stream window count"]
+    hits = ivf_search_index(spark, wh, queries, nprobe=2, k=3)
+    rows = hits.collect()
+    assert len(rows) == 6
+
+    # partition pruning: the cells scan carries a cent_id partition filter
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cent_id" in plan.split("PartitionFilters", 1)[1][:120]
+
+    # equivalence with the from-scratch search over the same embeddings
+    emb = spark.read.parquet(f"{wh}/embeddings")
+    qdf = spark.createDataFrame(
+        [(f"q{i}", t) for i, t in enumerate(queries)], "q_id string, qtext string"
+    )
+    from pyspark.sql import functions as F
+
+    qvec = (
+        HashedBowEmbedder()
+        .embed(qdf, text_col="qtext", id_col="q_id")
+        .select("q_id", F.col("embedding").alias("q_vec"))
+    )
+    direct = ivf_search(
+        emb, qvec, nprobe=2, k=3, id_col="chunk_id", vec_col="embedding"
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, direct.collect()))
