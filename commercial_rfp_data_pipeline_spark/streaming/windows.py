@@ -88,6 +88,49 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_click_pairs(
+    a: DataFrame, b: DataFrame, max_gap_s: int = 3600
+) -> DataFrame:
+    """Watermarked stream-stream interval self-join: pairs of clicks by
+    the same user within ``max_gap_s`` — the streaming mirror of the
+    batch range_join_events_within_1h query (which is the DuckDB-checked
+    oracle on finite data). Both sides carry watermarks and the join
+    condition bounds event time in one direction, so state for each
+    side is dropped once the other side's watermark passes — the
+    canonical bounded-state stream-stream join."""
+    left = (
+        a.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("id_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "2 hours")
+    )
+    right = (
+        b.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id_b"),
+            F.col("event_id").alias("id_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "2 hours")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"""user_id = user_id_b AND id_a < id_b
+                AND ts_b >= ts_a AND ts_b <= ts_a + interval {max_gap_s} seconds"""
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "id_a",
+        "id_b",
+        (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("gap_s"),
+    )
+
+
 def run_to_completion(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drive a finite stream to completion through a memory sink and
     return the materialized result (test/driver harness path).

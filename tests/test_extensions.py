@@ -344,3 +344,27 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     assert set(lsh) <= set(exact)
     assert all(exact[k] == lsh[k] for k in lsh)  # identical scoring
     assert len(lsh) / len(exact) > 0.15
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
+    """The watermarked stream-stream interval join replayed over the
+    finite events table produces exactly the batch range-join pairs
+    (which are DuckDB-oracle-checked)."""
+    from commercial_rfp_data_pipeline_spark.queries.advanced_q import q_range_join
+    from commercial_rfp_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        stream_click_pairs,
+    )
+
+    pairs = stream_click_pairs(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    got = run_to_completion(pairs, "stream_click_pairs", mode="append")
+    stream_set = {(r.user_id, r.id_a, r.id_b, r.gap_s) for r in got.collect()}
+    batch_set = {
+        (r.user_id, r.id_a, r.id_b, r.gap_s)
+        for r in q_range_join(spark, sf_dir).collect()
+    }
+    assert stream_set == batch_set
+    assert stream_set, "no pairs produced"
