@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id long, mime string, n_bytes long, sha1 string, "
+    "doc_id long, mime string, n_bytes long, content_md5 string, "
     "width int, height int, n_frames int"
 )
 
@@ -54,7 +54,9 @@ def decode_image_stub(payload: bytes, mime: str, real: bool = False) -> dict:
             "media decoding requires image/audio libs not present in the "
             "container; wire Pillow/ffmpeg here in production"
         )
-    h = hashlib.sha1(payload).digest()
+    # md5 (not sha1) so the fake features are reproducible in the
+    # DuckDB oracle — the whole stubbed path stays hash-checked
+    h = hashlib.md5(payload).digest()
     return {
         "width": 64 + h[0],  # deterministic fake dimensions
         "height": 64 + h[1],
@@ -78,7 +80,9 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
                     "n_bytes": [len(p) for p in pdf["payload"]],
-                    "sha1": [hashlib.sha1(p).hexdigest() for p in pdf["payload"]],
+                    "content_md5": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],
                     "n_frames": [f["n_frames"] for f in feats],
@@ -96,7 +100,7 @@ def frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
     feats = extract_features(df)
     return feats.filter(F.col("mime") == "video/mp4").select(
         "doc_id",
-        "sha1",
+        "content_md5",
         F.explode(
             F.sequence(
                 F.lit(0), F.col("n_frames") - 1, F.lit(every_n)

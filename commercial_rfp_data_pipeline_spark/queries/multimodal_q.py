@@ -1,7 +1,8 @@
-"""Multimodal-column queries: binary payload metadata (oracle-checked
-— byte lengths and hashes are engine-agnostic) and the Pandas-UDF
-feature/frame-sample paths (rows-only: the stubbed decode is Python-
-side by design)."""
+"""Multimodal-column queries, ALL oracle-checked: binary payload
+metadata, and the Pandas-UDF feature/frame-sample paths — the stubbed
+decode derives its deterministic fake dimensions from md5 digest
+bytes, which DuckDB reproduces via hex-digit arithmetic, so even the
+Python mapInPandas plumbing is value-hash-verified end to end."""
 
 from __future__ import annotations
 
@@ -42,16 +43,64 @@ def q_mm_metadata(spark, sf_dir):
     )
 
 
-@query("multimodal_feature_extract", None)
+# md5 hex digit -> value, then byte k = 16*digit(2k) + digit(2k+1)
+_HEXD = "strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1"
+
+
+def _byte(k: int) -> str:
+    hi = _HEXD.format(pos=2 * k + 1)
+    lo = _HEXD.format(pos=2 * k + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_FEATURES_CTE = f"""
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS m
+  FROM documents
+),
+f AS (
+  SELECT doc_id, mime, CAST(n_bytes AS BIGINT) AS n_bytes, m AS content_md5,
+         CAST(64 + {_byte(0)} AS INTEGER) AS width,
+         CAST(64 + {_byte(1)} AS INTEGER) AS height,
+         CAST(CASE WHEN mime = 'image/png' THEN 1
+                   ELSE 1 + {_byte(2)} % 32 END AS INTEGER) AS n_frames
+  FROM b
+)
+"""
+
+
+@query(
+    "multimodal_feature_extract",
+    f"""
+    WITH {_FEATURES_CTE.strip()}
+    SELECT doc_id, mime, n_bytes, content_md5, width, height, n_frames FROM f
+    """,
+)
 def q_mm_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction (stubbed decode —
-    see operators/multimodal.py). Rows-only by design."""
+    see operators/multimodal.py). The fake features are md5-derived,
+    so the oracle reproduces them with hex arithmetic and even this
+    Python-side path is value-hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_binary(docs))
 
 
-@query("multimodal_frame_sample", None)
+@query(
+    "multimodal_frame_sample",
+    f"""
+    WITH {_FEATURES_CTE.strip()}
+    SELECT doc_id, content_md5,
+           CAST(unnest(generate_series(0, n_frames - 1, 8)) AS INTEGER) AS frame_idx
+    FROM f WHERE mime = 'video/mp4'
+    """,
+)
 def q_mm_frames(spark, sf_dir):
-    """Frame sampling for video payloads (rows-only)."""
+    """Frame sampling for video payloads — deterministic stride over
+    the md5-derived frame count, oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_binary(docs), every_n=8)

@@ -122,7 +122,7 @@ def test_multimodal_stub_and_plumbing(spark, sf_dir):
     feats = extract_features(attach_binary(docs))
     rows = feats.collect()
     assert len(rows) == 50
-    assert all(r.n_bytes > 0 and len(r.sha1) == 40 for r in rows)
+    assert all(r.n_bytes > 0 and len(r.content_md5) == 32 for r in rows)
     assert {r.mime for r in rows} <= {"image/png", "audio/wav", "video/mp4"}
 
 
