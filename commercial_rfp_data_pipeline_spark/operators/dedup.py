@@ -117,3 +117,69 @@ def group_count_having(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over near-dup
+    pairs via iterative hash-min label propagation — every node ends
+    with cluster_id = min(id) of its component; singletons keep their
+    own id. The step a training-data dedup pipeline runs AFTER pair
+    generation (minhash/simhash/embedding) to pick one survivor per
+    duplicate cluster.
+
+    Shape at scale: edges and labels are (id, id) pairs only — no
+    payloads move. Each iteration is one join + one groupBy(min)
+    shuffle; the loop is bounded by component DIAMETER (not size), and
+    near-dup clusters are shallow in practice. Every round
+    ``localCheckpoint``s the new label table — persist alone does NOT
+    reliably stop iterative lineage growth (cache substitution can
+    miss, and each miss recomputes the whole chain, compounding
+    per round); checkpointing truncates the plan outright, which is
+    exactly GraphFrames' connected-components discipline (production
+    clusters use a reliable checkpoint dir instead of local). Labels
+    move only downward, so sum(lbl) is the fixpoint signal. This is
+    the documented exception to the no-driver-loop rule: a fixpoint
+    iteration whose trip count is a data property."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        combined = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        )
+        # path-halving (pointer jumping): also adopt the label OF the
+        # label — lbl(lbl(id)) <= lbl(id) — turning O(diameter) rounds
+        # into O(log diameter) on chain-shaped components
+        jump = combined.select(
+            F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        labels = (
+            combined.join(jump, "lbl", "left")
+            .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))

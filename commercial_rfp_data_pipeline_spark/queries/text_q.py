@@ -337,3 +337,45 @@ def q_simhash_pairs(spark, sf_dir):
     what's verified."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(simhash(docs))
+
+
+_PAIRS_SQL = """
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_filter(generate_series(1, 64),
+        i -> substr(a.simhash, CAST(i AS INTEGER), 1)
+          <> substr(b.simhash, CAST(i AS INTEGER), 1))) <= 3
+)
+"""
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTE.strip()},
+    {_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster formation over the SimHash near-dup pairs:
+    connected components by iterative hash-min propagation (Spark) vs
+    a recursive-CTE reachability closure (DuckDB). cluster_id = min
+    doc_id of the component; singletons keep their own id — the
+    pick-one-survivor-per-cluster step of a dedup pipeline."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(simhash(docs))
+    return dup_clusters(docs.select("doc_id"), pairs)

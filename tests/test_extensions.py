@@ -368,3 +368,20 @@ def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
     }
     assert stream_set == batch_set
     assert stream_set, "no pairs produced"
+
+
+def test_dup_clusters_chain_and_singletons(spark):
+    """Connected components: a 12-node chain (worst-case diameter for
+    label propagation — exercises path-halving), a triangle, and
+    singletons all resolve to min-id cluster labels."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
+
+    chain = [(i, i + 1) for i in range(100, 111)]
+    triangle = [(200, 201), (201, 202), (200, 202)]
+    pairs = spark.createDataFrame(chain + triangle, ["doc_a", "doc_b"])
+    node_ids = sorted({n for p in chain + triangle for n in p} | {300, 301})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], ["doc_id"])
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(nodes, pairs).collect()}
+    assert all(got[n] == 100 for n in range(100, 112))
+    assert all(got[n] == 200 for n in (200, 201, 202))
+    assert got[300] == 300 and got[301] == 301
