@@ -58,3 +58,33 @@ def salted_two_phase_agg(
     ]
     partial = df.groupBy(*keys, salt).agg(*phase1)
     return partial.groupBy(*keys).agg(*phase2)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the fact side gets a deterministic salt
+    (hash of a high-cardinality sibling column mod ``n_salts``) and the
+    dim side is replicated ``n_salts`` times via a posexplode'd salt
+    array, so the join key becomes (key, salt) and a hot key's rows
+    spread over ``n_salts`` reducers instead of one. Results are
+    EXACTLY the plain join (oracle-checkable) — only the shuffle layout
+    changes.
+
+    Use when the skewed side is too large to broadcast AND AQE's
+    runtime skew splitting isn't available (e.g. the join feeds a
+    co-partitioned downstream op that pins the exchange). Replication
+    multiplies the dim shuffle by n_salts — size n_salts to the hot
+    key's fanout, not higher."""
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    f = fact.withColumn("__salt", salt.cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")

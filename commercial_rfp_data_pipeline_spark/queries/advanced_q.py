@@ -270,3 +270,36 @@ def q_cube(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "salted_skew_join",
+    """
+    SELECT p_brand,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-safe equi-join: the fact side salts its key with a hash of
+    a sibling column, the dim side replicates n_salts times, and the
+    join runs on (key, salt) so a hot key's rows spread over n_salts
+    reducers. Results are EXACTLY the plain join+aggregate (the
+    oracle); only the shuffle layout changes. Broadcast is disabled for
+    the joined dim via a no-broadcast hint-free shuffle requirement at
+    real scale — here the plan shape is asserted in tests."""
+    from commercial_rfp_data_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", F.col("l_quantity").cast(DEC).alias("l_qty_dec")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, key="l_partkey", salt_src="l_orderkey", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_qty_dec").cast("double").alias("sum_qty"),
+    )

@@ -171,3 +171,20 @@ def test_embedding_neardup_default_path_never_collects(spark, sf_dir, monkeypatc
     # the plan is a grouped Arrow exec over the block grid, not a
     # broadcast of a collected matrix
     assert "FlatMapGroupsInPandas" in plan(out)
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    """The salted join must actually join on (key, __salt) — the salt
+    reaches the physical join keys — and produce exactly the plain
+    join's rows."""
+    from commercial_rfp_data_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = salted_join(li, part, key="l_partkey", salt_src="l_orderkey", n_salts=8)
+    p = plan(j)
+    join_section = p[p.find("Join") :][:400]
+    assert "__salt" in join_section, p
+    assert j.count() == li.join(part, "l_partkey").count()
