@@ -487,3 +487,44 @@ def simhash_pairs(
         .filter(first_match)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def assign_token_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget shards by global id
+    order: shard_id = floor(tokens_before_doc / shard_tokens) — the
+    write-layout step of a training-data pipeline (each shard is one
+    output file of ~shard_tokens tokens).
+
+    The global prefix sum is DISTRIBUTED — a naive cumulative window
+    would funnel the whole corpus through ONE partition. Instead:
+    range-partition by id, per-partition cumsum via a partition-local
+    window, then combine with per-partition totals (n_partitions rows;
+    that tiny table's own cumsum is the only single-partition window)
+    broadcast back as offsets. The result is independent of where the
+    sampled range boundaries fall, because the offset join
+    reconstructs the exact global prefix sum."""
+    toks = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    sc = df.sparkSession.sparkContext
+    nparts = max(2, sc.defaultParallelism)
+    parts = toks.repartitionByRange(nparts, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local = parts.withColumn("_cum_local", F.sum("n_tokens").over(w))
+    totals = local.groupBy("_pid").agg(F.max("_cum_local").alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    )
+    out = local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+    start = F.col("_cum_local") + F.col("_off") - F.col("n_tokens")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.floor(start / F.lit(shard_tokens)).cast("int").alias("shard_id"),
+    )

@@ -379,3 +379,36 @@ def q_dup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_pairs(simhash(docs))
     return dup_clusters(docs.select("doc_id"), pairs)
+
+
+@query(
+    "token_shard_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM}) = 0 THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(tokens_before / 2000.0) AS INTEGER) AS shard_id
+    FROM c
+    """,
+)
+def q_token_shards(spark, sf_dir):
+    """Fixed-token-budget shard assignment via a DISTRIBUTED prefix sum
+    (per-partition cumsum + broadcast offsets — no corpus-wide
+    single-partition window). The oracle states the naive global
+    cumulative window; results match exactly."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        assign_token_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_token_shards(docs, shard_tokens=2000)
