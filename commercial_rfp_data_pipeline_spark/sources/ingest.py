@@ -50,3 +50,36 @@ def paginated_scan(
     if not rows:
         return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, schema)
+
+
+def partitioned_fetch(
+    spark: SparkSession,
+    partitions: list[dict],
+    fetch_partition: Callable[[dict], list[dict]],
+    schema: str,
+) -> DataFrame:
+    """S5 at scale: when the remote API supports keyed fetch (date
+    ranges, shard ids, id prefixes), distribute the I/O — one task per
+    partition spec, each executor calling ``fetch_partition(spec)`` and
+    yielding its rows as Arrow batches via mapInPandas. The serial
+    cursor walk in ``paginated_scan`` stays for protocols that only
+    offer a next-link; this is the fan-out form for the ones that
+    don't. ``fetch_partition`` must be self-contained (pickled to
+    executors) and idempotent (speculative retries may re-fetch a
+    partition)."""
+    import json
+
+    spec_df = spark.createDataFrame(
+        [(json.dumps(p),) for p in partitions], "spec string"
+    ).repartition(max(1, len(partitions)))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for spec_json in pdf["spec"]:
+                rows = fetch_partition(json.loads(spec_json))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return spec_df.mapInPandas(run, schema=schema)

@@ -355,3 +355,21 @@ def test_ivf_index_lifecycle_and_pruned_probe(spark, sf_dir, tmp_path):
         emb, qvec, nprobe=2, k=3, id_col="chunk_id", vec_col="embedding"
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, direct.collect()))
+
+
+def test_partitioned_fetch_distributes_specs(spark):
+    """S5 scale form: each partition spec is fetched executor-side and
+    the union of all partitions comes back as one DataFrame."""
+    from commercial_rfp_data_pipeline_spark.sources.ingest import partitioned_fetch
+
+    specs = [{"shard": s} for s in range(5)]
+
+    def fetch(spec):
+        return [
+            {"shard": spec["shard"], "item": f"{spec['shard']}-{i}"} for i in range(3)
+        ]
+
+    df = partitioned_fetch(spark, specs, fetch, "shard long, item string")
+    rows = df.collect()
+    assert len(rows) == 15
+    assert {r.item for r in rows} == {f"{s}-{i}" for s in range(5) for i in range(3)}
