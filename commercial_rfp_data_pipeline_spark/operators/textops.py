@@ -528,3 +528,27 @@ def assign_token_shards(
         "n_tokens",
         F.floor(start / F.lit(shard_tokens)).cast("int").alias("shard_id"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic stratified sample: rank rows within each stratum
+    by md5(seed || id) and keep the first ``n_per_stratum`` — the
+    training-data MIXING primitive (equal representation per language /
+    quality bucket / source). No rand(): hash-rank is reproducible
+    under any partitioning and across speculative retries, and
+    oracle-expressible. One window shuffle on the strata key; at scale
+    the per-stratum top-n is partially evaluated map-side by AQE's
+    window-group-limit pushdown."""
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

@@ -412,3 +412,51 @@ def q_token_shards(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return assign_token_shards(docs, shard_tokens=2000)
+
+
+@query(
+    "training_mix_stratified_sample",
+    f"""
+    WITH langs AS (
+      SELECT doc_id,
+             CASE
+               WHEN len(list_filter(string_split({_NORM}, ' '),
+                    w -> w IN ('the','a','of','to','and','in','is','for','on','it')))
+                 >= len(list_filter(string_split({_NORM}, ' '),
+                    w -> w IN ('el','la','de','que','y','en','un','es','por','los')))
+                AND
+                    len(list_filter(string_split({_NORM}, ' '),
+                    w -> w IN ('the','a','of','to','and','in','is','for','on','it')))
+                 >= len(list_filter(string_split({_NORM}, ' '),
+                    w -> w IN ('le','la','de','et','un','en','est','que','pour','les')))
+               THEN 'en'
+               WHEN len(list_filter(string_split({_NORM}, ' '),
+                    w -> w IN ('el','la','de','que','y','en','un','es','por','los')))
+                 >= len(list_filter(string_split({_NORM}, ' '),
+                    w -> w IN ('le','la','de','et','un','en','est','que','pour','les')))
+               THEN 'es'
+               ELSE 'fr'
+             END AS lang_pred
+      FROM documents
+    )
+    SELECT doc_id, lang_pred FROM (
+      SELECT doc_id, lang_pred,
+             row_number() OVER (PARTITION BY lang_pred
+               ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM langs
+    ) WHERE rn <= 20
+    """,
+)
+def q_training_mix(spark, sf_dir):
+    """Data-mixing primitive: a deterministic hash-ranked sample of 20
+    docs per predicted language — equal-representation sampling whose
+    survivors are reproducible (and therefore oracle-checked) rather
+    than rand()-dependent."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        lang_id,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = lang_id(docs).select("doc_id", "lang_pred")
+    return stratified_sample(langs, ["lang_pred"], n_per_stratum=20)
