@@ -385,3 +385,17 @@ def test_dup_clusters_chain_and_singletons(spark):
     assert all(got[n] == 100 for n in range(100, 112))
     assert all(got[n] == 200 for n in (200, 201, 202))
     assert got[300] == 300 and got[301] == 301
+
+
+def test_dup_clusters_partition_invariant(spark):
+    """Cluster labels must not depend on physical partitioning."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
+
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 38)]
+    nodes = [(n,) for n in range(41)]
+    results = []
+    for nparts in (1, 7):
+        p = spark.createDataFrame(pairs, ["doc_a", "doc_b"]).repartition(nparts)
+        n = spark.createDataFrame(nodes, ["doc_id"]).repartition(nparts)
+        results.append({r.doc_id: r.cluster_id for r in dup_clusters(n, p).collect()})
+    assert results[0] == results[1]
