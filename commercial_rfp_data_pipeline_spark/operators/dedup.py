@@ -171,10 +171,12 @@ def dup_clusters(
         jump = combined.select(
             F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")
         )
+        # lazy checkpoint: the convergence aggregate right below is the
+        # materializing action, so each round runs ONE job, not two
         labels = (
             combined.join(jump, "lbl", "left")
             .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
