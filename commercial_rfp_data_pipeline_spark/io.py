@@ -33,22 +33,50 @@ TABLES = (
 
 
 _PINNED: list[DataFrame] = []
+_PINNED_BY_KEY: dict[str, DataFrame] = {}
 
 
-def pin(df: DataFrame) -> DataFrame:
+def pin(df: DataFrame, key: str | None = None) -> DataFrame:
     """Persist a build product (LSH band table, simhash fingerprints,
     IVF centroids, pruned inverted index) and track it for explicit
     release. Operators persist intermediates that multiple plan
     branches read; since the operator returns a LAZY DataFrame there is
     no in-function point where unpersist is safe — the discipline is a
     session-level release point instead: harnesses call
-    ``release_pinned()`` between queries (bench.py, verify_local)."""
-    _PINNED.append(df.persist())
+    ``release_pinned()`` between queries (bench.py, verify_local), and
+    a session-scoped pytest fixture does the same.
+
+    ``key`` (defaulting to the caller's module:function:line, so two
+    pins inside one function stay distinct) additionally
+    dedups ACROSS calls: a repeat pin from the same producer unpersists
+    the previous build product first, so long-lived library sessions
+    that call jaccard_pairs/simhash_pairs/ivf_search repeatedly hold at
+    most one pinned product per producer instead of accumulating
+    storage-memory leaks."""
+    if key is None:
+        import inspect
+
+        frame = inspect.currentframe().f_back
+        key = (
+            f"{frame.f_globals.get('__name__', '?')}:"
+            f"{frame.f_code.co_name}:{frame.f_lineno}"
+        )
+    old = _PINNED_BY_KEY.pop(key, None)
+    if old is not None:
+        old.unpersist()
+        try:
+            _PINNED.remove(old)
+        except ValueError:
+            pass
+    df = df.persist()
+    _PINNED_BY_KEY[key] = df
+    _PINNED.append(df)
     return df
 
 
 def release_pinned() -> None:
     """Unpersist every pinned build product (see ``pin``)."""
+    _PINNED_BY_KEY.clear()
     while _PINNED:
         _PINNED.pop().unpersist()
 
@@ -162,7 +190,11 @@ def _write_xlsx_minimal(header: list[str], rows: list[tuple], path: str) -> None
         if v is None:
             return ""
         if isinstance(v, bool):
-            v = str(v)
+            # native boolean cell (t="b"), not the string 'True' — keeps
+            # the round-trip schema identical with and without openpyxl
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, float) and v != v:  # NaN: blank cell, like None
+            return ""
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v}</v></c>'
         return (
@@ -259,8 +291,14 @@ def _read_xlsx_minimal(path_or_bytes) -> tuple[list[str], list[list]]:
                     val = shared[int(raw)]
                 elif kind == "str":
                     val = raw
+                elif kind == "b":
+                    val = raw == "1"
                 else:
-                    val = float(raw)
+                    # integral numerics come back as int (xlsx stores all
+                    # numbers as doubles) so the inferred Spark schema
+                    # matches the openpyxl path: long, not double
+                    f = float(raw)
+                    val = int(f) if f.is_integer() else f
             cells[ci] = val
         width = max(cells) + 1 if cells else 0
         grid.append([cells.get(i) for i in range(width)])

@@ -158,6 +158,7 @@ def dup_clusters(
         F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
     ).localCheckpoint()
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -182,6 +183,19 @@ def dup_clusters(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # unconverged labels are indistinguishable from correct clusters
+        # (components silently split) — make the truncation loud
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters: label propagation did not reach a fixpoint "
+            f"within max_iter={max_iter} rounds; components may be "
+            f"split — raise max_iter (bound is O(log diameter))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))

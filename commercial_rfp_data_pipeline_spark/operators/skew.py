@@ -80,7 +80,19 @@ def salted_join(
     runtime skew splitting isn't available (e.g. the join feeds a
     co-partitioned downstream op that pins the exchange). Replication
     multiplies the dim shuffle by n_salts — size n_salts to the hot
-    key's fanout, not higher."""
+    key's fanout, not higher.
+
+    Only fact-preserving join types are allowed: the dim side is
+    replicated ``n_salts`` times, so right/full outer joins would emit
+    each unmatched dim row once PER SALT REPLICA — not the plain-join
+    result. Rather than silently return wrong rows, reject those."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not equivalence-preserving under "
+            f"dim replication (unmatched dim rows would appear n_salts "
+            f"times); use one of {sorted(allowed)}"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
     f = fact.withColumn("__salt", salt.cast("int"))
     d = dim.withColumn(

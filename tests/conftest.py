@@ -26,3 +26,14 @@ def spark(tmp_path_factory):
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture(autouse=True)
+def _release_pins():
+    """Release pin()'d build products after every test so repeated
+    operator calls can't accumulate persisted DataFrames (storage-memory
+    leak) across the session."""
+    yield
+    from commercial_rfp_data_pipeline_spark.io import release_pinned
+
+    release_pinned()

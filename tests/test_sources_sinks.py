@@ -71,6 +71,47 @@ def test_xlsx_shim_types_and_blanks(spark, tmp_path):
     header, rows = _read_xlsx_minimal(path)
     assert header == ["name", "qty", "note"]
     assert rows == [["a b  c", 2.0, None], ["<x&y>", 1.5, "ok"]]
+    # integral floats come back as int (xlsx numbers are all doubles;
+    # matches pandas/openpyxl inference), non-integral stay float
+    assert isinstance(rows[0][1], int) and isinstance(rows[1][1], float)
+
+
+def test_xlsx_shim_bool_and_nan(tmp_path):
+    """Bools round-trip as native boolean cells (not the string 'True')
+    and float NaN writes as a blank cell — same schema with or without
+    openpyxl."""
+    from commercial_rfp_data_pipeline_spark.io import (
+        _read_xlsx_minimal,
+        _write_xlsx_minimal,
+    )
+
+    path = str(tmp_path / "shim2.xlsx")
+    _write_xlsx_minimal(
+        ["flag", "score"],
+        [(True, float("nan")), (False, 0.25)],
+        path,
+    )
+    _, rows = _read_xlsx_minimal(path)
+    assert rows == [[True, None], [False, 0.25]]
+    assert isinstance(rows[0][0], bool) and isinstance(rows[1][0], bool)
+
+
+def test_salted_join_rejects_dim_replicating_how(spark):
+    """Outer joins on the replicated-dim side would emit unmatched dim
+    rows once per salt replica — salted_join refuses them."""
+    import pytest
+
+    from commercial_rfp_data_pipeline_spark.operators.skew import salted_join
+
+    f = spark.createDataFrame([(1, "x")], "k int, a string")
+    d = spark.createDataFrame([(1, "y")], "k int, b string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(f, d, key="k", salt_src="a", how=how)
+    # left join of an unmatched fact row stays exactly one null-extended row
+    f2 = spark.createDataFrame([(1, "x"), (2, "z")], "k int, a string")
+    out = salted_join(f2, d, key="k", salt_src="a", how="left", n_salts=4)
+    assert out.count() == 2
 
 
 def test_document_sink_partitioned(spark, sf_dir, tmp_path):
