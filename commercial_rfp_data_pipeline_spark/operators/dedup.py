@@ -199,3 +199,33 @@ def dup_clusters(
             stacklevel=2,
         )
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def cluster_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Pick ONE canonical document per duplicate cluster — the step a
+    training-data dedup pipeline runs after ``dup_clusters``: join the
+    (id, cluster_id) labels to per-document scores, keep the
+    highest-scoring member (ties broken by ascending id so the choice
+    is deterministic), and report the cluster size. The surviving id
+    set IS the deduplicated corpus; anti-join the originals against it
+    to materialize the dropped rows.
+
+    Shape at scale: one equi-join on id (both sides one row per doc),
+    one window shuffle on cluster_id for the argmax, one groupBy on
+    cluster_id for sizes — Catalyst reuses the cluster_id exchange
+    between the window and the count. Nothing is driver-resident."""
+    member = clusters.join(scores.select(id_col, score_col), id_col)
+    survivors = argmax_per_key(
+        member, ["cluster_id"], score_col, tiebreak=id_col
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return survivors.join(sizes, "cluster_id").select(
+        "cluster_id", id_col, score_col, "n_members"
+    )

@@ -381,6 +381,78 @@ def q_dup_clusters(spark, sf_dir):
     return dup_clusters(docs.select("doc_id"), pairs)
 
 
+# quality_score fragment shared with text_quality_features — the
+# survivor-selection metric
+_QUALITY_CTE = f"""
+qfeat AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+         len(regexp_extract_all(t, '[.,;:!?]')) AS punct,
+         len(list_filter(string_split(t, ' '),
+             w -> w IN ('the','a','of','to','and','in','is','for','on','it'))) AS stop
+  FROM (SELECT doc_id, {_NORM} AS t FROM documents)
+),
+qual AS (
+  SELECT doc_id,
+         round(least(n_tokens / 200.0, 1.0) * 0.5
+               + least(CASE WHEN n_tokens > 0 THEN stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5, 1.0) * 0.3
+               + (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 10, 1.0)) * 0.2,
+               6) AS quality_score
+  FROM qfeat
+)
+"""
+
+
+@query(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTE.strip()},
+    {_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    {_QUALITY_CTE.strip()},
+    member AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_score
+      FROM clusters c JOIN qual q USING (doc_id)
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_members FROM member GROUP BY cluster_id)
+    SELECT m.cluster_id, m.doc_id, m.quality_score, s.n_members
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY quality_score DESC, doc_id) AS rn FROM member) m
+    JOIN sizes s USING (cluster_id)
+    WHERE m.rn = 1
+    """,
+)
+def q_dedup_survivors(spark, sf_dir):
+    """The END-TO-END dedup pipeline a training-data run actually
+    executes: simhash near-dup pairs -> connected-component clusters ->
+    quality-argmax survivor per cluster. The surviving doc_id set is
+    the deduplicated corpus (singleton clusters keep their only
+    member); n_members reports how many duplicates each survivor
+    absorbed. Every stage is individually oracle-checked by its own
+    query; this one checks the composition."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        cluster_survivors,
+        dup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(simhash(docs))
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    quality = quality_features(docs).select("doc_id", "quality_score")
+    return cluster_survivors(clusters, quality)
+
+
 @query(
     "token_shard_packing",
     f"""

@@ -387,6 +387,28 @@ def test_dup_clusters_chain_and_singletons(spark):
     assert got[300] == 300 and got[301] == 301
 
 
+def test_cluster_survivors_argmax_and_sizes(spark):
+    """Survivor selection: highest quality wins per cluster, ascending
+    doc_id breaks ties, singletons survive themselves, and n_members
+    reports the cluster multiplicity."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import cluster_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        ["doc_id", "cluster_id"],
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: doc 2 best; cluster 4: tie -> doc 4 (lower id)
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (6, 0.3)],
+        ["doc_id", "quality_score"],
+    )
+    got = {
+        r.cluster_id: (r.doc_id, r.quality_score, r.n_members)
+        for r in cluster_survivors(clusters, scores).collect()
+    }
+    assert got == {1: (2, 0.9, 3), 4: (4, 0.7, 2), 6: (6, 0.3, 1)}
+
+
 def test_dup_clusters_partition_invariant(spark):
     """Cluster labels must not depend on physical partitioning."""
     from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
