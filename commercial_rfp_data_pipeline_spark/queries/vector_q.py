@@ -88,62 +88,75 @@ def q_embedding_neardup(spark, sf_dir):
 _LSH_NEARDUP_ORACLE = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {buckets},
-    eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id))
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    eb AS (SELECT e.vec_id, e.v, b.tbl, b.bucket FROM e JOIN buckets b USING (vec_id))
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS sim
-    FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """
 
 
 def _q_embedding_neardup_lsh(spark, sf_dir):
-    """Scale path for near-dup: candidates restricted to LSH
-    bucket-mates, exact per-bucket matmul scoring. Deterministic
-    bucketing keeps even the approximate path hash-checked; recall vs
-    the exact all-pairs variant is a property of the bit count (tests
-    pin it)."""
+    """Scale path for near-dup: candidates restricted to bucket-mates
+    in ANY of 4 independent 4-bit LSH tables, exact per-bucket matmul
+    scoring, pair-keyed dedup. Deterministic bucketing keeps even the
+    approximate path hash-checked; pair recall vs the exact all-pairs
+    variant is 1-(1-p^4)^4 (tests pin it)."""
     from commercial_rfp_data_pipeline_spark.operators.vector import (
         embedding_neardup_pairs_lsh,
     )
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    return embedding_neardup_pairs_lsh(v, dim=DIM, threshold=0.35, n_bits=6)
+    return embedding_neardup_pairs_lsh(v, dim=DIM, threshold=0.35, n_bits=4, n_tables=4)
 
 
 def _planes_sql(n_bits: int) -> str:
-    """Mirror operators.vector._hyperplane as SQL list literals."""
-    import math
+    """Emit operators.vector._hyperplane's Gaussian plane constants as
+    SQL list literals — the SAME driver-side values the Spark plan
+    embeds, so oracle parity is by construction."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _hyperplane
 
     planes = []
     for b in range(n_bits):
-        comps = ", ".join(
-            f"{math.sin(1 + (b * DIM + j) * 0.7391)!r}" for j in range(DIM)
-        )
+        comps = ", ".join(f"{x!r}" for x in _hyperplane(DIM, b))
         planes.append(f"[{comps}]")
     return ", ".join(planes)
 
 
-_BUCKETS_CTE = f"""
-planes AS (SELECT unnest([{_planes_sql(6)}]) AS plane,
-                  unnest(generate_series(0, 5)) AS bit),
+def _multi_buckets_cte(n_bits: int, n_tables: int) -> str:
+    """Multi-table LSH bucket CTE: plane idx // n_bits is the table,
+    string_agg ordered by idx concatenates that table's bits."""
+    n_planes = n_bits * n_tables
+    return f"""
+planes AS (SELECT unnest([{_planes_sql(n_planes)}]) AS plane,
+                  unnest(generate_series(0, {n_planes - 1})) AS idx),
 buckets AS (
-  SELECT vec_id, string_agg(CASE WHEN list_dot_product(v, plane) >= 0
-                                 THEN '1' ELSE '0' END, '' ORDER BY bit) AS bucket
-  FROM e CROSS JOIN planes GROUP BY vec_id
+  SELECT vec_id, idx // {n_bits} AS tbl,
+         string_agg(CASE WHEN list_dot_product(v, plane) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY idx) AS bucket
+  FROM e CROSS JOIN planes GROUP BY vec_id, idx // {n_bits}
 )
 """
+
+
+_BUCKETS_CTE = _multi_buckets_cte(4, 4)
 
 
 @query(
     "ann_lsh_topk",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    {_BUCKETS_CTE.strip()},
-    eb AS (SELECT e.vec_id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
-    q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM eb WHERE vec_id < {N_QUERIES}),
+    {_multi_buckets_cte(4, 6).strip()},
+    eb AS (SELECT e.vec_id, e.v, b.tbl, b.bucket FROM e JOIN buckets b USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, tbl, bucket FROM eb WHERE vec_id < {N_QUERIES}),
+    qv AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.q_id, eb.vec_id
+      FROM eb JOIN q ON eb.tbl = q.tbl AND eb.bucket = q.bucket AND eb.vec_id <> q.q_id
+    ),
     sims AS (
-      SELECT q.q_id, eb.vec_id, round(list_cosine_similarity(eb.v, q.q_vec), 6) AS sim
-      FROM eb JOIN q ON eb.bucket = q.bucket AND eb.vec_id <> q.q_id
+      SELECT c.q_id, c.vec_id, round(list_cosine_similarity(e.v, qv.q_vec), 6) AS sim
+      FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN qv ON qv.q_id = c.q_id
     )
     SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
@@ -152,13 +165,19 @@ buckets AS (
     """,
 )
 def q_ann_lsh(spark, sf_dir):
-    """Sign-random-projection LSH ANN top-5. The hyperplanes are
+    """Multi-table sign-random-projection LSH ANN top-5 (6 tables x 4
+    Gaussian bits; candidates = collision in any table). The planes are
     deterministic and reproduced as SQL literals, so — unusually for an
-    ANN path — the WHOLE pipeline (bucketing, candidate probe, re-rank)
-    is oracle-checked; recall vs knn_exact_cosine_topk is pinned in
-    tests as a property of the bit count, not noise."""
+    ANN path — the WHOLE pipeline (bucketing, candidate probe, dedup,
+    re-rank) is oracle-checked; recall vs knn_exact_cosine_topk is
+    pinned in tests as 1-(1-p^bits)^tables, not noise."""
     out = knn_lsh(
-        _vectors(spark, sf_dir), _queries_df(spark, sf_dir), dim=DIM, k=5, n_bits=6
+        _vectors(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        dim=DIM,
+        k=5,
+        n_bits=4,
+        n_tables=6,
     )
     return out.select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
 

@@ -49,8 +49,9 @@ def test_chunker_reference_constants(spark):
 
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     """LSH ANN is rows-only for the driver; here we judge it against
-    the exact oracle: every ANN hit's similarity is <= the exact top-1,
-    and recall@5 is nontrivial (>0.3 on 6 bits / 500 vectors)."""
+    the exact oracle. With 6 independent 4-bit Gaussian tables the
+    OR-amplified recall is 1-(1-p^4)^6 ~ 0.5 on this corpus (measured
+    0.48); pin it above 0.4."""
     from commercial_rfp_data_pipeline_spark.queries.vector_q import (
         q_ann_lsh,
         q_knn_exact,
@@ -60,7 +61,7 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     ann = {(r.q_id, r.vec_id) for r in q_ann_lsh(spark, sf_dir).collect()}
     assert ann, "LSH returned nothing"
     recall = len(exact & ann) / len(exact)
-    assert recall > 0.3, f"recall collapsed: {recall}"
+    assert recall > 0.4, f"recall collapsed: {recall}"
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
@@ -331,8 +332,8 @@ def test_streaming_sessions_run(spark, sf_dir):
 def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     """The bucketed near-dup path returns a SUBSET of the exact
     all-pairs result (same scoring, restricted candidates); recall is
-    a deterministic property of the bit count — assert it stays
-    nontrivial."""
+    a deterministic property of the (bits, tables) config — 4x4-bit
+    Gaussian tables measured 0.47 here; pin above 0.35."""
     from commercial_rfp_data_pipeline_spark.queries.vector_q import (
         _q_embedding_neardup_lsh,
         q_embedding_neardup,
@@ -343,7 +344,7 @@ def test_embedding_neardup_lsh_subset_of_exact(spark, sf_dir):
     assert lsh, "LSH near-dup returned nothing"
     assert set(lsh) <= set(exact)
     assert all(exact[k] == lsh[k] for k in lsh)  # identical scoring
-    assert len(lsh) / len(exact) > 0.15
+    assert len(lsh) / len(exact) > 0.35
 
 
 def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
