@@ -368,17 +368,37 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "ivf",
+    n_iters: int = 2,
 ) -> DataFrame:
-    """Deterministic seeded hash-sample of ``n_centroids`` corpus
-    vectors as coarse centroids (standing in for k-means — the Spark
-    plumbing is identical): rank by ``md5(seed || id)`` and take the
-    first ``n_centroids``. Valid for ANY id distribution (dense,
-    sparse, skewed) and any centroid count; md5 hex is identical in
-    Spark and DuckDB so the choice is oracle-reproducible. The
-    orderBy().limit() compiles to TakeOrdered — per-partition partial
-    top-k, no global sort, and only (hash, id, vec) ever moves."""
+    """Deterministic k-means coarse centroids for IVF.
+
+    Init: seeded hash-sample — rank corpus vectors by
+    ``md5(seed || id)`` and take the first ``n_centroids`` (valid for
+    ANY id distribution; md5 hex is identical in Spark and DuckDB so
+    the choice is oracle-reproducible; orderBy().limit() compiles to
+    TakeOrdered — per-partition partial top-k, no global sort).
+
+    Then ``n_iters`` LLOYD ROUNDS, each fully distributed and fully
+    deterministic: broadcast the (tiny) centroid table, assign every
+    vector to its nearest centroid by rounded cosine (max_by with an
+    explicit (sim, -cent_id) tiebreak — map-side collapse, the shuffle
+    moves one row per vector), recompute each centroid as its members'
+    per-component mean (posexplode -> groupBy(cent_id, idx) avg —
+    partial aggregation map-side), components rounded to 6 dp so both
+    engines see bit-identical centroid tables. A cluster that loses
+    all members keeps its INIT vector (coalesce against the init
+    table), so the centroid count never silently drops. Fixed
+    iteration count + md5 init keeps the whole construction
+    SQL-expressible — the oracle states the same rounds as CTEs.
+
+    Shape at 100 TB: each round is one broadcast-join corpus scan plus
+    one (cent_id, idx) aggregation of k x dim rows — the standard
+    distributed k-means cost, linear per round, nothing
+    driver-resident. Real recall needs trained centroids, not a
+    sample: members then cluster around actual density modes, so the
+    per-cell occupancy the probe cost depends on is balanced."""
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    return (
+    init = (
         vectors.select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cent_vec"),
@@ -386,8 +406,48 @@ def ivf_centroids(
         )
         .orderBy("_h", "cent_id")
         .limit(n_centroids)
-        .select("cent_id", "cent_vec", _norm(F.col("cent_vec")).alias("_cn"))
+        .select("cent_id", "cent_vec")
     )
+    cents = init.select(
+        "cent_id", "cent_vec", _norm(F.col("cent_vec")).alias("_cn")
+    )
+    vn = vectors.withColumn("_n", _norm(F.col(vec_col)))
+    for _ in range(n_iters):
+        j = vn.crossJoin(F.broadcast(cents))
+        sim = F.round(
+            _dot(F.col(vec_col), F.col("cent_vec")) / (F.col("_n") * F.col("_cn")), 6
+        )
+        scored = j.select(id_col, vec_col, "cent_id", sim.alias("cent_sim"))
+        best = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.struct("cent_id", vec_col),
+                F.struct(F.col("cent_sim"), (-F.col("cent_id")).alias("_neg")),
+            ).alias("_b")
+        )
+        assigned = best.select(
+            F.col("_b.cent_id").alias("cent_id"),
+            F.col(f"_b.{vec_col}").alias(vec_col),
+        )
+        comp = assigned.select("cent_id", F.posexplode(vec_col).alias("idx", "x"))
+        means = comp.groupBy("cent_id", "idx").agg(
+            F.round(F.avg("x"), 6).alias("m")
+        )
+        newc = means.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                lambda s: s["m"],
+            ).alias("cent_vec")
+        )
+        cents = (
+            init.select("cent_id", F.col("cent_vec").alias("_init_vec"))
+            .join(newc, "cent_id", "left")
+            .select(
+                "cent_id",
+                F.coalesce("cent_vec", "_init_vec").alias("cent_vec"),
+            )
+            .withColumn("_cn", _norm(F.col("cent_vec")))
+        )
+    return cents
 
 
 def ivf_assign(

@@ -211,16 +211,54 @@ def q_lsh_histogram(spark, sf_dir):
     )
 
 
+def _kmeans_cte(n_iters: int = 2, n_cents: int = 16) -> tuple[str, str]:
+    """Mirror operators.vector.ivf_centroids' deterministic Lloyd
+    rounds as CTEs: hash-sample init, then per round nearest-centroid
+    assignment (rounded cosine, (sim DESC, cent_id) tiebreak) and
+    per-component member means rounded to 6 dp, empty clusters falling
+    back to their init vector. Returns (cte_sql, final_cents_name)."""
+    parts = [
+        f"""cents0 AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
+              ORDER BY md5('ivf' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cents})"""
+    ]
+    prev = "cents0"
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""assign{i} AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cent_vec), 6) DESC, c.cent_id) AS rn
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    means{i} AS (
+      SELECT cent_id, i.i AS idx, round(avg(v[i.i]), 6) AS m
+      FROM assign{i}, (SELECT unnest(generate_series(1, {DIM})) AS i) i
+      GROUP BY cent_id, i.i
+    ),
+    agg{i} AS (SELECT cent_id, array_agg(m ORDER BY idx) AS cent_vec FROM means{i} GROUP BY cent_id),
+    cents{i} AS (
+      SELECT c0.cent_id, coalesce(a.cent_vec, c0.cent_vec) AS cent_vec
+      FROM cents0 c0 LEFT JOIN agg{i} a USING (cent_id)
+    )"""
+        )
+        prev = f"cents{i}"
+    return ",\n    ".join(parts), prev
+
+
+_KMEANS_SQL, _KM_FINAL = _kmeans_cte(2, 16)
+
+
 @query(
     "ivf_coarse_assignment",
-    """
+    f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
-              ORDER BY md5('ivf' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    {_KMEANS_SQL},
     sims AS (
       SELECT e.vec_id, c.cent_id,
              round(list_cosine_similarity(e.v, c.cent_vec), 6) AS cent_sim
-      FROM e CROSS JOIN cents c
+      FROM e CROSS JOIN {_KM_FINAL} c
     )
     SELECT vec_id, cent_id, cent_sim FROM (
       SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_sim DESC, cent_id) AS rn
@@ -230,9 +268,10 @@ def q_lsh_histogram(spark, sf_dir):
 )
 def q_ivf_assign(spark, sf_dir):
     """IVF coarse quantization: nearest-centroid assignment (broadcast
-    centroids, narrow pass). Deterministic centroid choice stands in for
-    k-means; the Spark plumbing (assign -> partition by list) is the
-    100-TB layout primitive."""
+    centroids, narrow pass) against TRAINED centroids — deterministic
+    Lloyd k-means (seeded init + 2 rounds), every round of which the
+    oracle re-states in SQL. The assign -> partition-by-list plumbing
+    is the 100-TB layout primitive."""
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
     out = ivf_assign(v, n_centroids=16)
     return out.select("vec_id", "cent_id", "cent_sim")
@@ -242,14 +281,13 @@ def q_ivf_assign(spark, sf_dir):
     "ivf_topk_search",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, v AS cent_vec FROM e
-              ORDER BY md5('ivf' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    {_KMEANS_SQL},
     assigned AS (
       SELECT vec_id, v, cent_id FROM (
         SELECT e.vec_id, e.v, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.v, c.cent_vec), 6) DESC, c.cent_id) AS rn
-        FROM e CROSS JOIN cents c
+        FROM e CROSS JOIN {_KM_FINAL} c
       ) WHERE rn = 1
     ),
     q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}),
@@ -258,7 +296,7 @@ def q_ivf_assign(spark, sf_dir):
         SELECT q.q_id, q.q_vec, c.cent_id,
                row_number() OVER (PARTITION BY q.q_id
                  ORDER BY round(list_cosine_similarity(q.q_vec, c.cent_vec), 6) DESC, c.cent_id) AS rn
-        FROM q CROSS JOIN cents c
+        FROM q CROSS JOIN {_KM_FINAL} c
       ) WHERE rn <= 2
     ),
     sims AS (
@@ -272,11 +310,13 @@ def q_ivf_assign(spark, sf_dir):
     """,
 )
 def q_ivf_search(spark, sf_dir):
-    """Full IVF ANN: corpus in nearest-centroid cells, queries probe
-    their 2 nearest cells, exact rank within. Deterministic end to end,
-    so unlike most ANN implementations the whole path is oracle-checked
-    — recall loss vs knn_exact_cosine_topk is a measured property of
-    nprobe, not noise (tests pin it)."""
+    """Full IVF ANN over TRAINED (Lloyd k-means) centroids: corpus in
+    nearest-centroid cells, queries probe their 2 nearest cells, exact
+    rank within. Deterministic end to end — init, both Lloyd rounds,
+    assignment, probing, ranking — so unlike most ANN implementations
+    the whole path is oracle-checked; recall loss vs
+    knn_exact_cosine_topk is a measured property of nprobe, not noise
+    (tests pin it)."""
     out = ivf_search(
         _vectors(spark, sf_dir), _queries_df(spark, sf_dir), n_centroids=16, nprobe=2, k=5
     )

@@ -66,8 +66,9 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
     """IVF@nprobe=2 recall against the exact top-5: deterministic, so
-    the value is pinned by construction — assert it stays nontrivial
-    and that every IVF hit's sim <= the exact top-1's sim per query."""
+    the value is pinned by construction (trained Lloyd centroids
+    measured 0.48 here) — assert it stays above 0.4 and that every IVF
+    hit's sim <= the exact top-1's sim per query."""
     from commercial_rfp_data_pipeline_spark.queries.vector_q import (
         q_ivf_search,
         q_knn_exact,
@@ -79,7 +80,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     ivf = {(r.q_id, r.vec_id) for r in ivf_rows}
     assert ivf, "IVF returned nothing"
     recall = len(exact & ivf) / len(exact)
-    assert recall > 0.2, f"recall collapsed: {recall}"
+    assert recall > 0.4, f"recall collapsed: {recall}"
     top1 = {r.q_id: r.sim for r in exact_rows if r.rnk == 1}
     assert all(r.sim <= top1[r.q_id] for r in ivf_rows)
 
