@@ -6,6 +6,7 @@ arithmetic both engines state identically)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
@@ -176,3 +177,158 @@ def q_hybrid_search(spark, sf_dir):
     )
     out = knn_exact(kw_emb, qvec, k=3, id_col="chunk_id", vec_col="embedding")
     return out.select("q_id", "chunk_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+
+
+# BM25 constants (Robertson/Sparck Jones defaults)
+BM25_K1, BM25_B = 1.2, 0.75
+_QIDS = ("0_0", "1_0", "2_0")
+
+_BM25_CTES = f"""
+norm AS (SELECT chunk_id, lower(trim(regexp_replace(chunk, '\\s+', ' ', 'g'))) AS t
+         FROM chunks),
+toks2 AS (SELECT chunk_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+dl AS (SELECT chunk_id, count(*) AS dl FROM toks2 GROUP BY chunk_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT chunk_id, tok, count(*) AS tf FROM toks2 GROUP BY chunk_id, tok),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+qterms AS (SELECT DISTINCT chunk_id AS q_id, tok FROM toks2
+           WHERE chunk_id IN {_QIDS!r}),
+contrib AS (
+  SELECT q.q_id, t.chunk_id,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * t.tf * ({BM25_K1} + 1)
+         / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)) AS c
+  FROM qterms q JOIN dft d USING (tok) JOIN tf t USING (tok)
+  JOIN dl l ON l.chunk_id = t.chunk_id CROSS JOIN stats s
+  WHERE t.chunk_id <> q.q_id
+),
+bm25 AS (SELECT q_id, chunk_id, sum(c) AS bm25raw FROM contrib GROUP BY q_id, chunk_id)
+"""
+
+
+@query(
+    "hybrid_bm25_search",
+    f"""
+    WITH {_CHUNKS_CTE.strip()},
+    {_BM25_CTES.strip()},
+    {_EMBED_CTES.strip()},
+    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
+    qv AS (SELECT chunk_id AS q_id, v AS q_vec FROM vecs WHERE chunk_id IN {_QIDS!r}),
+    scored AS (
+      SELECT b.q_id, b.chunk_id, b.bm25raw,
+             round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
+      FROM bm25 b JOIN vecs e ON e.chunk_id = b.chunk_id JOIN qv q ON q.q_id = b.q_id
+    ),
+    final AS (
+      SELECT q_id, chunk_id, round(bm25raw, 6) AS bm25, sim,
+             round(0.5 * bm25raw / max(bm25raw) OVER (PARTITION BY q_id)
+                   + 0.5 * sim, 6) AS hybrid
+      FROM scored
+    )
+    SELECT q_id, chunk_id, bm25, sim, hybrid, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hybrid DESC, chunk_id) AS rnk
+      FROM final
+    ) WHERE rnk <= 3
+    """,
+)
+def q_hybrid_bm25(spark, sf_dir):
+    """TRUE hybrid ranking (indexer:138-146 declares keyword + semantic
+    ranking over chunk text): the keyword side contributes a real BM25
+    score (k1=1.2, b=0.75; idf = ln(1 + (N - df + .5)/(df + .5)), the
+    Robertson smooth that stays positive), the vector side the exact
+    cosine; hybrid = 0.5 * per-query-max-normalized BM25 + 0.5 * cosine,
+    top-3 per query. Query terms are the query chunks' own distinct
+    tokens.
+
+    Scale shape: tf and df come from ONE shuffle of (chunk, tok) each
+    (map-side combine); the candidate set is the union of the query
+    terms' postings (never the corpus), the EMBED STAGE RUNS ONLY ON
+    CANDIDATES (the expensive stage stays behind the keyword filter,
+    like hybrid_keyword_vector_search), and the per-(q, chunk) sum
+    shuffles candidate rows only. Every stage — including both scores
+    and the fusion — is exact arithmetic the DuckDB oracle re-states,
+    so the hybrid contract is value-checked end to end."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import words
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    chunks = pin(build_chunks(spark, sf_dir).select("chunk_id", "chunk"))
+    toks = chunks.select("chunk_id", F.explode(words("chunk")).alias("tok"))
+    dl = toks.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = toks.groupBy("chunk_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        toks.filter(F.col("chunk_id").isin(*_QIDS))
+        .select(F.col("chunk_id").alias("q_id"), "tok")
+        .distinct()
+    )
+    contrib = (
+        qterms.join(dft, "tok")
+        .join(tf, "tok")
+        .filter(F.col("chunk_id") != F.col("q_id"))
+        .join(dl, "chunk_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            "chunk_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    bm25 = pin(
+        contrib.groupBy("q_id", "chunk_id").agg(F.sum("c").alias("bm25raw"))
+    )
+    cand_ids = bm25.select("chunk_id").distinct()
+    emb = pin(
+        build_embeddings(chunks.join(cand_ids, "chunk_id")).withColumn(
+            "_n", _norm(F.col("embedding"))
+        )
+    )
+    qemb = pin(
+        build_embeddings(chunks.filter(F.col("chunk_id").isin(*_QIDS)))
+        .select(F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .withColumn("_qn", _norm(F.col("q_vec")))
+    )
+    scored = (
+        bm25.join(emb, "chunk_id")
+        .join(F.broadcast(qemb), "q_id")
+        .select(
+            "q_id",
+            "chunk_id",
+            "bm25raw",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_vec"))
+                / (F.col("_n") * F.col("_qn")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wmax = Window.partitionBy("q_id")
+    final = scored.select(
+        "q_id",
+        "chunk_id",
+        F.round("bm25raw", 6).alias("bm25"),
+        "sim",
+        F.round(
+            0.5 * F.col("bm25raw") / F.max("bm25raw").over(wmax) + 0.5 * F.col("sim"),
+            6,
+        ).alias("hybrid"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("hybrid").desc(), F.col("chunk_id"))
+    return (
+        final.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
