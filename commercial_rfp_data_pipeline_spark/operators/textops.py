@@ -21,9 +21,25 @@ from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.io import pin
 
-STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "it")
-STOPWORDS_ES = ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los")
-STOPWORDS_FR = ("le", "la", "de", "et", "un", "en", "est", "que", "pour", "les")
+# language -> 10 highest-signal stopwords; dict ORDER is the
+# deterministic tiebreak priority for lang_id (earlier wins ties).
+# Shared words (de/la/en/...) are fine — they just vote for several
+# languages and the distinctive ones break the tie.
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "for", "on", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que", "pour", "les"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "it": ("il", "di", "che", "e", "la", "per", "un", "con", "del", "si"),
+    "pt": ("o", "de", "que", "e", "do", "da", "em", "um", "para", "com"),
+    "nl": ("de", "het", "een", "van", "en", "is", "dat", "op", "niet", "met"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för", "med"),
+    "pl": ("i", "w", "na", "z", "do", "że", "się", "nie", "jest", "to"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+}
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+STOPWORDS_ES = LANG_STOPWORDS["es"]
+STOPWORDS_FR = LANG_STOPWORDS["fr"]
 PUNCT_PATTERN = r"[.,;:!?]"
 
 
@@ -91,25 +107,36 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID (en/es/fr), deterministic tiebreak
-    en > es > fr on equal votes. Heuristic n-gram/lexicon approach —
-    per-row expression, no model, no shuffle."""
+    """Stopword-vote language ID over the 10 LANG_STOPWORDS languages,
+    deterministic tiebreak by dict order (en > es > fr > de > it > pt >
+    nl > sv > pl > id) on equal votes. Heuristic lexicon approach —
+    per-row expressions, no model, no shuffle. The Spark F.when chain
+    and the oracle CASE chain are both GENERATED from LANG_STOPWORDS,
+    so the two engines can't drift.
+
+    The vote columns are projected through an intermediate select so
+    the prediction chain compares plain attributes — array-HOF
+    expressions (F.filter) get no codegen CSE, so without the barrier
+    each vote would re-inline into up to 9 comparisons."""
     w = words(text_col)
-    en, es, fr = (
-        _count_in(w, STOPWORDS_EN),
-        _count_in(w, STOPWORDS_ES),
-        _count_in(w, STOPWORDS_FR),
-    )
-    pred = (
-        F.when((en >= es) & (en >= fr), F.lit("en"))
-        .when(es >= fr, F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
-    return df.select(
+    langs = list(LANG_STOPWORDS)
+    base = df.select(
         "doc_id",
-        en.alias("votes_en"),
-        es.alias("votes_es"),
-        fr.alias("votes_fr"),
+        *[
+            _count_in(w, LANG_STOPWORDS[lang]).alias(f"votes_{lang}")
+            for lang in langs
+        ],
+    )
+    pred = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = F.lit(True)
+        for later in langs[i + 1 :]:
+            cond = cond & (F.col(f"votes_{lang}") >= F.col(f"votes_{later}"))
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return base.select(
+        "doc_id",
+        *[f"votes_{lang}" for lang in langs],
         pred.alias("lang_pred"),
     )
 

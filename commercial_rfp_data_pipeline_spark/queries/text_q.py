@@ -157,24 +157,61 @@ def q_quality(spark, sf_dir):
     return quality_features(docs)
 
 
+def _lang_votes_sql() -> str:
+    """One vote column per LANG_STOPWORDS language, generated from the
+    same constants the Spark side uses."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import LANG_STOPWORDS
+
+    cols = []
+    for lang, sw in LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{s}'" for s in sw)
+        cols.append(f"len(list_filter(w, x -> x IN ({inlist}))) AS votes_{lang}")
+    return ",\n        ".join(cols)
+
+
+def _lang_case_sql() -> str:
+    """Priority-ordered argmax CASE chain mirroring lang_id's F.when
+    chain: language i wins if its votes >= every later language's."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"votes_{lang} >= votes_{later}" for later in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+_LANG_CTE = f"""
+lw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+lvotes AS (
+  SELECT doc_id,
+        {_lang_votes_sql()}
+  FROM lw
+),
+langs AS (SELECT doc_id, *, {_lang_case_sql()} AS lang_pred FROM lvotes)
+"""
+
+
+def _lang_vote_cols() -> str:
+    from commercial_rfp_data_pipeline_spark.operators.textops import LANG_STOPWORDS
+
+    return ", ".join(f"votes_{lang}" for lang in LANG_STOPWORDS)
+
+
 @query(
     "lang_id_heuristic",
     f"""
-    WITH w AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
-    votes AS (
-      SELECT doc_id,
-        len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','for','on','it'))) AS votes_en,
-        len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es','por','los'))) AS votes_es,
-        len(list_filter(w, x -> x IN ('le','la','de','et','un','en','est','que','pour','les'))) AS votes_fr
-      FROM w
-    )
-    SELECT doc_id, votes_en, votes_es, votes_fr,
-           CASE WHEN votes_en >= votes_es AND votes_en >= votes_fr THEN 'en'
-                WHEN votes_es >= votes_fr THEN 'es' ELSE 'fr' END AS lang_pred
-    FROM votes
+    WITH {_LANG_CTE.strip()}
+    SELECT doc_id, {_lang_vote_cols()}, lang_pred FROM langs
     """,
 )
 def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID over 10 languages; both the vote
+    columns and the priority-argmax are generated from LANG_STOPWORDS
+    on both engines."""
     docs = load_table(spark, sf_dir, "documents")
     return lang_id(docs)
 
@@ -489,28 +526,7 @@ def q_token_shards(spark, sf_dir):
 @query(
     "training_mix_stratified_sample",
     f"""
-    WITH langs AS (
-      SELECT doc_id,
-             CASE
-               WHEN len(list_filter(string_split({_NORM}, ' '),
-                    w -> w IN ('the','a','of','to','and','in','is','for','on','it')))
-                 >= len(list_filter(string_split({_NORM}, ' '),
-                    w -> w IN ('el','la','de','que','y','en','un','es','por','los')))
-                AND
-                    len(list_filter(string_split({_NORM}, ' '),
-                    w -> w IN ('the','a','of','to','and','in','is','for','on','it')))
-                 >= len(list_filter(string_split({_NORM}, ' '),
-                    w -> w IN ('le','la','de','et','un','en','est','que','pour','les')))
-               THEN 'en'
-               WHEN len(list_filter(string_split({_NORM}, ' '),
-                    w -> w IN ('el','la','de','que','y','en','un','es','por','los')))
-                 >= len(list_filter(string_split({_NORM}, ' '),
-                    w -> w IN ('le','la','de','et','un','en','est','que','pour','les')))
-               THEN 'es'
-               ELSE 'fr'
-             END AS lang_pred
-      FROM documents
-    )
+    WITH {_LANG_CTE.strip()}
     SELECT doc_id, lang_pred FROM (
       SELECT doc_id, lang_pred,
              row_number() OVER (PARTITION BY lang_pred

@@ -389,6 +389,32 @@ def test_dup_clusters_chain_and_singletons(spark):
     assert got[300] == 300 and got[301] == 301
 
 
+def test_lang_id_ten_languages(spark):
+    """The widened stopword-vote lang ID assigns obvious sentences of
+    each of the 10 supported languages correctly, and ties fall to the
+    priority order (empty text -> 'en')."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import lang_id
+
+    samples = [
+        (0, "the cat is on the mat and it is warm", "en"),
+        (1, "el perro es de la casa y los gatos que", "es"),
+        (2, "le chien est pour la maison et les chats", "fr"),
+        (3, "der hund ist nicht mit der katze und das haus für", "de"),
+        (4, "il cane di casa che per un gatto con del si", "it"),
+        (5, "o cachorro do que da casa em um para com", "pt"),
+        (6, "de hond is het een van dat op niet met", "nl"),
+        (7, "och att det som en på är av för med", "sv"),
+        (8, "i w na z do że się nie jest to", "pl"),
+        (9, "yang dan di itu dengan untuk tidak ini dari akan", "id"),
+        (10, "", "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert got == {i: lang for i, _, lang in samples}
+
+
 def test_cluster_survivors_argmax_and_sizes(spark):
     """Survivor selection: highest quality wins per cluster, ascending
     doc_id breaks ties, singletons survive themselves, and n_members
