@@ -177,6 +177,55 @@ def test_streaming_dedup(spark, sf_dir):
     assert got.count() == n
 
 
+def test_exactly_once_sink_crash_replay_no_dupes(spark, tmp_path):
+    """Exactly-once by idempotent batch_id overwrite: inject a crash in
+    the window AFTER the sink write but BEFORE the checkpoint commit
+    (where an at-least-once sink duplicates data), restart from the
+    same checkpoint, and assert the replayed batch overwrote itself —
+    every input row exactly once. A third no-new-data run emits
+    nothing."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from commercial_rfp_data_pipeline_spark.streaming.sinks import (
+        exactly_once_parquet_sink,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        spark.range(lo, hi).coalesce(1).write.mode("append").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+
+    calls = {"n": 0}
+
+    def boom(batch_id: int) -> None:
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = exactly_once_parquet_sink(stream(), out, ckpt, on_batch_written=boom)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+
+    q2 = exactly_once_parquet_sink(stream(), out, ckpt)
+    q2.awaitTermination()
+    got = sorted(r.id for r in spark.read.parquet(out).select("id").collect())
+    assert got == list(range(30)), "replay duplicated or dropped rows"
+
+    q3 = exactly_once_parquet_sink(stream(), out, ckpt)
+    q3.awaitTermination()
+    assert spark.read.parquet(out).count() == 30
+
+
 def test_streaming_parquet_sink_end_to_end(spark, sf_dir, tmp_path):
     """Full incremental pipeline shape: stream -> watermarked tumbling
     agg -> parquet file sink with checkpoint — the durable-output path
