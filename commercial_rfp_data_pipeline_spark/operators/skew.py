@@ -60,6 +60,32 @@ def salted_two_phase_agg(
     return partial.groupBy(*keys).agg(*phase2)
 
 
+def salted_distinct_count(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    n_salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Skew-safe COUNT(DISTINCT x) per key: salt by a hash OF THE
+    DISTINCT COLUMN ITSELF, so the salt classes partition the value
+    space — equal values always land in the same (key, salt) group,
+    making the per-salt distinct counts disjoint and their SUM the
+    exact global distinct count. The hot key's distinct-set
+    construction spreads over ``n_salts`` reducers instead of one;
+    phase 2 sums ``n_salts`` small integers per key.
+
+    This is the aggregate where salting matters most: unlike
+    count/sum/min/max, a naive distinct (collect_set or a set-building
+    reducer) cannot partially combine away the hot key's payload — the
+    single reducer must materialize the whole value set."""
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts)).alias("__salt")
+    partial = df.groupBy(*keys, salt).agg(
+        F.count_distinct(F.col(distinct_col)).alias("__part")
+    )
+    return partial.groupBy(*keys).agg(F.sum("__part").alias(out_col))
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -254,6 +254,83 @@ def q_salted_agg(spark, sf_dir):
     )
 
 
+# Zipf-hot-key fixture: 90% of lineitem rows collapse onto key 0, the
+# rest spread over ~100 tail keys — the adversarial distribution the
+# skew toolkit exists for (manufactured deterministically from
+# l_orderkey so the oracle states the same mapping).
+_ZIPF_KEY_SQL = "CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 1000 END"
+# distinct payload: a row-unique 256-char value (md5 widened 8x,
+# standing in for the URLs/doc-keys real dedup counts) — the hot key
+# then owns ~90% of ALL distinct values, so the naive single-reducer
+# set merge carries the real payload, not a 20k-int toy set
+_ZIPF_UID_SQL = (
+    "repeat(md5(CAST(l_orderkey AS VARCHAR) || '|' "
+    "|| CAST(l_linenumber AS VARCHAR)), 8)"
+)
+_ZIPF_DISTINCT_ORACLE = f"""
+    SELECT CAST({_ZIPF_KEY_SQL} AS BIGINT) AS hot_key,
+           count(DISTINCT {_ZIPF_UID_SQL}) AS n_vals
+    FROM lineitem GROUP BY 1
+    """
+
+
+def _zipf_keyed(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 1000)
+        .cast("long")
+    )
+    uid = F.repeat(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        8,
+    )
+    return li.select(hot.alias("hot_key"), uid.alias("uid"))
+
+
+@query("skew_zipf_distinct_plain", _ZIPF_DISTINCT_ORACLE)
+def q_skew_zipf_plain(spark, sf_dir):
+    """The NAIVE skewed shape, kept as the bench contrast for the
+    salted form below: per-key distinct via a set-building aggregate.
+    collect_set partials for the hot key still carry ~the whole value
+    set to ONE reducer, which merges 90% of the data single-threaded —
+    the reducer-bottleneck this fixture manufactures on purpose.
+    BENCH_r* records this row next to skew_zipf_distinct_salted; at
+    local[32]/sf0.1 the in-memory shuffle keeps the absolute gap small
+    (~140 MB hot merge), so the load-bearing evidence is the oracle
+    equivalence plus scripts/scale_smoke.py's growth curve — the hot
+    reducer's work grows with corpus size while the salted form's
+    per-reducer work stays 1/n_salts of it."""
+    keyed = _zipf_keyed(spark, sf_dir)
+    return keyed.groupBy("hot_key").agg(
+        F.size(F.collect_set("uid")).cast("long").alias("n_vals")
+    )
+
+
+@query("skew_zipf_distinct_salted", _ZIPF_DISTINCT_ORACLE)
+def q_skew_zipf_salted(spark, sf_dir):
+    """Skew-safe distinct count over the same Zipf fixture: salt by
+    hash(l_partkey) so equal values share a salt, per-(key, salt)
+    distinct counts are disjoint, and their sum is exact. The hot key's
+    set construction spreads over 16 reducers; results are EXACTLY the
+    plain form's (both check against the same count(DISTINCT)
+    oracle)."""
+    from commercial_rfp_data_pipeline_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    keyed = _zipf_keyed(spark, sf_dir)
+    return salted_distinct_count(
+        keyed, keys=["hot_key"], distinct_col="uid", n_salts=16, out_col="n_vals"
+    )
+
+
 @query(
     "cube_aggregation",
     """

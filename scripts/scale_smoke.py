@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Scale-growth smoke for the heavy-hitter queries: run each at
+sf0.001 / sf0.01 / sf0.1 and report wall time plus the growth exponent
+alpha in t ~ rows^alpha between consecutive scale points (computed
+against the DRIVING table's row count — documents for the text-dedup
+family, lineitem for the skew fixture — because the testdata does not
+scale every table with SF: documents is 500/500/5000, lineitem
+6k/60k/600k).
+
+Evidence target (VERDICT round 3 #6): the bounded-fanout claims in the
+operator docstrings — dedup CC, postings-list Jaccard, banded SimHash —
+should grow near-linearly (alpha ~ 1, plus a constant per-query
+overhead floor that dominates at tiny SFs), not quadratically.
+
+Usage: python scripts/scale_smoke.py [query ...]
+Prints a table and one JSON line; paste the table into COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from commercial_rfp_data_pipeline_spark.io import release_pinned
+from commercial_rfp_data_pipeline_spark.registry import all_queries
+from commercial_rfp_data_pipeline_spark.session import get_spark
+
+SFS = ("sf0.001", "sf0.01", "sf0.1")
+ROOT = "/root/testdata"
+
+# query -> table whose row count drives its cost
+DEFAULT = {
+    "dedup_connected_components": "documents",
+    "ngram_jaccard_pairs": "documents",
+    "simhash_neardup_pairs": "documents",
+    "skew_zipf_distinct_plain": "lineitem",
+    "skew_zipf_distinct_salted": "lineitem",
+}
+
+
+def main() -> None:
+    import math
+
+    names = sys.argv[1:] or list(DEFAULT)
+    spark = get_spark(app_name="scale_smoke")
+    queries = all_queries()
+    # JVM / codegen / python-worker warmup (not timed)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    rows_at: dict[tuple[str, str], int] = {}
+    for sf in SFS:
+        for table in set(DEFAULT.values()):
+            rows_at[(sf, table)] = (
+                spark.read.parquet(f"{ROOT}/{sf}/{table}.parquet").count()
+            )
+
+    results: dict[str, dict[str, float]] = {}
+    for name in names:
+        results[name] = {}
+        for sf in SFS:
+            t0 = time.time()
+            queries[name](spark, f"{ROOT}/{sf}").count()
+            t = time.time() - t0
+            # best-of-2: this VM has external load spikes
+            t0 = time.time()
+            queries[name](spark, f"{ROOT}/{sf}").count()
+            results[name][sf] = round(min(t, time.time() - t0), 3)
+            release_pinned()
+            spark.catalog.clearCache()
+
+    print(f"\n{'query':34} " + " ".join(f"{sf:>9}" for sf in SFS) + "  alpha(last)")
+    out = {}
+    for name in names:
+        table = DEFAULT.get(name, "documents")
+        ts = [results[name][sf] for sf in SFS]
+        ns = [rows_at[(sf, table)] for sf in SFS]
+        # exponent over the LAST pair of scale points with actual row
+        # growth (tiny SFs sit on the fixed-overhead floor)
+        alpha = None
+        for i in range(len(SFS) - 1, 0, -1):
+            if ns[i] > ns[i - 1]:
+                alpha = math.log(ts[i] / ts[i - 1]) / math.log(ns[i] / ns[i - 1])
+                break
+        print(
+            f"{name:34} "
+            + " ".join(f"{t:>8.2f}s" for t in ts)
+            + (f"  {alpha:.2f}" if alpha is not None else "  n/a")
+        )
+        out[name] = {"times": dict(zip(SFS, ts)), "alpha": round(alpha, 3) if alpha else None}
+    print()
+    print(json.dumps({"metric": "scale_smoke", "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
