@@ -54,6 +54,12 @@ def to_multiset(cols, rows):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write per-query results to this path (the committed "
+        "artifact substantiating the full-registry claim)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -68,6 +74,7 @@ def main():
     oracles = all_oracles()
     names = args.queries or sorted(queries)
     failures = []
+    report = {}
     for name in names:
         t0 = time.time()
         release_pinned()  # each query re-pins its own build products
@@ -78,9 +85,11 @@ def main():
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
+            report[name] = {"status": "fail", "err": "spark error"}
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            report[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -107,10 +116,26 @@ def main():
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems) + f"  [{time.time()-t0:.1f}s]")
             failures.append(name)
+            report[name] = {"status": "fail", "err": "; ".join(problems)[:500]}
         else:
             print(f"PASS {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
+            report[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "hash_match": True,
+            }
 
     print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {"sf": args.sf, "passed": len(names) - len(failures),
+                 "total": len(names), "queries": report},
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
