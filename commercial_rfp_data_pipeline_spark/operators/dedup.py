@@ -135,8 +135,11 @@ def dup_clusters(
     duplicate cluster.
 
     Shape at scale: edges and labels are (id, id) pairs only — no
-    payloads move. Each iteration is one join + one groupBy(min)
-    shuffle; the loop is bounded by component DIAMETER (not size), and
+    payloads move — and the iteration runs over the EDGE-INVOLVED
+    subgraph only (singletons, the vast majority of a near-dup corpus,
+    are stitched back by one final left join). Each iteration is one
+    join + one groupBy(min) shuffle; the loop is bounded by component
+    DIAMETER (not size), and
     near-dup clusters are shallow in practice. Every round
     ``localCheckpoint``s the new label table — persist alone does NOT
     reliably stop iterative lineage growth (cache substitution can
@@ -154,9 +157,17 @@ def dup_clusters(
         )
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
-    ).localCheckpoint()
+    # iterate ONLY over nodes that appear in some edge: singletons can
+    # never change label, and in a near-dup corpus they are the vast
+    # majority — every per-round join/groupBy then shuffles the (small)
+    # duplicate-involved subgraph, not the whole corpus. Singletons are
+    # stitched back with one left join + coalesce at the end.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
     prev_sum = None
     converged = False
     for _ in range(max_iter):
@@ -198,7 +209,14 @@ def dup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lbl", "id").alias("cluster_id"),
+        )
+    )
 
 
 def cluster_survivors(
