@@ -557,6 +557,191 @@ def assign_token_shards(
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    max_top_frac: float = 0.2,
+    max_dup_frac: float = 0.3,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher/C4-style repetition + symbol quality features, the
+    filters a pretraining pipeline runs before anything else: fraction
+    of k-gram occurrences taken by the single most frequent k-gram
+    (top_gram_frac — boilerplate/template detector), fraction of
+    k-gram occurrences that are repeats (dup_gram_frac = 1 -
+    distinct/total), symbol-to-char ratio, and mean word length; plus
+    a ``keep`` verdict under the given thresholds.
+
+    Shape at scale: one (doc, gram) groupBy for the frequency table
+    (map-side combine), one per-doc aggregate, then a join back to the
+    narrow per-row features — linear, no self-joins. Docs too short to
+    have a k-gram get zero repetition fractions (can't be repetitive)
+    and are judged on symbols alone."""
+    t = norm_text(text_col)
+    n_tokens = token_count(text_col)
+    narrow = df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[^a-z0-9 ]"), 0)).alias("_sym"),
+        F.length(F.regexp_replace(t, " ", "")).alias("_nospace"),
+    )
+    counts = (
+        shingles(df, text_col, id_col, k=k)
+        .groupBy(id_col, "sh")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("n").alias("_total"),
+        F.max("n").alias("_top"),
+        F.count(F.lit(1)).alias("_ndist"),
+    )
+    j = narrow.join(per_doc, id_col, "left")
+    top_frac = F.round(
+        F.coalesce(F.col("_top") / F.col("_total"), F.lit(0.0)), 6
+    )
+    dup_frac = F.round(
+        F.coalesce(1 - F.col("_ndist") / F.col("_total"), F.lit(0.0)), 6
+    )
+    sym_ratio = F.round(
+        F.when(F.col("n_chars") > 0, F.col("_sym") / F.col("n_chars")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    mean_wl = F.round(
+        F.when(
+            F.col("n_tokens") > 0, F.col("_nospace") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return j.select(
+        id_col,
+        F.coalesce(F.col("_total"), F.lit(0)).alias("n_grams"),
+        top_frac.alias("top_gram_frac"),
+        dup_frac.alias("dup_gram_frac"),
+        sym_ratio.alias("symbol_ratio"),
+        mean_wl.alias("mean_word_len"),
+        (
+            (top_frac <= max_top_frac)
+            & (dup_frac <= max_dup_frac)
+            & (sym_ratio <= max_symbol_ratio)
+        ).alias("keep"),
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_frac: float = 0.05,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION check: for every training document,
+    the fraction of its distinct word k-grams that also appear in the
+    eval set's k-gram table, plus a ``contaminated`` verdict — the
+    n-gram-overlap test every serious pretraining pipeline runs against
+    held-out benchmarks (k=13 canonically; parameterized here).
+
+    Shape at scale: the eval gram table is distinct-hashed once (eval
+    sets are tiny next to the corpus); the probe is ONE equi-join on
+    the gram value followed by a per-doc count — never an all-pairs
+    document comparison. Docs sharing nothing still appear (left join,
+    zero)."""
+    eval_grams = (
+        shingles(eval_docs, text_col, id_col, k=k).select("sh").distinct()
+    )
+    doc_grams = shingles(docs, text_col, id_col, k=k).dropDuplicates(
+        [id_col, "sh"]
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        doc_grams.join(eval_grams, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_grams"), 6
+    )
+    return (
+        totals.join(shared, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            frac.alias("contamination_frac"),
+            (frac >= min_frac).alias("contaminated"),
+        )
+    )
+
+
+# PII patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# treat identically; applied in order (ssn before phone: both are
+# digit-dash shapes and ssn's is the more specific)
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction for training-data hygiene: replace email / SSN /
+    phone / IPv4 shapes with typed placeholder tokens and report a
+    per-type match count. Pure regexp expressions — narrow map, scales
+    embarrassingly; the pattern table is the tuning surface."""
+    t = norm_text(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(F.col(id_col), *counts, red.alias("text_redacted"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (idf =
+    ln(N/df), deterministic (score DESC, term) tiebreak) — the keyword
+    extraction primitive behind corpus exploration and topic tagging.
+
+    Shape: one (doc, term) groupBy for tf, one (term) groupBy for df,
+    the scalar N broadcast via a 1-row cross join, one window top-k.
+    All exact arithmetic — oracle-expressible."""
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

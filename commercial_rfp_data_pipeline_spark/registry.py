@@ -54,6 +54,7 @@ def _register_all() -> None:
         multimodal_q,
         pipeline_q,
         advanced_q,
+        quality_q,
     )
 
 

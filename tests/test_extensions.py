@@ -438,6 +438,64 @@ def test_dup_clusters_chain_and_singletons(spark):
     assert got[300] == 300 and got[301] == 301
 
 
+def test_redact_pii_patterns(spark):
+    """Each PII shape is counted and replaced with its typed token."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "Mail a.b@x.co or 555-123-4567, ssn 123-45-6789, ip 10.1.2.3")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4) == (1, 1, 1, 1)
+    red = r.text_redacted
+    assert "[EMAIL]" in red and "@" not in red
+    assert "[SSN]" in red and "[PHONE]" in red and "[IP]" in red
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    """Clean prose keeps; templated repetition and symbol soup drop."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        repetition_features,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog near the river bank today"
+    bad = " ".join(["buy now"] * 30)
+    symb = "a b " + "$%#@! " * 40
+    df = spark.createDataFrame(
+        [(1, good), (2, bad), (3, symb)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[1].keep
+    assert not got[2].keep and got[2].top_gram_frac > 0.5
+    assert not got[3].keep and got[3].symbol_ratio > 0.1
+
+
+def test_contamination_overlap_detects_copy(spark):
+    """A doc sharing 5-grams with the eval set is flagged; an unrelated
+    doc reports zero overlap."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        contamination_overlap,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words with no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in contamination_overlap(docs, eval_docs, k=5).collect()
+    }
+    assert got[1].contaminated and got[1].n_shared == 2
+    assert not got[2].contaminated and got[2].n_shared == 0
+
+
 def test_lang_id_ten_languages(spark):
     """The widened stopword-vote lang ID assigns obvious sentences of
     each of the 10 supported languages correctly, and ties fall to the
