@@ -179,8 +179,12 @@ def q_hybrid_search(spark, sf_dir):
     return out.select("q_id", "chunk_id", "sim", F.col("rnk").cast("int").alias("rnk"))
 
 
-# BM25 constants (Robertson/Sparck Jones defaults)
+# BM25 constants (Robertson/Sparck Jones defaults); query terms with
+# document frequency above MAX_DF_FRAC of the corpus are pruned —
+# stopword-class terms whose postings would make the candidate set the
+# whole corpus (and whose idf contribution is noise anyway)
 BM25_K1, BM25_B = 1.2, 0.75
+BM25_MAX_DF_FRAC = 0.1
 _QIDS = ("0_0", "1_0", "2_0")
 
 _BM25_CTES = f"""
@@ -200,7 +204,7 @@ contrib AS (
          / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)) AS c
   FROM qterms q JOIN dft d USING (tok) JOIN tf t USING (tok)
   JOIN dl l ON l.chunk_id = t.chunk_id CROSS JOIN stats s
-  WHERE t.chunk_id <> q.q_id
+  WHERE t.chunk_id <> q.q_id AND d.df <= s.n_docs * {BM25_MAX_DF_FRAC}
 ),
 bm25 AS (SELECT q_id, chunk_id, sum(c) AS bm25raw FROM contrib GROUP BY q_id, chunk_id)
 """
@@ -241,13 +245,16 @@ def q_hybrid_bm25(spark, sf_dir):
     tokens.
 
     Scale shape: tf and df come from ONE shuffle of (chunk, tok) each
-    (map-side combine); the candidate set is the union of the query
-    terms' postings (never the corpus), the EMBED STAGE RUNS ONLY ON
-    CANDIDATES (the expensive stage stays behind the keyword filter,
-    like hybrid_keyword_vector_search), and the per-(q, chunk) sum
-    shuffles candidate rows only. Every stage — including both scores
-    and the fusion — is exact arithmetic the DuckDB oracle re-states,
-    so the hybrid contract is value-checked end to end."""
+    (map-side combine); query terms above the df cap are pruned BEFORE
+    the postings join (stopword-class terms would make the candidate
+    set the whole corpus — a plan test pins that they don't), the
+    candidate set is the union of the surviving terms' postings, the
+    EMBED STAGE RUNS ONLY ON CANDIDATES (the expensive stage stays
+    behind the keyword filter, like hybrid_keyword_vector_search), and
+    the per-(q, chunk) sum shuffles candidate rows only. Every stage —
+    including both scores and the fusion — is exact arithmetic the
+    DuckDB oracle re-states, so the hybrid contract is value-checked
+    end to end."""
     from commercial_rfp_data_pipeline_spark.operators.textops import words
     from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
 
@@ -266,10 +273,11 @@ def q_hybrid_bm25(spark, sf_dir):
     )
     contrib = (
         qterms.join(dft, "tok")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= F.col("n_docs") * BM25_MAX_DF_FRAC)
         .join(tf, "tok")
         .filter(F.col("chunk_id") != F.col("q_id"))
         .join(dl, "chunk_id")
-        .crossJoin(F.broadcast(stats))
         .select(
             "q_id",
             "chunk_id",
