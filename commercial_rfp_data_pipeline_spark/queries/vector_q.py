@@ -376,3 +376,42 @@ query(
     "embedding_neardup_lsh",
     _LSH_NEARDUP_ORACLE.format(buckets=_BUCKETS_CTE.strip()),
 )(_q_embedding_neardup_lsh)
+
+
+@query(
+    "embedding_dedup_clusters",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+      UNION
+      SELECT e2.dst AS id, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+    )
+    SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_embedding_dedup_clusters(spark, sf_dir):
+    """The MODALITY-AGNOSTIC half of the dedup chain: the same
+    dup_clusters connected-components operator that consumes simhash
+    pairs (dedup_survivors) here consumes EMBEDDING-cosine near-dup
+    pairs — pair generation is pluggable (text fingerprints, vectors,
+    LSH buckets), cluster formation is one shared primitive. Exact
+    block-grid pairs feed the loop; the oracle is the all-pairs
+    recursive closure."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    pairs = embedding_neardup_pairs(v, threshold=0.35)
+    return dup_clusters(
+        v.select("vec_id"), pairs, id_col="vec_id", a_col="id_a", b_col="id_b"
+    )
