@@ -161,6 +161,205 @@ def q_pii(spark, sf_dir):
     return redact_pii(injected)
 
 
+def _training_pipeline_oracle() -> str:
+    """The full composed pipeline as one CTE chain: quality keep →
+    decontamination → simhash pairs → CC closure → survivor argmax →
+    shard packing, every fragment the same logic its standalone oracle
+    states, re-sourced from the running subset instead of raw
+    ``documents``."""
+    from commercial_rfp_data_pipeline_spark.queries.text_q import _BIT_TEST
+
+    norm = _NORM
+    g5 = _G5
+    return f"""
+    WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+    -- stage 1: Gopher repetition/symbol keep
+    wl AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM corpus),
+    g2 AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS sh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM wl)
+    ),
+    gc AS (SELECT doc_id, sh, count(*) AS n FROM g2 GROUP BY doc_id, sh),
+    gs AS (SELECT doc_id, sum(n) AS total, max(n) AS top, count(*) AS ndist FROM gc GROUP BY doc_id),
+    nf AS (
+      SELECT doc_id, {norm} AS t,
+             CASE WHEN length({norm}) = 0 THEN 0
+                  ELSE len(string_split({norm}, ' ')) END AS n_tokens
+      FROM corpus
+    ),
+    keepers AS (
+      SELECT doc_id FROM (
+        SELECT nf.doc_id,
+               round(coalesce(gs.top / CAST(gs.total AS DOUBLE), 0.0), 6) AS tf_,
+               round(coalesce(1 - gs.ndist / CAST(gs.total AS DOUBLE), 0.0), 6) AS df_,
+               round(CASE WHEN length(t) > 0
+                          THEN len(regexp_extract_all(t, '[^a-z0-9 ]')) / CAST(length(t) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS sr_
+        FROM nf LEFT JOIN gs USING (doc_id)
+      ) WHERE tf_ <= 0.2 AND df_ <= 0.3 AND sr_ <= 0.1
+    ),
+    kept AS (SELECT c.doc_id, c.text FROM corpus c JOIN keepers USING (doc_id)),
+    -- stage 2: decontamination vs the held-out eval set
+    cw AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM kept),
+    cg AS (
+      SELECT DISTINCT doc_id, {g5} AS sh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM cw)
+    ),
+    ew AS (SELECT doc_id, string_split({norm}, ' ') AS w
+           FROM documents WHERE doc_id % 7 = 0),
+    eg AS (
+      SELECT DISTINCT {g5} AS sh
+      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS i FROM ew)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),
+    shr AS (SELECT cg.doc_id, count(*) AS ns FROM cg JOIN eg USING (sh) GROUP BY cg.doc_id),
+    cont AS (
+      SELECT t.doc_id FROM tot t JOIN shr s USING (doc_id)
+      WHERE round(s.ns / CAST(t.n AS DOUBLE), 6) >= 0.05
+    ),
+    clean AS (SELECT k.doc_id, k.text FROM kept k
+              WHERE k.doc_id NOT IN (SELECT doc_id FROM cont)),
+    -- stage 3: simhash near-dup pairs over the clean subset
+    stoks AS (SELECT DISTINCT doc_id, unnest(string_split({norm}, ' ')) AS w FROM clean),
+    sbits AS (SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 63)) AS bit FROM stoks),
+    svotes AS (
+      SELECT doc_id, bit, sum(CASE WHEN {_BIT_TEST.strip()} THEN 1 ELSE -1 END) AS s
+      FROM sbits GROUP BY doc_id, bit
+    ),
+    ssh AS (
+      SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+      FROM svotes GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(generate_series(1, 64),
+            i -> substr(a.simhash, CAST(i AS INTEGER), 1)
+              <> substr(b.simhash, CAST(i AS INTEGER), 1))) <= 3
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM clean
+      UNION
+      SELECT e2.dst AS id, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
+    ),
+    clusters AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    -- stage 4: quality-argmax survivor per cluster
+    qfeat AS (
+      SELECT doc_id,
+             length({norm}) AS n_chars,
+             CASE WHEN length({norm}) = 0 THEN 0
+                  ELSE len(string_split({norm}, ' ')) END AS n_tokens,
+             len(regexp_extract_all({norm}, '[.,;:!?]')) AS punct,
+             len(list_filter(string_split({norm}, ' '),
+                 w -> w IN ('the','a','of','to','and','in','is','for','on','it'))) AS stop
+      FROM clean
+    ),
+    qual AS (
+      SELECT doc_id,
+             round(least(n_tokens / 200.0, 1.0) * 0.5
+                   + least(CASE WHEN n_tokens > 0 THEN stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5, 1.0) * 0.3
+                   + (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 10, 1.0)) * 0.2,
+                   6) AS quality_score
+      FROM qfeat
+    ),
+    member AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_score
+      FROM clusters c JOIN qual q USING (doc_id)
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_members FROM member GROUP BY cluster_id),
+    survivors AS (
+      SELECT m.cluster_id, m.doc_id, s.n_members
+      FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY quality_score DESC, doc_id) AS rn FROM member) m
+      JOIN sizes s USING (cluster_id)
+      WHERE m.rn = 1
+    ),
+    -- stage 5: token-budget shard packing over the surviving corpus
+    st AS (
+      SELECT s.doc_id, s.cluster_id, s.n_members,
+             CASE WHEN length({norm}) = 0 THEN 0
+                  ELSE len(string_split({norm}, ' ')) END AS n_tokens
+      FROM survivors s JOIN clean USING (doc_id)
+    ),
+    sc AS (
+      SELECT doc_id, cluster_id, n_members, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+      FROM st
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(tokens_before / 2000.0) AS INTEGER) AS shard_id,
+           cluster_id, n_members
+    FROM sc
+    """
+
+
+@query("training_data_pipeline", _training_pipeline_oracle())
+def q_training_pipeline(spark, sf_dir):
+    """THE end-to-end pretraining data-prep run as ONE query — what a
+    user of this engine actually executes: quality-filter the corpus
+    (Gopher repetition/symbol rules) → drop benchmark-contaminated
+    docs (5-gram overlap vs the held-out eval split) → near-dup dedup
+    (simhash pairs → connected components → quality-argmax survivor
+    per cluster) → pack the surviving corpus into fixed-token-budget
+    shards. Every stage is individually oracle-checked by its own
+    query; this one value-checks the COMPOSITION (stage boundaries,
+    subset re-sourcing, ordering) end to end.
+
+    Scale shape: each stage keeps its standalone shape (narrow maps,
+    single-shuffle groupBys, the banded pair join, the bounded CC
+    loop, the distributed prefix sum); stages hand off (doc_id)-keyed
+    tables, so the composition adds joins but no new quadratic or
+    driver-resident step."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        cluster_survivors,
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        assign_token_shards,
+        quality_features,
+        simhash,
+        simhash_pairs,
+    )
+
+    from commercial_rfp_data_pipeline_spark.io import pin
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    kept = corpus.join(
+        repetition_features(corpus).filter("keep").select("doc_id"), "doc_id"
+    )
+    contaminated = (
+        contamination_overlap(kept, eval_docs, k=5)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    # stage boundary: `clean` feeds FOUR consumers (pair generation,
+    # cluster nodes, quality scores, the survivor join) — pin it so the
+    # filter+decontamination prefix runs once, exactly as a production
+    # run would materialize the cleaned corpus between stages
+    clean = pin(kept.join(contaminated, "doc_id", "left_anti"))
+    pairs = simhash_pairs(simhash(clean))
+    clusters = dup_clusters(clean.select("doc_id"), pairs)
+    quality = quality_features(clean).select("doc_id", "quality_score")
+    surv = pin(
+        cluster_survivors(clusters, quality).select(
+            "doc_id", "cluster_id", "n_members"
+        )
+    )
+    surv_docs = clean.join(surv, "doc_id")
+    shards = assign_token_shards(surv_docs, shard_tokens=2000)
+    return shards.join(surv, "doc_id").select(
+        "doc_id", "n_tokens", "shard_id", "cluster_id", "n_members"
+    )
+
+
 @query(
     "tfidf_top_terms",
     f"""
