@@ -168,3 +168,98 @@ def q_event_stats(spark, sf_dir):
         F.max(v).cast("double").alias("max_value"),
         F.sum(v).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "events_funnel_ordered",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', count(*) FROM c
+      UNION ALL SELECT '3_purchase', count(*) FROM p
+    )
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """ORDERED funnel analysis (view -> click after the first view ->
+    purchase after that click): per-user first-event anchors chained by
+    strict event-time order — the product-analytics staple. Each stage
+    is one filtered groupBy(min) plus an equi-join on user_id; at
+    100 TB every join is user-keyed (no cross-stage explosion) and
+    AQE broadcasts the shrinking stage tables."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("1_view").alias("stage"), "n_users")
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+    return rows
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+                    FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', f.first_day) AS DATE) AS cohort_week,
+             CAST((CAST(e.ts AS DATE) - f.first_day) // 7 AS INTEGER) AS week_no
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_no,
+           count(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_no
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort matrix: users grouped by the week of
+    their first event; each cell counts cohort members active N weeks
+    later. One groupBy for first-seen, one user-keyed join, one
+    distinct + groupBy — the growth-analytics staple, all user-keyed
+    shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_day")).cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("first_day")) / 7
+            ).cast("int").alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("string").alias("cohort_week"), "week_no"
+    ).agg(F.count(F.lit(1)).alias("n_users"))
