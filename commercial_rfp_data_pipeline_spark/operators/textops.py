@@ -764,3 +764,36 @@ def stratified_sample(
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """zlib-compressed size over raw size per document — the cheap
+    compressibility proxy for repetitive/boilerplate text (low ratio =
+    highly repetitive). This is one of the few operators with NO
+    native-expression form (no SQL engine exposes zlib), so it uses
+    the engine's sanctioned Python seam: Arrow-batched ``mapInPandas``,
+    deterministic (zlib level 6), payloads never on the driver.
+    Output: (id, raw_bytes, comp_bytes, ratio rounded to 6 dp)."""
+    import pandas as pd
+
+    def run(batches):
+        import zlib
+
+        for b in batches:
+            t = b[text_col].fillna("").astype(str)
+            raw = t.map(lambda s: len(s.encode("utf-8")))
+            comp = t.map(lambda s: len(zlib.compress(s.encode("utf-8"), 6)))
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "raw_bytes": raw,
+                    "comp_bytes": comp,
+                    "ratio": (comp / raw.where(raw > 0, 1)).round(6),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, raw_bytes long, comp_bytes long, ratio double"
+    )

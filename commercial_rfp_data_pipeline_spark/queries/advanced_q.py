@@ -380,3 +380,36 @@ def q_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.sum("l_qty_dec").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "scd2_customer_order_intervals",
+    """
+    SELECT o_custkey AS custkey, o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS valid_from,
+           CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS VARCHAR) AS valid_to,
+           CAST(o_totalprice AS DOUBLE) AS attr_value,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM orders
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 interval construction — turn a change stream into
+    effective-dated dimension rows: each record's validity runs until
+    the key's next change (lead over (key, change-date, tiebreak));
+    the open interval is the current row. One window shuffle on the
+    key, the warehouse-standard upsert primitive the reference's
+    truncate-and-rebuild sinks would evolve into at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        nxt.cast("string").alias("valid_to"),
+        F.col("o_totalprice").cast("double").alias("attr_value"),
+        nxt.isNull().alias("is_current"),
+    )

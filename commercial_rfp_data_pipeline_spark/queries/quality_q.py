@@ -385,3 +385,78 @@ def q_tfidf(spark, sf_dir):
     deterministic (score DESC, term) tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "quality_band_mix",
+    f"""
+    WITH qfeat2 AS (
+      SELECT doc_id,
+             length({_NORM}) AS n_chars,
+             CASE WHEN length({_NORM}) = 0 THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tokens,
+             len(regexp_extract_all({_NORM}, '[.,;:!?]')) AS punct,
+             len(list_filter(string_split({_NORM}, ' '),
+                 w -> w IN ('the','a','of','to','and','in','is','for','on','it'))) AS stop
+      FROM documents
+    ),
+    qual2 AS (
+      SELECT doc_id,
+             round(least(n_tokens / 200.0, 1.0) * 0.5
+                   + least(CASE WHEN n_tokens > 0 THEN stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 5, 1.0) * 0.3
+                   + (1 - least(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 10, 1.0)) * 0.2,
+                   6) AS quality_score
+      FROM qfeat2
+    ),
+    banded AS (
+      SELECT doc_id, quality_score,
+             CAST(least(floor(quality_score * 10), 9) AS INTEGER) AS band
+      FROM qual2
+    )
+    SELECT doc_id, band, quality_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY band
+               ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM banded
+    ) WHERE rn <= 10
+    """,
+)
+def q_quality_band_mix(spark, sf_dir):
+    """Quality-balanced sampling: documents bucketed into ten
+    VALUE-BASED quality bands (floor(score*10), clamped), then a
+    deterministic hash-ranked sample per band. Value banding instead
+    of ntile deciles is the 100-TB call: ntile is a GLOBAL window —
+    one reducer sorts the whole corpus — while the band is a per-row
+    expression; the trade is fixed band edges instead of equal-count
+    bands, which is what a reproducible data recipe wants anyway."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        quality_features,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    banded = q.select(
+        "doc_id",
+        F.least(F.floor(F.col("quality_score") * 10), F.lit(9))
+        .cast("int")
+        .alias("band"),
+        "quality_score",
+    )
+    return stratified_sample(banded, ["band"], n_per_stratum=10).select(
+        "doc_id", "band", "quality_score"
+    )
+
+
+@query("compression_ratio_signal", None)
+def q_compression_ratio(spark, sf_dir):
+    """zlib compressibility as a quality/repetition signal (highly
+    compressible text is template/boilerplate-heavy; the classic cheap
+    perplexity proxy). This is the engine's documented Pandas-UDF seam
+    used for REAL work: no SQL engine exposes zlib, so the check is
+    rows-only and pytest pins values against driver-side zlib."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        compression_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs)

@@ -438,6 +438,30 @@ def test_dup_clusters_chain_and_singletons(spark):
     assert got[300] == 300 and got[301] == 301
 
 
+def test_compression_ratio_matches_zlib(spark):
+    """The mapInPandas compressibility signal must agree exactly with
+    driver-side zlib (level 6) — the rows-only driver check's pytest
+    counterpart. Repetitive text must compress far better than prose."""
+    import zlib
+
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        compression_ratio,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog while nobody watches",
+        2: "spam " * 200,
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(df).collect()}
+    for i, t in texts.items():
+        raw = len(t.encode())
+        comp = len(zlib.compress(t.encode(), 6))
+        assert (got[i].raw_bytes, got[i].comp_bytes) == (raw, comp)
+        assert abs(got[i].ratio - round(comp / raw, 6)) < 1e-9
+    assert got[2].ratio < 0.1 < got[1].ratio
+
+
 def test_redact_pii_patterns(spark):
     """Each PII shape is counted and replaced with its typed token."""
     from commercial_rfp_data_pipeline_spark.operators.textops import redact_pii
