@@ -60,3 +60,75 @@ def exactly_once_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_ingest_sink(
+    df: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_batch_written: Callable[[int], None] | None = None,
+) -> StreamingQuery:
+    """INCREMENTAL deduplicating corpus ingest — the loop a
+    training-data service actually runs: each micro-batch of documents
+    is content-fingerprinted (md5 of the normalized text), deduped
+    within the batch (min id per fingerprint), anti-joined against
+    every fingerprint already in the store, and the true novelties
+    appended — so the store only ever contains one document per
+    distinct content.
+
+    Exactly-once under replay: each batch writes to its own
+    ``batch_id=N`` directory (idempotent overwrite), and the
+    store-side anti-join EXCLUDES the current batch_id — a replayed
+    batch sees exactly the store state its first attempt saw, so it
+    recomputes the identical survivor set and overwrites itself. (An
+    append-mode sink would double every row the crash window touched;
+    filtering out the in-flight batch is what makes the read-side
+    state replay-stable.)
+
+    Scale: the anti-join is fingerprint-keyed (the store side prunes
+    to one 32-char column); at 100 TB the store is the parquet'd
+    content-hash index a dedup service keeps, and the per-batch cost
+    is one scan of it — or a bucketed/Bloom layout to avoid even that.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        fp = F.md5(
+            F.lower(
+                F.trim(
+                    F.regexp_replace(F.col(text_col).cast("string"), r"\s+", " ")
+                )
+            )
+        )
+        w = Window.partitionBy("fp").orderBy(id_col)
+        batch = (
+            bdf.withColumn("fp", fp)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            store = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("fp")
+            )
+            novel = batch.join(store, "fp", "left_anti")
+        except Exception:  # first batch: no store yet
+            novel = batch
+        novel.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+        if on_batch_written is not None:
+            on_batch_written(batch_id)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

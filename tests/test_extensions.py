@@ -226,6 +226,59 @@ def test_exactly_once_sink_crash_replay_no_dupes(spark, tmp_path):
     assert spark.read.parquet(out).count() == 30
 
 
+def test_dedup_ingest_sink_incremental_and_replay_safe(spark, tmp_path):
+    """Incremental dedup ingest: later batches drop content already in
+    the store; a crash after the sink write replays the batch against
+    the same store state and overwrites itself — the final corpus has
+    exactly one doc per distinct content, even across the crash."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from commercial_rfp_data_pipeline_spark.streaming.sinks import dedup_ingest_sink
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    # three files; content B repeats in file 2, C repeats in file 3
+    files = [
+        [(1, "content A"), (2, "content B")],
+        [(3, "content  B"), (4, "content C")],  # B again (ws-normalized)
+        [(5, "content C"), (6, "content D")],
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+
+    calls = {"n": 0}
+
+    def boom(batch_id: int) -> None:
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = dedup_ingest_sink(stream(), store, ckpt, on_batch_written=boom)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = dedup_ingest_sink(stream(), store, ckpt)
+    q2.awaitTermination()
+
+    got = spark.read.parquet(store).select("doc_id", "fp").collect()
+    # one row per distinct content: A, B, C, D
+    assert len(got) == 4
+    assert len({r.fp for r in got}) == 4
+    # survivors are the FIRST arrival of each content
+    assert sorted(r.doc_id for r in got) == [1, 2, 4, 6]
+
+
 def test_streaming_parquet_sink_end_to_end(spark, sf_dir, tmp_path):
     """Full incremental pipeline shape: stream -> watermarked tumbling
     agg -> parquet file sink with checkpoint — the durable-output path
