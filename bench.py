@@ -31,6 +31,7 @@ HEADLINE = [
     "window_rank_lag_running",
     "keep_latest_global_date_literal",
     "revenue_topn_with_order",
+    "training_data_pipeline",
 ]
 
 
