@@ -143,6 +143,30 @@ def ensure_table(spark: SparkSession, path: str, builder, name: str | None = Non
     return df
 
 
+def save_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_partitions: int | None = None,
+) -> None:
+    """Globally-ordered parquet layout: repartitionByRange (sampled
+    range bounds — a distributed range exchange, never a single-node
+    global sort) + sortWithinPartitions, so files cover DISJOINT key
+    ranges and rows are sorted inside each. Parquet min/max column
+    stats then prune whole files and row groups for range predicates —
+    the single-dimension locality layout (time-series by date, logs by
+    ts) that turns a 100-TB scan of a narrow date window into a few
+    file reads. Complements ``save_bucketed`` (hash-colocated joins)
+    with range-colocated scans."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def save_bucketed(
     df: DataFrame,
     name: str,

@@ -190,6 +190,32 @@ def test_salted_join_keys_include_salt(spark, sf_dir):
     assert j.count() == li.join(part, "l_partkey").count()
 
 
+def test_save_sorted_layout_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """save_sorted must produce files covering DISJOINT key ranges
+    (range exchange, not a global sort): per-file [min, max] intervals
+    of the sort key may touch at boundaries but never overlap — the
+    property parquet min/max pruning needs."""
+    from commercial_rfp_data_pipeline_spark.io import save_sorted
+
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "sorted_orders")
+    save_sorted(o, out, ["o_orderdate"], n_partitions=4)
+    back = spark.read.parquet(out).select(
+        "o_orderdate", F.input_file_name().alias("f")
+    )
+    ranges = sorted(
+        (r.lo, r.hi)
+        for r in back.groupBy("f")
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) > 1, "expected multiple range files"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+    # and nothing was lost in the rewrite
+    assert spark.read.parquet(out).count() == o.count()
+
+
 def test_bm25_embeds_only_candidates(spark, sf_dir):
     """hybrid_bm25_search must keep the expensive embed stage BEHIND
     the keyword stage: the embedded corpus side is the candidate join,
