@@ -621,6 +621,28 @@ def test_cluster_survivors_argmax_and_sizes(spark):
     assert got == {1: (2, 0.9, 3), 4: (4, 0.7, 2), 6: (6, 0.3, 1)}
 
 
+def test_stratified_sample_partition_invariant(spark):
+    """The hash-ranked sample must pick the SAME survivors under any
+    physical partitioning (no rand(), no zipWithIndex) — the property
+    that makes the training mix reproducible across cluster layouts
+    and speculative retries."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        stratified_sample,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(200)]
+    results = []
+    for nparts in (1, 7, 32):
+        df = spark.createDataFrame(rows, ["doc_id", "stratum"]).repartition(nparts)
+        got = sorted(
+            (r.stratum, r.doc_id)
+            for r in stratified_sample(df, ["stratum"], n_per_stratum=5).collect()
+        )
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) == 15
+
+
 def test_dup_clusters_partition_invariant(spark):
     """Cluster labels must not depend on physical partitioning."""
     from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
