@@ -313,21 +313,24 @@ N_MINHASH = 8
 BAND_SIZE = 2
 
 
-def minhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """MinHash signatures banded for LSH. Hash h_s(x) = md5('s:' + x)
-    (hex-lexicographic min) for seeds 0..7; bands of 2 rows -> 4 bands;
-    band value = md5 of the seed-ordered minhash concat.
-
-    Shape: ONE groupBy(doc) computing all 8 mins as aggregate columns
-    (map-side combine collapses each partition to one row per doc before
-    the single shuffle — no seed explosion), then a tiny 4x unpivot of
-    per-doc band values. Candidate recall/precision tunes via
-    N_MINHASH/BAND_SIZE exactly as in the standard construction."""
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: h_s(x) = md5('s:' + x)
+    (hex-lexicographic min) for seeds 0..N_MINHASH-1, as one aggregate
+    column per seed — ONE groupBy(doc) with map-side combine, no seed
+    explosion."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
         for s in range(N_MINHASH)
     ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures banded for LSH: bands of BAND_SIZE rows;
+    band value = md5 of the seed-ordered minhash concat — then a tiny
+    per-doc unpivot. Candidate recall/precision tunes via
+    N_MINHASH/BAND_SIZE exactly as in the standard construction."""
+    sigs = minhash_signatures(sh, id_col)
     n_bands = N_MINHASH // BAND_SIZE
     band_structs = F.array(
         *[
@@ -368,6 +371,74 @@ def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFra
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def minhash_jaccard_estimates(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard for the LSH candidate pairs from signature
+    agreement: est = (# agreeing minhash seeds) / N_MINHASH — the
+    standard MinHash estimator (E[agreement] = true Jaccard), which is
+    what a dedup service thresholds on WITHOUT ever touching the
+    shingle sets again. Completes the MinHash story: signatures ->
+    banded candidates -> estimator.
+
+    Shape: the signature table (one row per doc) is pinned and serves
+    both the band join and the two estimator joins; candidate pairs
+    carry only ids, so the estimator joins shuffle candidate rows
+    against a one-row-per-doc table — linear in candidates."""
+    sigs = pin(minhash_signatures(sh, id_col))
+    n_bands = N_MINHASH // BAND_SIZE
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{bnd * BAND_SIZE + j}")
+                            for j in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("band_val"),
+            )
+            for bnd in range(n_bands)
+        ]
+    )
+    bands = sigs.select(id_col, F.explode(band_structs).alias("bv")).select(
+        id_col, F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    )
+    cand = (
+        bands.select(F.col(id_col).alias("doc_a"), "band", "band_val")
+        .join(
+            bands.select(F.col(id_col).alias("doc_b"), "band", "band_val"),
+            ["band", "band_val"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"_a{s}") for s in range(N_MINHASH)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"_b{s}") for s in range(N_MINHASH)],
+    )
+    n_agree = None
+    for s in range(N_MINHASH):
+        term = F.when(F.col(f"_a{s}") == F.col(f"_b{s}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.cast("int").alias("n_agree"),
+            F.round(n_agree / F.lit(float(N_MINHASH)), 6).alias("est_jaccard"),
+        )
     )
 
 

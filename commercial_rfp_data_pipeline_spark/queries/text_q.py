@@ -308,6 +308,47 @@ def q_minhash(spark, sf_dir):
     return minhash_candidate_pairs(minhash_bands(shingles(docs, parallelism=par)))
 
 
+@query(
+    "minhash_jaccard_estimates",
+    f"""
+    WITH {_SHINGLES_CTE.strip()},
+    hashed AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+    ),
+    minh AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_val
+      FROM minh GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS INTEGER) AS n_agree,
+           round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 8.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN minh a ON a.doc_id = c.doc_a
+    JOIN minh b ON b.doc_id = c.doc_b AND b.seed = a.seed
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def q_minhash_estimates(spark, sf_dir):
+    """MinHash Jaccard estimator over the LSH candidate pairs:
+    est = agreeing seeds / 8 — the thresholding quantity a dedup
+    service uses without re-touching shingle sets."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        minhash_jaccard_estimates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return minhash_jaccard_estimates(shingles(docs, parallelism=par))
+
+
 # bit b of a token's md5 = bit (3 - b%4) of hex digit b//4 (MSB-first
 # binary expansion of the digest, first 64 bits) — mirrored from
 # operators.textops._HEX_WITH_BIT
