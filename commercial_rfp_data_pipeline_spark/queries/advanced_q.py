@@ -413,3 +413,18 @@ def q_scd2_intervals(spark, sf_dir):
         F.col("o_totalprice").cast("double").alias("attr_value"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query("percentiles_approx", None)
+def q_percentiles_approx(spark, sf_dir):
+    """Greenwald-Khanna approximate percentiles — the single-pass
+    mergeable-sketch path for 100-TB quantiles (exact interpolated
+    percentiles shuffle every value per group; the sketch is fixed
+    size per accuracy). Rows-only: sketch outputs are engine-specific;
+    pytest bounds the error against percentiles_exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -655,3 +655,22 @@ def test_dup_clusters_partition_invariant(spark):
         n = spark.createDataFrame(nodes, ["doc_id"]).repartition(nparts)
         results.append({r.doc_id: r.cluster_id for r in dup_clusters(n, p).collect()})
     assert results[0] == results[1]
+
+
+def test_percentiles_approx_error_bound(spark, sf_dir):
+    """The sketch path must land near the exact interpolated
+    percentiles (within 2% relative on this data) — the accuracy
+    contract that justifies using it at scale."""
+    from commercial_rfp_data_pipeline_spark.queries.advanced_q import (
+        q_percentiles,
+        q_percentiles_approx,
+    )
+
+    exact = {r.o_orderpriority: r for r in q_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r.o_orderpriority: r for r in q_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(approx[k].p50_approx - exact[k].p50) / exact[k].p50 < 0.02
+        assert abs(approx[k].p90_approx - exact[k].p90) / exact[k].p90 < 0.02
