@@ -245,10 +245,22 @@ def test_dedup_ingest_sink_incremental_and_replay_safe(spark, tmp_path):
         [(3, "content  B"), (4, "content C")],  # B again (ws-normalized)
         [(5, "content C"), (6, "content D")],
     ]
-    for rows in files:
+    # pin file mtimes: the file source orders batches by modification
+    # time, and three back-to-back writes can tie on the same
+    # millisecond — explicit increasing mtimes make the batch order
+    # (and therefore the first-arrival assertion) deterministic
+    import glob as _glob
+    import os as _os
+
+    seen: set[str] = set()
+    for i, rows in enumerate(files):
         spark.createDataFrame(rows, "doc_id long, text string").coalesce(
             1
         ).write.mode("append").parquet(inp)
+        for f in _glob.glob(inp + "/*.parquet"):
+            if f not in seen:
+                _os.utime(f, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+                seen.add(f)
     schema = spark.read.parquet(inp).schema
 
     def stream():
