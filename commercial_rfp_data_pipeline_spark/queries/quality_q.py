@@ -332,8 +332,12 @@ def q_training_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
     eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
-    kept = corpus.join(
-        repetition_features(corpus).filter("keep").select("doc_id"), "doc_id"
+    # `kept` also feeds three consumers (both contamination gram scans
+    # and the anti-join) — pin it like `clean` below
+    kept = pin(
+        corpus.join(
+            repetition_features(corpus).filter("keep").select("doc_id"), "doc_id"
+        )
     )
     contaminated = (
         contamination_overlap(kept, eval_docs, k=5)
