@@ -298,3 +298,64 @@ def q_multi_join(spark, sf_dir):
             F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("gross"),
         )
     )
+
+
+@query(
+    "data_quality_audit",
+    """
+    SELECT rule, n_violations FROM (
+      SELECT 'orders_custkey_fk' AS rule, count(*) AS n_violations
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk', count(*)
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'customer_custkey_unique', coalesce(sum(n - 1), 0)
+      FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey) WHERE n > 1
+      UNION ALL
+      SELECT 'orders_orderdate_nonnull', count(*)
+      FROM orders WHERE o_orderdate IS NULL
+      UNION ALL
+      SELECT 'lineitem_quantity_positive', count(*)
+      FROM lineitem WHERE l_quantity <= 0
+    )
+    """,
+)
+def q_data_quality_audit(spark, sf_dir):
+    """Declarative data-quality audit — the expect-style constraint
+    report every warehouse load runs: referential integrity via
+    anti-joins, key uniqueness via a groupBy surplus, null and domain
+    checks via filtered counts, one (rule, n_violations) row each.
+    Every rule is a single-shuffle shape (anti-join or groupBy); the
+    union of scalar counts is driver-trivial."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(rule, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    fk_orders = o.join(
+        c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+    )
+    fk_lineitem = li.join(
+        o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    )
+    dupes = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("n_violations"))
+        .select(F.lit("customer_custkey_unique").alias("rule"), "n_violations")
+    )
+    return (
+        one("orders_custkey_fk", fk_orders)
+        .unionByName(one("lineitem_orderkey_fk", fk_lineitem))
+        .unionByName(dupes)
+        .unionByName(one("orders_orderdate_nonnull", o.filter(F.col("o_orderdate").isNull())))
+        .unionByName(one("lineitem_quantity_positive", li.filter(F.col("l_quantity") <= 0)))
+    )
