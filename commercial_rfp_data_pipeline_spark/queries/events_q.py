@@ -263,3 +263,49 @@ def q_retention_cohorts(spark, sf_dir):
     return activity.groupBy(
         F.col("cohort_week").cast("string").alias("cohort_week"), "week_no"
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_hourly_anomaly_zscores",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             avg(n) AS mu,
+             stddev_samp(n) AS sigma
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, CAST(h.h AS VARCHAR) AS hour, h.n,
+           round((h.n - s.mu) / s.sigma, 6) AS zscore,
+           round((h.n - s.mu) / s.sigma, 6) >= 3.0 AS is_anomaly
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE s.sigma > 0
+    """,
+)
+def q_hourly_anomalies(spark, sf_dir):
+    """Volume-anomaly detection: per-type hourly counts z-scored
+    against that type's own mean/stddev — the monitoring staple. Two
+    groupBys (hourly, then per-type stats over the tiny hourly table)
+    and a broadcast-size join back; flagged rows are z >= 3."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        hourly.join(stats, "event_type")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            F.col("h").cast("string").alias("hour"),
+            "n",
+            z.alias("zscore"),
+            (z >= 3.0).alias("is_anomaly"),
+        )
+    )

@@ -359,3 +359,51 @@ def q_data_quality_audit(spark, sf_dir):
         .unionByName(one("orders_orderdate_nonnull", o.filter(F.col("o_orderdate").isNull())))
         .unionByName(one("lineitem_quantity_positive", li.filter(F.col("l_quantity") <= 0)))
     )
+
+
+@query(
+    "rfm_customer_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(o_orderdate) AS maxd FROM orders)
+    SELECT custkey,
+           CAST(date_diff('day', CAST(last_order AS DATE), CAST(maxd AS DATE)) AS INTEGER) AS recency_days,
+           frequency, monetary,
+           CASE WHEN date_diff('day', CAST(last_order AS DATE), CAST(maxd AS DATE)) <= 90 THEN 2
+                WHEN date_diff('day', CAST(last_order AS DATE), CAST(maxd AS DATE)) <= 365 THEN 1
+                ELSE 0 END AS r_band,
+           CASE WHEN frequency >= 20 THEN 2 WHEN frequency >= 10 THEN 1 ELSE 0 END AS f_band,
+           CASE WHEN monetary >= 2000000 THEN 2 WHEN monetary >= 1000000 THEN 1 ELSE 0 END AS m_band
+    FROM rfm CROSS JOIN anchor
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: recency vs the dataset's anchor date,
+    order frequency, monetary total (exact decimal sum), each banded by
+    FIXED thresholds — value bands, not ntile, for the same reason as
+    quality_band_mix: a global quantile window is a single-reducer sort
+    at scale while the band is a narrow map. One groupBy on the
+    customer key plus a 1-row broadcast anchor."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    rec = F.datediff(F.col("maxd"), F.col("last_order"))
+    return rfm.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        rec.cast("int").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.when(rec <= 90, 2).when(rec <= 365, 1).otherwise(0).alias("r_band"),
+        F.when(F.col("frequency") >= 20, 2).when(F.col("frequency") >= 10, 1).otherwise(0).alias("f_band"),
+        F.when(F.col("monetary") >= 2000000, 2).when(F.col("monetary") >= 1000000, 1).otherwise(0).alias("m_band"),
+    )
