@@ -178,6 +178,36 @@ def ivf_search_index(
     )
 
 
+def append_to_ivf_index(
+    spark: SparkSession,
+    warehouse: str,
+    new_docs: DataFrame,
+) -> None:
+    """INCREMENTAL index update — the op an ANN service runs on every
+    ingest batch instead of a full rebuild: chunk + embed the new
+    documents, assign them to the EXISTING (frozen) centroids, and
+    append into the partitioned cell layout. Because assignment
+    depends only on the centroid table, appended cells are
+    bit-identical to what a from-scratch rebuild over the union would
+    produce with the same centroids — probing needs no awareness that
+    the index grew. (Centroid RETRAINING is a separate, deliberate
+    rebuild: re-running ensure_ivf_index after deleting the index dir;
+    freezing centroids between retrains is exactly how IVF services
+    amortize k-means.)"""
+    from commercial_rfp_data_pipeline_spark.operators.vector import ivf_assign
+    from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
+
+    cents = spark.read.parquet(os.path.join(warehouse, "ivf_centroids"))
+    chunks = chunk_text(new_docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+    emb = build_embeddings(chunks)
+    assigned = ivf_assign(
+        emb, id_col="chunk_id", vec_col="embedding", cents=cents
+    ).select("chunk_id", "embedding", "cent_id", "_n")
+    assigned.write.mode("append").partitionBy("cent_id").parquet(
+        os.path.join(warehouse, "ivf_cells")
+    )
+
+
 def search(
     spark: SparkSession, warehouse: str, query_texts: list[str], k: int = 5
 ) -> DataFrame:

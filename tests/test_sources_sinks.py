@@ -352,6 +352,42 @@ def test_k7_upload_transport_seam(spark, sf_dir, tmp_path):
         assert f.read().startswith("Source File Name: lib.xlsx")
 
 
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """append_to_ivf_index must make new documents searchable without
+    a rebuild: a freshly appended doc whose text equals the query
+    string becomes the top hit (cosine ~1), and the centroid table is
+    untouched (frozen between deliberate retrains)."""
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        append_to_ivf_index,
+        ensure_ivf_index,
+        ivf_search_index,
+    )
+
+    wh = str(tmp_path / "wh")
+    cents_path, cells_path = ensure_ivf_index(spark, sf_dir, wh)
+    cents_before = sorted(
+        r.cent_id for r in spark.read.parquet(cents_path).select("cent_id").collect()
+    )
+    n_before = spark.read.parquet(cells_path).count()
+
+    probe_text = "zebra quantum marmalade synchrotron paradox"
+    new_docs = spark.createDataFrame(
+        [(999999, probe_text)], "doc_id long, text string"
+    )
+    append_to_ivf_index(spark, wh, new_docs)
+
+    assert spark.read.parquet(cells_path).count() == n_before + 1
+    cents_after = sorted(
+        r.cent_id for r in spark.read.parquet(cents_path).select("cent_id").collect()
+    )
+    assert cents_after == cents_before
+
+    hits = ivf_search_index(spark, wh, [probe_text], nprobe=2, k=3).collect()
+    top = max(hits, key=lambda r: r.sim)
+    assert top.chunk_id.startswith("999999_"), hits
+    assert top.sim > 0.999
+
+
 def test_ivf_index_lifecycle_and_pruned_probe(spark, sf_dir, tmp_path):
     """ensure_ivf_index materializes centroids + cells partitioned by
     cent_id; probing reads only the probed cells (static partition
