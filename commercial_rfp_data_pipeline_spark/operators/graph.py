@@ -1,0 +1,217 @@
+"""Graph analytics operators: fixed-iteration PageRank.
+
+Complements the connected-components operator (`operators/dedup.py:
+dup_clusters`) with the other workhorse iterative graph primitive a
+training-data pipeline uses: importance weighting over a similarity /
+co-occurrence graph (e.g. rank documents by centrality in the near-dup
+graph before choosing cluster survivors, or rank products by
+co-purchase centrality).
+
+Design for scale (the GraphX/Pregel discipline, expressed as DataFrame
+ops):
+- per iteration: ONE join of the rank state to the edge list (shuffle
+  on src) + ONE groupBy(dst) sum with map-side partial aggregation —
+  exactly the message/aggregate pattern;
+- the edge list and the static (id, outdeg) vertex table are pinned —
+  built once, read every superstep;
+- a FIXED iteration count (deterministic, oracle-expressible as an
+  unrolled CTE chain) rather than convergence polling — at 100 TB you
+  run the budgeted number of supersteps;
+- dangling-node mass: on a SYMMETRIZED graph a vertex with in-edges
+  always has out-edges, so dangling == isolated, every isolated vertex
+  carries the same rank, and the dangling mass D_k follows a scalar
+  recurrence computable up front (``symmetric=True`` — zero extra
+  distributed work per superstep). For general directed graphs
+  (``symmetric=False``) D_k is a one-row aggregate cross-joined back
+  in (stays in-plan; no per-iteration driver collect);
+- each round's state is lazily localCheckpoint'd so round k+1 reads a
+  materialized rank table instead of recomputing rounds 1..k (the same
+  per-round truncation `dup_clusters` uses; on a real cluster use a
+  reliable checkpoint dir).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import pin
+
+DAMPING = 0.85
+ITERATIONS = 5
+
+
+def _teleport_constants(
+    n: int, m_isolated: int, damping: float, iterations: int
+) -> list[float]:
+    """Per-superstep additive constant c_k = (1-d)/n + d·D_k/n for a
+    symmetrized graph, where the dangling mass D_k = m·r_iso_k and the
+    isolated-vertex rank follows r_iso_{k+1} = c_k (isolated vertices
+    receive no contributions). Plain float arithmetic — the oracle
+    generator runs the SAME function, so both engines embed identical
+    literals."""
+    consts = []
+    r_iso = 1.0 / n
+    for _ in range(iterations):
+        d_mass = m_isolated * r_iso
+        c = (1.0 - damping) / n + damping * d_mass / n
+        consts.append(c)
+        r_iso = c
+    return consts
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+    symmetric: bool = True,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank with uniform teleport and dangling-mass redistribution.
+
+    ``nodes``: one row per vertex (``id_col``); ``edges``: directed
+    (``src_col``, ``dst_col``) — symmetrize in the caller for an
+    undirected graph (and only then is ``symmetric=True`` valid: it
+    assumes every vertex with in-edges has out-edges). Returns
+    (id, outdeg, rank, rank_rel) where ``rank`` sums to 1 over all
+    vertices and ``rank_rel`` = rank × n (mean 1.0 — scale-free, the
+    number you threshold on).
+
+    rank_{k+1}(v) = (1-d)/n + d * (Σ_{u→v} rank_k(u)/outdeg(u) + D_k/n)
+    with D_k = Σ_{dangling u} rank_k(u).
+    """
+    # the edge list feeds every superstep — build it once and pin it
+    # (at cluster scale: persist to MEMORY_AND_DISK or a parquet
+    # checkpoint; recomputing an edge-generation join per superstep is
+    # the classic iterative-job mistake)
+    e = pin(
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = pin(
+        nodes.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .join(deg, F.col("_id") == F.col("_src"), "left")
+        .select("_id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+    )
+    n = base.count()
+    state = base.select("_id", "outdeg", F.lit(1.0 / n).alias("rank"))
+
+    consts: list[float] | None = None
+    if symmetric:
+        m_isolated = n - e.select("_src").distinct().count()
+        consts = _teleport_constants(n, m_isolated, damping, iterations)
+
+    for k in range(iterations):
+        if checkpoint:
+            # truncate lineage so each superstep is one job over a
+            # materialized state table, not a recompute of all priors
+            state = state.localCheckpoint(eager=False)
+        contribs = (
+            state.filter(F.col("outdeg") > 0)
+            .join(e, F.col("_id") == F.col("_src"))
+            .select("_dst", (F.col("rank") / F.col("outdeg")).alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        nxt = base.join(contribs, F.col("_id") == F.col("_dst"), "left")
+        if consts is not None:
+            rank = F.lit(consts[k]) + damping * F.coalesce("_s", F.lit(0.0))
+        else:
+            dangling = state.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg") == 0, F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("_dmass")
+            )
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+            rank = (
+                F.lit((1.0 - damping) / n)
+                + damping
+                * (F.coalesce("_s", F.lit(0.0)) + F.col("_dmass") / n)
+            )
+        state = nxt.select("_id", "outdeg", rank.alias("rank"))
+    return state.select(
+        F.col("_id").alias(id_col),
+        "outdeg",
+        F.col("rank"),
+        (F.col("rank") * n).alias("rank_rel"),
+    )
+
+
+def pagerank_oracle_cte(
+    nodes_sql: str,
+    edges_sql: str,
+    id_col: str = "id",
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+    n: int | None = None,
+    m_isolated: int | None = None,
+) -> str:
+    """DuckDB oracle for :func:`pagerank`, generated from the SAME
+    constants — the iteration unrolls into a chained-CTE sequence so
+    the two engines cannot drift. ``nodes_sql``/``edges_sql`` are
+    SELECTs producing (id) and (src, dst).
+
+    When ``n``/``m_isolated`` are given (the symmetric fast path), the
+    per-superstep teleport constants come from
+    :func:`_teleport_constants` — the same floats the engine embeds;
+    otherwise the dangling mass is restated as a scalar subquery per
+    round. CTEs are MATERIALIZED: every state CTE is referenced twice
+    (contribution join + dangling mass) and without the keyword DuckDB
+    inlines each reference, recomputing the chain 2^iterations times."""
+    d = damping
+    ctes = [
+        f"_nodes AS MATERIALIZED ({nodes_sql})",
+        f"_edges AS MATERIALIZED ({edges_sql})",
+        "_n AS MATERIALIZED (SELECT count(*) AS n FROM (SELECT DISTINCT id FROM _nodes))",
+        "_deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM _edges GROUP BY src)",
+        """state0 AS MATERIALIZED (
+          SELECT v.id, coalesce(g.outdeg, 0) AS outdeg,
+                 1.0 / (SELECT n FROM _n) AS rank
+          FROM (SELECT DISTINCT id FROM _nodes) v
+          LEFT JOIN _deg g ON v.id = g.src
+        )""",
+    ]
+    consts = (
+        _teleport_constants(n, m_isolated, damping, iterations)
+        if n is not None and m_isolated is not None
+        else None
+    )
+    for k in range(iterations):
+        p, c = f"state{k}", f"state{k + 1}"
+        if consts is not None:
+            base_term = repr(consts[k])
+        else:
+            base_term = f"""(1.0 - {d}) / (SELECT n FROM _n)
+                 + {d} * (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0.0)
+                          FROM {p}) / (SELECT n FROM _n)"""
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+          SELECT p.id, p.outdeg,
+                 {base_term}
+                 + {d} * coalesce(s._s, 0.0) AS rank
+          FROM {p} p
+          LEFT JOIN (
+            SELECT e.dst, sum(q.rank / q.outdeg) AS _s
+            FROM {p} q JOIN _edges e ON q.id = e.src
+            WHERE q.outdeg > 0
+            GROUP BY e.dst
+          ) s ON p.id = s.dst
+        )"""
+        )
+    final = f"state{iterations}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id AS {id_col}, outdeg,
+               round(rank, 9) AS rank,
+               round(rank * (SELECT n FROM _n), 6) AS rank_rel
+        FROM {final}
+        """
+    )

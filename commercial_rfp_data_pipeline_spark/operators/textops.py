@@ -868,3 +868,145 @@ def compression_ratio(
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} long, raw_bytes long, comp_bytes long, ratio double"
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 10,
+) -> DataFrame:
+    """C4-style span-level corpus dedup (Raffel et al. 2020 §2.2
+    deduplicated three-sentence spans; RefinedWeb/Dolma do the same at
+    line granularity): cut each document into NON-overlapping
+    ``span_len``-word segments of normalized text, and for any span
+    occurring more than once in the whole corpus keep only its first
+    occurrence in (doc_id, span_idx) order, dropping every other copy.
+    Documents are then reassembled from their surviving spans.
+
+    Output: (id, text_dedup, n_spans, n_spans_kept) for EVERY input
+    document — a doc whose spans were all dropped (or that had no
+    words) comes back with empty text, so the result is a full corpus
+    rewrite, not a filter.
+
+    Shape at scale (this is the whole point — the naive form is a
+    corpus-wide self-join):
+    - span extraction is a narrow map (slice over the word array);
+    - duplicate detection is ONE groupBy on md5(span) computing
+      (count, min(doc_id, idx)) with map-side partial aggregation —
+      boilerplate spans repeated 10M times combine locally instead of
+      flooding one reducer;
+    - the keep-filter is one equi-join of spans to that stats table on
+      the 32-hex key (AQE picks the strategy);
+    - reassembly is one groupBy(doc_id) whose per-group size is bounded
+      by document length.
+    """
+    # null text behaves like empty (no spans) — without the coalesce,
+    # size(null) = -1 would feed sequence() a negative bound
+    w = F.coalesce(words(text_col), F.array(F.lit("")))
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(w) / F.lit(span_len)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(w, i * span_len + 1, span_len), " "
+                ),
+            )
+        ).alias("idx", "span"),
+    ).filter(F.length(F.trim("span")) > 0)
+    spans = base.withColumn("k", F.md5("span"))
+    stats = spans.groupBy("k").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("first"),
+    )
+    kept = spans.join(stats, "k").filter(
+        (F.col("freq") == 1)
+        | (
+            (F.col(id_col) == F.col(f"first.{id_col}"))
+            & (F.col("idx") == F.col("first.idx"))
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_spans_kept"),
+    )
+    totals = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        )
+    )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Unigram language-model scoring: train token frequencies on
+    ``train_df`` (default: the corpus itself — in-domain typicality)
+    and score each document by its mean token log-probability and
+    perplexity. The CCNet/KenLM-filter pattern reduced to its
+    distributed skeleton: a real pipeline swaps the unigram table for
+    n-gram KenLM scores via mapInPandas, but the Spark shape — train
+    once, join scores to the token stream — is identical.
+
+    Add-one smoothing over the training vocabulary keeps unseen tokens
+    finite when ``train_df`` differs from ``df``:
+    p(tok) = (c(tok) + 1) / (N + V + 1), unseen c = 0.
+
+    Output: (id, n_tokens, avg_logprob, ppl) for every doc with >= 1
+    token; avg_logprob is mean ln p (rounded 6), ppl = exp(-avg)
+    (rounded 4). Low avg_logprob = rare/atypical tokens — the quality
+    signal you threshold or importance-weight on.
+
+    Shape at scale: token explode is narrow; the frequency table is ONE
+    groupBy(tok) with map-side combine; scoring is ONE equi-join of the
+    token stream to that table (AQE broadcasts it while the vocab is
+    small, shuffles when it is not) and ONE groupBy(doc) average. The
+    (N, V) scalars ride a broadcast one-row aggregate — no driver
+    round-trip."""
+    def toks(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
+            .filter(F.length("tok") > 0)
+        )
+    train = toks(train_df if train_df is not None else df)
+    freqs = pin(train.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    nv = freqs.agg(
+        F.sum("c").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    scored = (
+        toks(df)
+        .join(freqs, "tok", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col(id_col),
+            (
+                F.log(F.coalesce(F.col("c"), F.lit(0)) + 1)
+                - F.log(F.col("_N") + F.col("_V") + 1)
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("_lp")), 4).alias("ppl"),
+    )

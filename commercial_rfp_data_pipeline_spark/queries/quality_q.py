@@ -464,3 +464,35 @@ def q_compression_ratio(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratio(docs)
+
+
+@query(
+    "unigram_lm_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+            FROM documents)
+      WHERE length(tok) > 0
+    ),
+    freqs AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    nv AS (SELECT sum(c) AS n, count(*) AS v FROM freqs)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(c + 1) - ln(n + v + 1)), 6) AS avg_logprob,
+           round(exp(-avg(ln(c + 1) - ln(n + v + 1))), 4) AS ppl
+    FROM toks JOIN freqs USING (tok) CROSS JOIN nv
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_lm(spark, sf_dir):
+    """Unigram LM typicality score (CCNet-style quality signal reduced
+    to its distributed skeleton): corpus-trained token frequencies ->
+    per-doc mean log-prob + perplexity. Exact arithmetic both sides
+    (ln/exp on doubles, rounded) — fully oracle-checkable."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        unigram_lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_score(docs)

@@ -589,3 +589,57 @@ def q_training_mix(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     langs = lang_id(docs).select("doc_id", "lang_pred")
     return stratified_sample(langs, ["lang_pred"], n_per_stratum=20)
+
+
+@query(
+    "span_dedup_c4",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    wl AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm
+           WHERE t IS NOT NULL AND length(t) > 0),
+    spans AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(list_slice(w, i*10+1, i*10+10), ' ') AS span
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS i
+            FROM wl)
+      WHERE length(trim(array_to_string(list_slice(w, i*10+1, i*10+10), ' '))) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, idx, span,
+             count(*) OVER (PARTITION BY span) AS freq,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+      FROM spans
+    ),
+    kept AS (SELECT doc_id, idx, span FROM ranked WHERE freq = 1 OR rn = 1),
+    rebuilt AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text_dedup,
+             count(*) AS n_spans_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           coalesce(t.n_spans, 0) AS n_spans,
+           coalesce(r.n_spans_kept, 0) AS n_spans_kept
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def q_span_dedup(spark, sf_dir):
+    """C4-style span-level corpus dedup (keep the globally-first copy
+    of every repeated 10-word span, rewrite every document from its
+    surviving spans). The oracle restates the keep-first rule with a
+    window; the engine's groupBy(min(struct)) form is the scale-safe
+    equivalent (map-side combine, no hot reducer on boilerplate)."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_dedup(docs, span_len=10)
+    return out.select(
+        "doc_id",
+        "text_dedup",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+    )

@@ -1,0 +1,192 @@
+"""TPC-H-shaped analytical queries (Q3/Q5/Q10 analogues) over the
+synthetic tables — the classic fact-to-many-dims join shapes a user of
+the reference's relational surface (SURVEY.md §2.5-§2.8) would run as
+reports, adapted to this data's 1995-2001 date range and columns.
+
+Scale discipline per query is in the docstrings; the shared rules:
+dimension tables (region/nation/customer/supplier) broadcast so the
+fact side (lineitem) never shuffles for a dim join; monetary math runs
+in DECIMAL so sums are exact and order-independent (bit-identical to
+the DuckDB oracle); every top-n carries a total deterministic order and
+becomes TakeOrderedAndProject (no global sort of the full result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.registry import query
+
+DEC = "decimal(12,2)"
+
+# revenue term shared by all three queries (exact decimal arithmetic)
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+
+
+@query(
+    "shipping_priority_q3",
+    f"""
+    SELECT l_orderkey,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1997-03-15'
+      AND l_shipdate > DATE '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY sum({_REV_SQL}) DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers ->
+    their open orders -> unshipped lineitems, top-10 orders by revenue.
+
+    Scale: the c_mktsegment filter keeps ~1/5 of customers; that
+    filtered (custkey) set is broadcast so ORDERS never shuffles for
+    the semi-like join, and the orders->lineitem join shuffles on
+    orderkey once (both sides filtered first — predicate pushdown to
+    the scans, verified in the plan test). The final top-10 with a
+    total order is TakeOrderedAndProject: only 10 rows per partition
+    reach the driver-side merge, never a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("date")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "local_supplier_volume_q5",
+    f"""
+    SELECT n_name AS nation,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue where customer
+    and supplier share an ASIA nation, grouped by nation.
+
+    Scale: supplier/customer/nation/region are all dimension-sized next
+    to lineitem and all broadcast — lineitem shuffles exactly once (on
+    l_orderkey, to meet the date-filtered orders). The extra
+    c_nationkey = s_nationkey equality rides the broadcast joins as a
+    post-join filter; region's r_name filter prunes nation/supplier
+    BEFORE the broadcast, shrinking the hash tables."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    sn = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "returned_items_q10",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           n_name AS nation
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-10-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY sum({_REV_SQL}) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter.
+
+    Scale: returnflag + date filters push to the scans; lineitem joins
+    date-filtered orders on the orderkey shuffle, then customer/nation
+    broadcast onto the aggregated (custkey) side. Aggregation runs
+    BEFORE the customer join — group on o_custkey first so the shuffle
+    carries (custkey, revenue) partial sums, not customer payload
+    columns; top-20 via TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    per_cust = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue()).alias("_rev"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .orderBy(F.col("_rev").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+    )

@@ -55,6 +55,8 @@ def _register_all() -> None:
         pipeline_q,
         advanced_q,
         quality_q,
+        tpch_q,
+        graph_q,
     )
 
 
