@@ -255,3 +255,75 @@ def test_contamination_probe_is_single_gram_join(spark, sf_dir):
     p = plan(q_decontamination(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q3_pushdown_broadcast_takeordered(spark, sf_dir):
+    """Q3 shape: segment/date filters reach the scans, the filtered
+    customer set broadcasts for the semi join, and the top-10 compiles
+    to TakeOrderedAndProject (no global sort)."""
+    from commercial_rfp_data_pipeline_spark.queries.tpch_q import (
+        q_shipping_priority,
+    )
+
+    p = plan(q_shipping_priority(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p and "GreaterThan(l_shipdate" in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q5_fact_shuffles_once(spark, sf_dir):
+    """Q5: every dimension join is a broadcast — the only Exchanges in
+    the plan belong to the orders⋈lineitem orderkey join and the final
+    nation aggregation."""
+    from commercial_rfp_data_pipeline_spark.queries.tpch_q import (
+        q_local_supplier_volume,
+    )
+
+    p = plan(q_local_supplier_volume(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3
+    # lineitem-side shuffle for the orderkey join + agg exchange only:
+    # no shuffle keyed on any dim key
+    assert "hashpartitioning(l_suppkey" not in p
+    assert "hashpartitioning(c_custkey" not in p
+
+
+def test_tpch_q10_aggregates_before_customer_join(spark, sf_dir):
+    """Q10: revenue is aggregated per custkey BEFORE customer payload
+    joins on — the shuffle carries (custkey, partial sums), never
+    c_name/c_acctbal; customer and nation broadcast."""
+    from commercial_rfp_data_pipeline_spark.queries.tpch_q import (
+        q_returned_items,
+    )
+
+    p = plan(q_returned_items(spark, sf_dir))
+    assert "EqualTo(l_returnflag,R)" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    # the o_custkey aggregation must sit below the broadcast joins:
+    # no Exchange carrying customer payload columns
+    assert "hashpartitioning(c_custkey" not in p
+
+
+def test_pagerank_pins_edges_and_plans_no_cartesian(spark, sf_dir):
+    """The PageRank superstep plan reuses the pinned edge table
+    (InMemoryTableScan) and contains no CartesianProduct (the teleport
+    constant folds into the projection on the symmetric fast path)."""
+    from commercial_rfp_data_pipeline_spark.queries.graph_q import (
+        q_pagerank_copurchase,
+    )
+
+    p = plan(q_pagerank_copurchase(spark, sf_dir))
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
+
+
+def test_span_dedup_stats_aggregate_has_partial(spark, sf_dir):
+    """Span duplicate detection must be a partial->final aggregate on
+    the span key (map-side combine absorbs boilerplate hot keys), not a
+    window over raw spans."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(span_dedup(docs))
+    assert "partial_count" in p or "partial" in p.lower()
+    assert "Window" not in p
