@@ -1010,3 +1010,51 @@ def unigram_lm_score(
         F.round(F.avg("_lp"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg("_lp")), 4).alias("ppl"),
     )
+
+
+def importance_downsample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ds1",
+    floor_p: float = 0.05,
+) -> DataFrame:
+    """Deterministic Bernoulli importance downsampling: keep each row
+    with probability p = clamp(weight, floor_p, 1), decided by a
+    content-independent md5 coin — the quality-weighted thinning step a
+    training-data mix uses after scoring (higher-quality docs survive
+    with higher probability; every doc keeps at least ``floor_p``).
+
+    No rand(): the accept decision is u(id) < p where u is the first 60
+    bits of md5(seed || id) — reproducible under retries, speculative
+    execution, and any partitioning (same discipline as
+    ``stratified_sample``). The comparison runs on zero-padded lowercase
+    hex STRINGS (16 chars), so both engines compare the same 60-bit
+    integers without bigint hex-parsing builtins: u_hex < to_hex(floor(
+    p·2^60)). Narrow map — no shuffle at any scale.
+
+    Output: kept rows only, (id, p, u_hex)."""
+    w = F.col(weight_col)
+    p = F.least(F.greatest(w, F.lit(floor_p)), F.lit(1.0))
+    u_hex = F.lpad(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        "0",
+    )
+    thr_hex = F.lpad(
+        F.lower(F.hex(F.floor(p * F.lit(float(1 << 60))).cast("bigint"))),
+        16,
+        "0",
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(p, 6).alias("p"),
+            u_hex.alias("u_hex"),
+            thr_hex.alias("_thr"),
+        )
+        .filter(F.col("u_hex") < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -553,3 +553,34 @@ def ivf_search(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) in [-127, 127] — the standard 4x memory
+    cut an ANN index takes before serving at 100-TB scale (a float32
+    corpus of 10^10 x 768-dim vectors is ~30 TB; int8 fits the same
+    index in ~7.5 TB and dot products vectorize to VPMADDUBSW-class
+    kernels JVM-side or in the serving layer).
+
+    Rounding is floor(x/scale + 0.5) — half-toward-+inf in BOTH engines
+    (Spark's round() on doubles is HALF_UP while DuckDB's is
+    half-away-from-zero; writing the floor form removes the drift for
+    negative .5 boundaries). All-zero vectors get scale 1.0 so q = 0
+    without a divide-by-zero. Narrow map, no shuffle; exact arithmetic
+    -> fully oracle-checkable.
+
+    Output: (id, scale rounded 9, qvec array<int>, n_dims)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(max_abs == 0, F.lit(1.0)).otherwise(max_abs / F.lit(127.0))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.transform(
+            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+        ).alias("qvec"),
+        F.size(v).alias("n_dims"),
+    )

@@ -496,3 +496,39 @@ def q_unigram_lm(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_lm_score(docs)
+
+
+def _quality_cte() -> str:
+    # shared with text_q's survivor-selection metric — single source
+    from commercial_rfp_data_pipeline_spark.queries.text_q import _QUALITY_CTE
+
+    return _QUALITY_CTE.strip()
+
+
+@query(
+    "quality_importance_downsample",
+    f"""
+    WITH {{QUALITY}}
+    SELECT doc_id, p, u_hex FROM (
+      SELECT doc_id,
+             round(least(greatest(quality_score, 0.05), 1.0), 6) AS p,
+             lpad(substring(md5('ds1' || CAST(doc_id AS VARCHAR)), 1, 15), 16, '0') AS u_hex,
+             lpad(lower(to_hex(CAST(floor(least(greatest(quality_score, 0.05), 1.0)
+                                          * 1152921504606846976.0) AS BIGINT))), 16, '0') AS _thr
+      FROM qual
+    ) WHERE u_hex < _thr
+    """.replace("{QUALITY}", _quality_cte()),
+)
+def q_importance_downsample(spark, sf_dir):
+    """Quality-weighted deterministic Bernoulli downsampling: keep each
+    doc with p = clamp(quality_score, 0.05, 1), decided by a md5 coin —
+    reproducible under retries/partitioning; the thinning stage between
+    scoring and dedup in a training-data mix."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        importance_downsample,
+        quality_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(docs).select("doc_id", "quality_score")
+    return importance_downsample(scored, "quality_score")

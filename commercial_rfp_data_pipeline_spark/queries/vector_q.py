@@ -415,3 +415,31 @@ def q_embedding_dedup_clusters(spark, sf_dir):
     return dup_clusters(
         v.select("vec_id"), pairs, id_col="vec_id", a_col="id_a", b_col="id_b"
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS m
+            FROM e)
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qvec,
+           CAST(len(v) AS INTEGER) AS n_dims
+    FROM s
+    """,
+)
+def q_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    the 4x index-memory cut before ANN serving; exact arithmetic, fully
+    value-checked (scale + every quantized component)."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)
