@@ -643,3 +643,55 @@ def q_span_dedup(spark, sf_dir):
         F.col("n_spans").cast("long").alias("n_spans"),
         F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
     )
+
+
+@query(
+    "corpus_statistics",
+    f"""
+    WITH norm AS (SELECT doc_id, lang, source, {_NORM} AS t FROM documents),
+    base AS (
+      SELECT doc_id, lang, source,
+             length(t) AS n_chars,
+             CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END AS n_tokens,
+             md5(t) AS fp
+      FROM norm
+    ),
+    dup AS (SELECT fp, count(*) AS c FROM base GROUP BY fp)
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           sum(n_tokens) AS total_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+           sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_exact_dup_docs
+    FROM base JOIN dup USING (fp)
+    GROUP BY lang
+    """,
+)
+def q_corpus_statistics(spark, sf_dir):
+    """Dataset-card statistics per language: doc/source counts, token
+    totals, mean length, and how many docs are exact duplicates of
+    something else — the summary a corpus release publishes. One narrow
+    map + one fp groupBy + one lang groupBy; every aggregate has
+    map-side partial combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = norm_text("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length(t).alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        F.md5(t).alias("fp"),
+    )
+    dup = base.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        base.join(dup, "fp")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_exact_dup_docs"),
+        )
+    )

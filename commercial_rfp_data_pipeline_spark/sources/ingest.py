@@ -83,3 +83,42 @@ def partitioned_fetch(
                     yield pd.DataFrame(rows)
 
     return spec_df.mapInPandas(run, schema=schema)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+) -> DataFrame:
+    """Read a JSON-Lines document corpus — the interchange format every
+    public LLM dataset ships in (C4/Pile/Dolma/RedPajama are gzipped
+    JSONL shards). PERMISSIVE mode with an explicit schema: malformed
+    lines land in ``_corrupt_record`` instead of failing the 100-TB job
+    on one bad shard; callers split on ``_corrupt_record IS NULL`` and
+    route rejects to a quarantine sink.
+
+    Explicit schema matters at scale for a second reason: without it
+    Spark runs a full inference pass over every shard before the real
+    read — double I/O on the whole corpus."""
+    full = schema + ", _corrupt_record string"
+    return spark.read.schema(full).option("mode", "PERMISSIVE").json(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    shard_col: str = "shard_id",
+    compression: str = "gzip",
+) -> None:
+    """Write a corpus as shard-partitioned compressed JSONL — the
+    emit format downstream training stacks consume, laid out as
+    ``path/<shard_col>=<k>/part-*.json.gz`` so a loader can read any
+    token-budget shard (``textops.assign_token_shards``) independently.
+    One file per (shard, task); executors write in parallel, nothing
+    lands on the driver."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(shard_col)
+        .option("compression", compression)
+        .json(path)
+    )
