@@ -190,3 +190,84 @@ def q_returned_items(spark, sf_dir):
             F.col("n_name").alias("nation"),
         )
     )
+
+
+@query(
+    "min_cost_supplier_per_part",
+    """
+    WITH pick AS (
+      SELECT l_partkey, l_extendedprice AS min_price,
+             min(l_suppkey) AS s_suppkey
+      FROM lineitem l
+      WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY l_partkey, l_extendedprice
+    )
+    SELECT p.p_partkey, p.p_name,
+           CAST(k.min_price AS DOUBLE) AS min_price,
+           s.s_name AS supplier
+    FROM pick k
+    JOIN part p ON k.l_partkey = p.p_partkey
+    JOIN supplier s USING (s_suppkey)
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier): the correlated-subquery
+    argmin, which the engine plans as ONE groupBy(min(struct)) — price
+    then supplier key order lexicographically, so a single map-side-
+    combining aggregate replaces the subquery's join-back; part and
+    supplier broadcast onto the (partkey)-sized result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    pick = (
+        li.groupBy("l_partkey")
+        .agg(F.min(F.struct("l_extendedprice", "l_suppkey")).alias("b"))
+        .select(
+            "l_partkey",
+            F.col("b.l_extendedprice").alias("min_price"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+        )
+    )
+    return (
+        pick.join(F.broadcast(p), pick.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), "s_suppkey")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("min_price").cast("double").alias("min_price"),
+            F.col("s_name").alias("supplier"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS breadth (beyond the cube/rollup siblings): an
+    explicit lattice of (flag, status) / (flag) / () with grouping_id
+    disambiguation — one Expand + one aggregate, no per-set rescans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )

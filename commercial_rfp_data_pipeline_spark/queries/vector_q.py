@@ -443,3 +443,91 @@ def q_quantize_int8(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb)
+
+
+@query(
+    "semdedup_prune",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_KMEANS_SQL},
+    simsq AS (
+      SELECT e.vec_id, c.cent_id,
+             round(list_cosine_similarity(e.v, c.cent_vec), 6) AS cent_sim
+      FROM e CROSS JOIN {_KM_FINAL} c
+    ),
+    asg AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cent_sim DESC, cent_id) AS rn
+        FROM simsq
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM asg a
+      JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.95
+    ),
+    edges AS (
+      SELECT va AS src, vb AS dst FROM pairs
+      UNION ALL
+      SELECT vb AS src, va AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT vec_id AS id, vec_id AS lbl FROM e
+      UNION
+      SELECT g.dst AS id, r.lbl FROM reach r JOIN edges g ON g.src = r.id
+    ),
+    clusters AS (SELECT id AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.vec_id, a.cent_id, c.cluster_id,
+           (c.cluster_id = c.vec_id) AS keep
+    FROM clusters c JOIN asg a USING (vec_id)
+    """,
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
+    cells — embeddings cluster to IVF centroids, cosine near-dup pairs
+    form ONLY within a cell, connected components over those pairs,
+    keep one representative (min vec_id) per component.
+
+    Scale shape — this is why SemDeDup beats corpus-wide near-dup at
+    100 TB: the pair join is cell-local (each side partitioned by
+    cent_id, fanout bounded by cell occupancy, never corpus x corpus);
+    clustering reuses the shared CC operator (edge-subgraph iteration);
+    the final keep flag is a projection, not another shuffle."""
+    from commercial_rfp_data_pipeline_spark.io import pin
+    from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        cosine,
+        ivf_assign,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    asg = pin(ivf_assign(v, n_centroids=16).select("vec_id", "embedding", "cent_id"))
+    a = asg.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "cent_id",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        "cent_id",
+    )
+    pairs = (
+        a.join(b, ["cent_id"])
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6) >= 0.95)
+        .select("va", "vb")
+    )
+    clusters = dup_clusters(
+        v.select("vec_id"), pairs, id_col="vec_id", a_col="va", b_col="vb"
+    )
+    return clusters.join(asg.select("vec_id", "cent_id"), "vec_id").select(
+        "vec_id",
+        "cent_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
+    )
