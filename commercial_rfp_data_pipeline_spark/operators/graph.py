@@ -88,8 +88,13 @@ def pagerank(
     # (at cluster scale: persist to MEMORY_AND_DISK or a parquet
     # checkpoint; recomputing an edge-generation join per superstep is
     # the classic iterative-job mistake)
+    # pre-partition on _src so every superstep's state⨝edges join reuses
+    # the cached partitioning (InMemoryRelation preserves its child's
+    # outputPartitioning — only the small state side shuffles per round)
     e = pin(
-        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        ).repartition(F.col("_src"))
     )
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = pin(

@@ -327,14 +327,18 @@ def q_training_pipeline(spark, sf_dir):
         simhash_pairs,
     )
 
-    from commercial_rfp_data_pipeline_spark.io import pin
+    from commercial_rfp_data_pipeline_spark.io import pin_eager
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
     eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
     # `kept` also feeds three consumers (both contamination gram scans
-    # and the anti-join) — pin it like `clean` below
-    kept = pin(
+    # and the anti-join) — pin it like `clean` below. Stage boundaries
+    # are EAGER: the downstream stages run their own internal actions
+    # (CC fixpoint rounds, range-partitioner sampling, prefix-sum
+    # offsets), and dragging an unmaterialized boundary through each of
+    # those replans the whole prefix — measured 2.7x slower end to end.
+    kept = pin_eager(
         corpus.join(
             repetition_features(corpus).filter("keep").select("doc_id"), "doc_id"
         )
@@ -345,14 +349,14 @@ def q_training_pipeline(spark, sf_dir):
         .select("doc_id")
     )
     # stage boundary: `clean` feeds FOUR consumers (pair generation,
-    # cluster nodes, quality scores, the survivor join) — pin it so the
-    # filter+decontamination prefix runs once, exactly as a production
-    # run would materialize the cleaned corpus between stages
-    clean = pin(kept.join(contaminated, "doc_id", "left_anti"))
+    # cluster nodes, quality scores, the survivor join) — materialize it
+    # once, exactly as a production run would write the cleaned corpus
+    # between stages
+    clean = pin_eager(kept.join(contaminated, "doc_id", "left_anti"))
     pairs = simhash_pairs(simhash(clean))
     clusters = dup_clusters(clean.select("doc_id"), pairs)
     quality = quality_features(clean).select("doc_id", "quality_score")
-    surv = pin(
+    surv = pin_eager(
         cluster_survivors(clusters, quality).select(
             "doc_id", "cluster_id", "n_members"
         )

@@ -497,7 +497,7 @@ def q_semdedup(spark, sf_dir):
     cent_id, fanout bounded by cell occupancy, never corpus x corpus);
     clustering reuses the shared CC operator (edge-subgraph iteration);
     the final keep flag is a projection, not another shuffle."""
-    from commercial_rfp_data_pipeline_spark.io import pin
+    from commercial_rfp_data_pipeline_spark.io import pin_eager
     from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
     from commercial_rfp_data_pipeline_spark.operators.vector import (
         cosine,
@@ -505,7 +505,11 @@ def q_semdedup(spark, sf_dir):
     )
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    asg = pin(ivf_assign(v, n_centroids=16).select("vec_id", "embedding", "cent_id"))
+    # eager stage boundary: the CC loop below runs per-round actions
+    # that would otherwise re-plan the k-means prefix each round
+    asg = pin_eager(
+        ivf_assign(v, n_centroids=16).select("vec_id", "embedding", "cent_id")
+    )
     a = asg.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
