@@ -1058,3 +1058,37 @@ def importance_downsample(
         .filter(F.col("u_hex") < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's normalized text —
+    the cheap randomness signal that separates natural prose (~4 bits)
+    from base64/hex blobs (high) and repeated boilerplate (low); used
+    alongside ``compression_ratio`` in pretraining quality stacks.
+
+    H = log2(n) - (1/n)·Σ_c cnt_c·log2(cnt_c). Shape: one char explode
+    (narrow), one (doc, char) groupBy and one (doc) groupBy — both with
+    map-side combine; per-doc group size is bounded by alphabet size.
+    Docs with no characters are excluded (entropy undefined).
+
+    Output: (id, n_chars, entropy_bits rounded 6)."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(norm_text(text_col), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    cnt = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.sum(F.col("c") * F.log2("c")).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            F.round(
+                F.log2("n_chars") - F.col("_s") / F.col("n_chars"), 6
+            ).alias("entropy_bits"),
+        )
+    )

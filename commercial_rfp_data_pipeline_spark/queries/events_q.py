@@ -309,3 +309,78 @@ def q_hourly_anomalies(spark, sf_dir):
             (z >= 3.0).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "events_hourly_gap_fill_locf",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    spans AS (
+      SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    ),
+    joined AS (
+      SELECT g.event_type, g.h, coalesce(x.n, 0) AS n, x.avg_value
+      FROM grid g LEFT JOIN hourly x USING (event_type, h)
+    )
+    SELECT event_type, h AS window_start, n,
+           (n = 0) AS gap_filled,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_locf
+    FROM joined
+    """,
+)
+def q_hourly_gap_fill(spark, sf_dir):
+    """Time-series regularization: per-type hourly counts on a DENSE
+    hour grid — missing hours materialize as n=0 rows and the metric
+    carries forward (last observation, LOCF), the resample/fill step
+    every monitoring or feature pipeline needs before modeling.
+
+    Scale: the grid generates from each key's (min, max) span — one
+    aggregate + sequence/explode, NOT a calendar cross join; the fill
+    join is per-key equi-join, and LOCF is one window over (key, hour)
+    — a single shuffle on the key, ordered scan within partitions."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "avg_value",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        "n",
+        (F.col("n") == 0).alias("gap_filled"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )

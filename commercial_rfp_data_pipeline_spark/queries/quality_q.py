@@ -536,3 +536,29 @@ def q_importance_downsample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     scored = quality_features(docs).select("doc_id", "quality_score")
     return importance_downsample(scored, "quality_score")
+
+
+@query(
+    "char_entropy_signal",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split({_NORM}, '')) AS ch
+      FROM documents
+      WHERE length({_NORM}) > 0
+    ),
+    cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+    SELECT doc_id,
+           sum(c) AS n_chars,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy_bits
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Shannon char entropy per doc — the randomness quality signal
+    (low = boilerplate, high = binary soup); exact arithmetic, fully
+    oracle-checked."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs)

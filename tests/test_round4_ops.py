@@ -300,3 +300,46 @@ def test_tws_processor_logic_with_fake_state():
     assert out2.iloc[0]["n_events"] == 4
     assert out2.iloc[0]["total_value"] == 10.0
     assert h.v.get() == (4, 10.0)
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy of 'aaaa' = 0; of 'abab' = 1 bit; of 'abcd' = 2 bits;
+    uniform text maximizes, repetition minimizes."""
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import char_entropy
+
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].entropy_bits == 0.0 and out[1].n_chars == 4
+    assert out[2].entropy_bits == 1.0
+    assert out[3].entropy_bits == 2.0
+    assert 4 not in out  # empty text: entropy undefined, row excluded
+
+
+def test_hourly_gap_fill_locf_semantics(spark, sf_dir):
+    """Dense grid: consecutive hours per type with no holes; gap rows
+    carry n=0 + the previous hour's metric."""
+    from commercial_rfp_data_pipeline_spark.queries.events_q import (
+        q_hourly_gap_fill,
+    )
+
+    rows = q_hourly_gap_fill(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.window_start)
+        for a, b in zip(rs, rs[1:]):
+            assert (b.window_start - a.window_start).total_seconds() == 3600, et
+        # every gap row must carry a non-null locf value after the
+        # first observation, equal to the last real hour's metric
+        last_real = None
+        for r in rs:
+            if r.n > 0:
+                last_real = r.avg_value_locf
+                assert not r.gap_filled
+            elif last_real is not None:
+                assert r.gap_filled and r.avg_value_locf == last_real, et
