@@ -32,6 +32,10 @@ HEADLINE = [
     "keep_latest_global_date_literal",
     "revenue_topn_with_order",
     "training_data_pipeline",
+    "shipping_priority_q3",
+    "pagerank_copurchase",
+    "span_dedup_c4",
+    "semdedup_prune",
 ]
 
 

@@ -389,3 +389,69 @@ def write_excel_bridge(df: DataFrame, path: str) -> None:
             [tuple(r) for r in pdf.itertuples(index=False)],
             path,
         )
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Keyed batch MERGE into a parquet table: rows in ``updates``
+    replace same-key rows in the store; new keys append. Plain-parquet
+    engines express this as read → anti-join → union → rewrite (what
+    Delta/Iceberg MERGE compiles to without a transaction log); the
+    anti-join is key-only, so the shuffle carries (key) pairs plus the
+    surviving payload once.
+
+    Write-then-swap: the merged table lands in a sibling ``_tmp`` dir
+    and replaces the target only after a successful write, so a failed
+    job never destroys the current table (the no-log equivalent of a
+    committed overwrite; production uses a table format's atomic
+    commit). The updates frame is materialized BEFORE the swap via the
+    tmp write itself — no extra action."""
+    import os as _os
+    import shutil
+
+    tmp = path.rstrip("/") + "_tmp"
+    if _os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates)
+    else:
+        merged = updates
+    merged.write.mode("overwrite").parquet(tmp)
+    if _os.path.exists(path):
+        shutil.rmtree(path)
+    _os.rename(tmp, path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into files sized
+    for the scan path (~one row-group stack per task). Streaming
+    ingest and fine-grained partitionBy writes leave thousands of tiny
+    files; at 100 TB that turns every scan into a metadata storm and
+    defeats maxPartitionBytes packing. Sizing uses the table's actual
+    on-disk bytes (no data read), then one coalesce-free repartition
+    rewrite through a tmp-swap. Returns the new file count."""
+    import os as _os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _os.path.getsize(_os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    tmp = path.rstrip("/") + "_compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return n_files

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.io import load_table, pin
 from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
 from commercial_rfp_data_pipeline_spark.operators.textops import (
     bpe_token_count,
@@ -25,6 +25,7 @@ from commercial_rfp_data_pipeline_spark.operators.textops import (
     simhash_pairs,
     token_count,
     winnowing_fingerprints,
+    words,
 )
 from commercial_rfp_data_pipeline_spark.registry import query
 
@@ -694,4 +695,90 @@ def q_corpus_statistics(spark, sf_dir):
             F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
             F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_exact_dup_docs"),
         )
+    )
+
+
+@query(
+    "pmi_collocations_top20",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    wl AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm WHERE length(t) > 0),
+    uni AS (
+      SELECT w[i] AS tok
+      FROM (SELECT w, unnest(generate_series(1, len(w))) AS i FROM wl)
+    ),
+    ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    bi AS (
+      SELECT w[i] AS tok_a, w[i+1] AS tok_b
+      FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i FROM wl)
+    ),
+    bcnt AS (SELECT tok_a, tok_b, count(*) AS cab FROM bi GROUP BY tok_a, tok_b),
+    tot AS (SELECT (SELECT sum(c) FROM ucnt) AS n_uni,
+                   (SELECT sum(cab) FROM bcnt) AS n_bi)
+    SELECT tok_a, tok_b, cab,
+           round(ln((cab / CAST(n_bi AS DOUBLE))
+                    / ((ca / CAST(n_uni AS DOUBLE)) * (cb / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+    FROM (
+      SELECT b.tok_a, b.tok_b, b.cab, a.c AS ca, c2.c AS cb
+      FROM bcnt b JOIN ucnt a ON b.tok_a = a.tok
+                  JOIN ucnt c2 ON b.tok_b = c2.tok
+      WHERE b.cab >= 5
+    ) CROSS JOIN tot
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocations: top-20 adjacent-word
+    pairs whose co-occurrence beats independence — the phrase-mining /
+    tokenizer-merge-candidate primitive. Two groupBys (unigrams,
+    bigrams) with map-side combine, two joins of the bigram table to
+    the unigram counts (AQE broadcasts while small), totals ride a
+    broadcast one-row aggregate, top-20 via TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = docs.select("doc_id", words("text").alias("w")).filter(
+        F.size("w") > 0
+    )
+    uni = wl.select(F.explode("w").alias("tok")).filter(F.length("tok") > 0)
+    ucnt = pin(uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql import Window as W
+
+    # bigrams via the same window-lead pattern shingles uses
+    win = W.partitionBy("doc_id").orderBy("i")
+    toks = wl.select("doc_id", F.posexplode("w").alias("i", "tok"))
+    bi = (
+        toks.withColumn("tok_b", F.lead("tok").over(win))
+        .filter(F.col("tok_b").isNotNull())
+        .select(F.col("tok").alias("tok_a"), "tok_b")
+    )
+    bcnt = pin(
+        bi.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("cab"))
+    )
+    tot = ucnt.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bcnt.agg(F.sum("cab").alias("n_bi"))
+    )
+    a = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    b = ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    return (
+        bcnt.filter(F.col("cab") >= 5)
+        .join(a, "tok_a")
+        .join(b, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("n_bi"))
+                    / (
+                        (F.col("ca") / F.col("n_uni"))
+                        * (F.col("cb") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(20)
     )

@@ -450,3 +450,47 @@ def test_partitioned_fetch_distributes_specs(spark):
     rows = df.collect()
     assert len(rows) == 15
     assert {r.item for r in rows} == {f"{s}-{i}" for s in range(5) for i in range(3)}
+
+
+def test_upsert_table_merge_semantics(spark, tmp_path):
+    """Keyed MERGE: updated keys replaced, new keys appended, untouched
+    rows preserved; first call on an empty path just writes."""
+    from commercial_rfp_data_pipeline_spark.io import upsert_table
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    upsert_table(spark, path, base, ["k"])
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    upsert_table(spark, path, updates, ["k"])
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+
+
+def test_compact_table_reduces_file_count(spark, tmp_path):
+    """Compaction rewrites a many-small-files table into the computed
+    target count and preserves every row."""
+    import glob
+
+    from commercial_rfp_data_pipeline_spark.io import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 32
+    n = compact_table(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert n == 1 and after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg({"v": "sum"}).collect()[0][0] == 10000 * 9999
