@@ -1092,3 +1092,38 @@ def char_entropy(
             ).alias("entropy_bits"),
         )
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    ratios: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: str = "split1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative-ratio interval contains its 60-bit md5 coin
+    u(id) ∈ [0, 1). Content-independent and id-stable — re-running on a
+    grown corpus never reassigns an existing id (the property random
+    splits lose and training pipelines need for eval hygiene).
+
+    Same padded-hex comparison discipline as ``importance_downsample``
+    (no bigint hex parsing, no rand()); narrow map, no shuffle.
+    Output: all input columns + ``split``."""
+    assert len(ratios) == len(names) and abs(sum(ratios) - 1.0) < 1e-9
+    u_hex = F.lpad(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        "0",
+    )
+    cum = 0.0
+    expr = None
+    for ratio, name in zip(ratios[:-1], names[:-1]):
+        cum += ratio
+        thr = format(int(cum * (1 << 60)), "016x")
+        cond = u_hex < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

@@ -562,3 +562,41 @@ def q_char_entropy(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return char_entropy(docs)
+
+
+def _split_thresholds() -> tuple[str, str]:
+    # same cumulative thresholds the engine embeds (80/10/10)
+    return (
+        format(int(0.8 * (1 << 60)), "016x"),
+        format(int(0.9 * (1 << 60)), "016x"),
+    )
+
+
+_T80, _T90 = _split_thresholds()
+
+
+@query(
+    "dataset_split_80_10_10",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang,
+             lpad(substring(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 15), 16, '0') AS u_hex
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN u_hex < '{_T80}' THEN 'train'
+                WHEN u_hex < '{_T90}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM u
+    """,
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic 80/10/10 split by md5 coin — id-stable (growing
+    the corpus never reassigns an existing doc), content-independent,
+    zero-shuffle; thresholds shared between engine and oracle."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_split(docs.select("doc_id", "lang")).select(
+        "doc_id", "lang", "split"
+    )

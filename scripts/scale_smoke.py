@@ -39,6 +39,10 @@ DEFAULT = {
     "simhash_neardup_pairs": "documents",
     "skew_zipf_distinct_plain": "lineitem",
     "skew_zipf_distinct_salted": "lineitem",
+    "span_dedup_c4": "documents",
+    "semdedup_prune": "embeddings",
+    "pagerank_copurchase": "lineitem",
+    "training_data_pipeline": "documents",
 }
 
 

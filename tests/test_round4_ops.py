@@ -343,3 +343,21 @@ def test_hourly_gap_fill_locf_semantics(spark, sf_dir):
                 assert not r.gap_filled
             elif last_real is not None:
                 assert r.gap_filled and r.avg_value_locf == last_real, et
+
+
+def test_dataset_split_stable_and_ratioed(spark):
+    """Split assignment depends only on (seed, id): growing the corpus
+    never reassigns an existing id; ratios land near 80/10/10."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import dataset_split
+
+    small = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s1 = {r.doc_id: r.split for r in dataset_split(small).collect()}
+    s2 = {r.doc_id: r.split for r in dataset_split(big).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # id-stable under growth
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert 0.74 < c["train"] / 2000 < 0.86
+    assert 0.06 < c["val"] / 2000 < 0.14
+    assert 0.06 < c["test"] / 2000 < 0.14
