@@ -409,7 +409,11 @@ def upsert_table(
     job never destroys the current table (the no-log equivalent of a
     committed overwrite; production uses a table format's atomic
     commit). The updates frame is materialized BEFORE the swap via the
-    tmp write itself — no extra action."""
+    tmp write itself — no extra action.
+
+    Precondition: ``updates`` must be key-unique (standard MERGE
+    contract — dedup upstream with ``dedup_keep_last`` if unsure);
+    duplicate update keys would all land."""
     import os as _os
     import shutil
 
@@ -438,7 +442,11 @@ def compact_table(
     files; at 100 TB that turns every scan into a metadata storm and
     defeats maxPartitionBytes packing. Sizing uses the table's actual
     on-disk bytes (no data read), then one coalesce-free repartition
-    rewrite through a tmp-swap. Returns the new file count."""
+    rewrite through a tmp-swap. Returns the new file count.
+
+    Note: rewrites FLAT layouts; a hive-partitioned table would come
+    back flattened (partition columns become data columns) — compact
+    each partition directory independently instead."""
     import os as _os
     import shutil
 

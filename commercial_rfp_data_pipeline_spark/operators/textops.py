@@ -918,7 +918,9 @@ def span_dedup(
             )
         ).alias("idx", "span"),
     ).filter(F.length(F.trim("span")) > 0)
-    spans = base.withColumn("k", F.md5("span"))
+    # three consumers read the extracted spans (stats, keep-join,
+    # totals) — pin so tokenization+slicing runs ONCE, not per branch
+    spans = pin(base.withColumn("k", F.md5("span")))
     stats = spans.groupBy("k").agg(
         F.count(F.lit(1)).alias("freq"),
         F.min(F.struct(F.col(id_col), F.col("idx"))).alias("first"),
@@ -940,7 +942,7 @@ def span_dedup(
         ).alias("text_dedup"),
         F.count(F.lit(1)).alias("n_spans_kept"),
     )
-    totals = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
     return (
         df.select(id_col)
         .join(totals, id_col, "left")

@@ -576,11 +576,15 @@ def quantize_int8(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
     scale = F.when(max_abs == 0, F.lit(1.0)).otherwise(max_abs / F.lit(127.0))
-    return df.select(
+    # projection barrier: without it the scale expression (array_max
+    # over a transform) re-inlines into the per-element lambda — O(d^2)
+    # work per row; as a projected attribute it evaluates once per row
+    base = df.select(F.col(id_col), v.alias("_v"), scale.alias("_s"))
+    return base.select(
         F.col(id_col),
-        F.round(scale, 9).alias("scale"),
+        F.round("_s", 9).alias("scale"),
         F.transform(
-            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+            "_v", lambda x: F.floor(x / F.col("_s") + F.lit(0.5)).cast("int")
         ).alias("qvec"),
-        F.size(v).alias("n_dims"),
+        F.size("_v").alias("n_dims"),
     )
