@@ -70,6 +70,7 @@ def pagerank(
     iterations: int = ITERATIONS,
     symmetric: bool = True,
     checkpoint: bool = True,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """PageRank with uniform teleport and dangling-mass redistribution.
 
@@ -90,12 +91,16 @@ def pagerank(
     # the classic iterative-job mistake)
     # pre-partition on _src so every superstep's state⨝edges join reuses
     # the cached partitioning (InMemoryRelation preserves its child's
-    # outputPartitioning — only the small state side shuffles per round)
-    e = pin(
-        edges.select(
-            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-        ).repartition(F.col("_src"))
-    )
+    # outputPartitioning — only the small state side shuffles per round).
+    # With dedup_edges the distinct runs AFTER the repartition: hash(_src)
+    # satisfies the distinct's clustering requirement (subset rule), so
+    # Catalyst plans a local HashAggregate with NO second Exchange — the
+    # edge set crosses the network once, not twice
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    e = e.repartition(F.col("_src"))
+    if dedup_edges:
+        e = e.distinct()
+    e = pin(e)
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = pin(
         nodes.select(F.col(id_col).alias("_id"))

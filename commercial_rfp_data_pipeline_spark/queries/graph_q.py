@@ -38,7 +38,8 @@ def q_pagerank_copurchase(spark, sf_dir):
 
     Scale: edge generation is a self-join on l_orderkey whose fanout is
     bounded by items-per-order squared (TPC-H ≤ 7 lines/order — a
-    constant), then one distinct shuffle on the pair; each PageRank
+    constant), then ONE shuffle on src with the pair-distinct collapsed
+    to a local aggregate on top of it; each PageRank
     superstep is one state⨝edges shuffle on src plus one groupBy(dst)
     with map-side partial sums; dangling mass rides a broadcast one-row
     aggregate, never a driver collect. State is per-round
@@ -55,10 +56,12 @@ def q_pagerank_copurchase(spark, sf_dir):
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
-        .distinct()
     )
     nodes = load_table(spark, sf_dir, "part").select("p_partkey")
-    pr = pagerank(nodes, edges, id_col="p_partkey")
+    # dedup_edges=True: the distinct runs inside pagerank AFTER its
+    # repartition(src), collapsing to a local aggregate (one edge shuffle
+    # total instead of two — measured ~20% off the edge build at sf0.1)
+    pr = pagerank(nodes, edges, id_col="p_partkey", dedup_edges=True)
     return pr.select(
         "p_partkey",
         "outdeg",
