@@ -271,3 +271,139 @@ def q_grouping_sets(spark, sf_dir):
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
     )
+
+
+@query(
+    "shipmode_priority_q12",
+    """
+    SELECT l_linestatus AS linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes / order priority): one year of
+    shipped lineitems, counted into high/low priority per linestatus
+    (this data's stand-in for l_shipmode).
+
+    Scale: the shipdate range filter pushes to the lineitem scan
+    (PushedFilters); the orders side projects ONLY (o_orderkey,
+    o_orderpriority) before the orderkey shuffle join; the conditional
+    counts are map-side-combining sums over a 2-value group key, so the
+    final exchange carries a handful of rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    ).select("l_orderkey", "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_q14",
+    f"""
+    SELECT CAST(round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} END)
+             / sum({_REV_SQL}), 6) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-03-01'
+      AND l_shipdate < DATE '1997-04-01'
+    """,
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue from PROMO-type parts.
+
+    Scale: part broadcasts (dimension), so the month-filtered lineitem
+    never shuffles — the whole query is scan -> broadcast join -> one
+    all-to-one aggregate of two DECIMAL partial sums (exact arithmetic;
+    the single division happens once at the end, so the oracle matches
+    bit-for-bit after round 6)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", _revenue()))
+                / F.sum(_revenue()),
+                6,
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+# Q19's OR-of-conjuncts between fact and dim columns — each branch a
+# (brand, size-range, quantity-range) conjunction
+_Q19_SQL = """
+    (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query(
+    "disjunctive_pushdown_q19",
+    f"""
+    SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q19_SQL}
+    """,
+)
+def q_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue over an OR of three (brand AND size-range AND
+    quantity-range) conjunctions that each span BOTH join sides.
+
+    Scale: Catalyst factors the single-side implications out of the
+    disjunction — `p_brand IN (12,23,34) AND p_size BETWEEN 1 AND 45`
+    prunes the part build side and `l_quantity BETWEEN 1 AND 40` pushes
+    to the lineitem scan (constraint propagation; the plan test pins
+    PushedFilters on both scans) — then the full OR evaluates as the
+    join's residual condition. Part broadcasts; no shuffle at all
+    before the final one-row aggregate."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = (
+        branch("Brand#12", 15, 1, 21)
+        | branch("Brand#23", 30, 10, 30)
+        | branch("Brand#34", 45, 20, 40)
+    )
+    return joined.filter(cond).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -327,3 +327,26 @@ def test_span_dedup_stats_aggregate_has_partial(spark, sf_dir):
     p = plan(span_dedup(docs))
     assert "partial_count" in p or "partial" in p.lower()
     assert "Window" not in p
+
+
+def test_q19_disjunction_pushes_per_side_implications(spark, sf_dir):
+    """Q19's OR-of-conjuncts spans both join sides, yet each side's scan
+    must still receive its factored implication (the brand/size OR on
+    part, the quantity-range OR on lineitem) — at 100 TB the fact scan
+    reading only quantity-eligible row groups is the difference between
+    a full-table read and a pruned one."""
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    import contextlib
+    import io
+
+    df = all_queries()["disjunctive_pushdown_q19"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # toString() truncates long filter lists
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    # lineitem scan: quantity-range disjunction pushed
+    assert "l_quantity,1.0" in p and "l_quantity,40.0" in p
+    # part scan: brand equality disjunction pushed
+    assert "EqualTo(p_brand,Brand#12)" in p
