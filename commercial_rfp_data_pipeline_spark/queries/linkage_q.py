@@ -1,0 +1,120 @@
+"""Record-linkage queries: deletion-neighborhood fuzzy join and the
+entity-resolution composition (fuzzy pairs -> connected components ->
+canonical record per entity cluster).
+
+The DuckDB oracle for the pair generator is the NAIVE all-pairs
+levenshtein scan inside each nation block — the blocking trick is
+itself what the value-hash verifies (exhaustiveness: the blocked join
+must find exactly the pairs the quadratic scan finds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.operators.dedup import (
+    cluster_survivors,
+    dup_clusters,
+)
+from commercial_rfp_data_pipeline_spark.operators.linkage import fuzzy_pairs
+from commercial_rfp_data_pipeline_spark.registry import query
+
+_PAIRS_SQL = """
+fpairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_name AS name_a, b.c_name AS name_b,
+         CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+  FROM customer a
+  JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey
+   AND levenshtein(a.c_name, b.c_name) <= 1
+)
+"""
+
+
+@query(
+    "fuzzy_name_pairs",
+    f"""
+    WITH {_PAIRS_SQL.strip()}
+    SELECT id_a, id_b, name_a, name_b, dist FROM fpairs
+    """,
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy self-join of customers: pairs in the SAME nation whose
+    names are within levenshtein distance 1 — the typo-tolerant
+    record-linkage primitive, via deletion-neighborhood blocking
+    (operators/linkage.py) instead of the oracle's quadratic scan."""
+    c = load_table(spark, sf_dir, "customer")
+    out = fuzzy_pairs(
+        c, id_col="c_custkey", name_col="c_name", block_cols=["c_nationkey"]
+    )
+    return out.select(
+        F.col("id_a"),
+        F.col("id_b"),
+        "name_a",
+        "name_b",
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@query(
+    "entity_resolution_customers",
+    f"""
+    WITH RECURSIVE {_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM fpairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM fpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT c_custkey AS id, c_custkey AS lbl FROM customer
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (SELECT id AS c_custkey, min(lbl) AS cluster_id
+                 FROM reach GROUP BY id),
+    member AS (
+      SELECT cl.cluster_id, cl.c_custkey, c.c_acctbal
+      FROM clusters cl JOIN customer c USING (c_custkey)
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_members
+              FROM member GROUP BY cluster_id)
+    SELECT m.cluster_id, m.c_custkey,
+           CAST(m.c_acctbal AS DOUBLE) AS c_acctbal, s.n_members
+    FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY c_acctbal DESC, c_custkey) AS rn FROM member) m
+    JOIN sizes s USING (cluster_id)
+    WHERE m.rn = 1
+    """,
+)
+def q_entity_resolution(spark, sf_dir):
+    """END-TO-END entity resolution: fuzzy name pairs (nation-blocked,
+    levenshtein <= 1) -> connected-component entity clusters (the SAME
+    ``dup_clusters`` operator the text dedup pipeline uses — operator
+    generality, not a re-implementation) -> one canonical record per
+    cluster by argmax(acctbal) with ascending-key tie-break, reporting
+    how many duplicate records each canonical absorbed.
+
+    Scale shape: pair generation is the bounded deletion-neighborhood
+    join, CC iterates over the edge-involved subgraph only, survivor
+    selection is one window + one count per cluster_id exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(
+        c, id_col="c_custkey", name_col="c_name", block_cols=["c_nationkey"]
+    )
+    clusters = dup_clusters(
+        c.select("c_custkey"),
+        pairs,
+        id_col="c_custkey",
+        a_col="id_a",
+        b_col="id_b",
+    )
+    scores = c.select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    surv = cluster_survivors(
+        clusters, scores, id_col="c_custkey", score_col="c_acctbal"
+    )
+    return surv.select("cluster_id", "c_custkey", "c_acctbal", "n_members")

@@ -57,6 +57,7 @@ def _register_all() -> None:
         quality_q,
         tpch_q,
         graph_q,
+        linkage_q,
     )
 
 

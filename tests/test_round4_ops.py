@@ -361,3 +361,45 @@ def test_dataset_split_stable_and_ratioed(spark):
     assert 0.74 < c["train"] / 2000 < 0.86
     assert 0.06 < c["val"] / 2000 < 0.14
     assert 0.06 < c["test"] / 2000 < 0.14
+
+
+def test_fuzzy_pairs_exhaustive_for_one_edit(spark):
+    """Deletion-neighborhood blocking must find EVERY levenshtein<=1
+    pair — substitution, insertion/deletion, and equality — and none
+    beyond, matching a naive all-pairs scan (the testdata only
+    exercises substitutions; this pins the shift cases)."""
+    from commercial_rfp_data_pipeline_spark.operators.linkage import fuzzy_pairs
+
+    rows = [
+        (1, "alpha"), (2, "alpha"),      # equal
+        (3, "alpho"),                     # substitution of 1
+        (4, "alph"),                      # deletion of 1
+        (5, "alphas"),                    # insertion of 1
+        (6, "xlpha"),                     # substitution at position 0
+        (7, "lpha"),                      # deletion at position 0
+        (8, "beta"), (9, "betta"),        # separate group, insertion
+        (10, "gamma"),                    # singleton
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs(df, id_col="id", name_col="name").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
