@@ -1,0 +1,219 @@
+"""Statistical-analytics queries: grouped OLS trend fitting, a Pearson
+correlation matrix, and a power-of-two length histogram.
+
+Oracle-parity discipline: floating-point SUMS are order-dependent, so
+every moment (Sx, Sy, Sxx, Sxy, Syy) accumulates in DECIMAL /
+BIGINT — exact and permutation-invariant in both engines — and the
+single division (plus sqrt) happens ONCE at the end on the same two
+exact numbers, then rounds to 6. This is also the right distributed
+shape: the moments are map-side-combining partial sums; nothing else
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.registry import query
+
+# epoch seconds of 2024-01-01 UTC — the events table's origin; x is
+# "hours since origin" so all decimal moments stay tiny (no overflow,
+# no Spark non-ANSI silent-null risk)
+_T0 = 1_704_067_200
+
+
+@query(
+    "events_value_trend_ols",
+    f"""
+    WITH pts AS (
+      SELECT event_type,
+             (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - {_T0}) // 3600 AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_hour,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+    """,
+)
+def q_events_trend_ols(spark, sf_dir):
+    """Per-event-type ordinary-least-squares trend of value over time
+    (slope per hour, intercept at the 2024-01-01 origin, r²) — closed
+    form from five exact moments, the grouped regression a product
+    team runs over its metrics stream.
+
+    Scale: ONE map-side-combining aggregate over the fact table; the
+    closed-form solve is per-group scalar arithmetic. Nothing iterates,
+    nothing collects — this is how you fit millions of per-key models
+    (one groupBy) when MLlib's single-model solvers don't apply."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        (
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) - _T0) / 3600
+        )
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    det = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(cov / det, 6).alias("slope_per_hour"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / det,
+            6,
+        ).alias("intercept"),
+        F.round(cov * cov / (det * vary), 6).alias("r2"),
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    sel = ", ".join(
+        f"CAST({c} AS DECIMAL(19,6)) AS {c}" for c in _CORR_COLS
+    )
+    moments = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"sum({c}) AS s_{c}")
+        moments.append(f"sum({c} * {c}) AS ss_{c}")
+    pair_sums = []
+    pair_rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            pair_sums.append(f"sum({a} * {b}) AS sp_{a}_{b}")
+            # the exact decimal moments combine in DOUBLE (products of
+            # 38-digit decimals overflow); each moment rounds to double
+            # once — the same nearest-even value in both engines — and
+            # the op order below mirrors the Spark side exactly
+            pair_rows.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+                round((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+                       - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                              - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                                - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))),
+                      6) AS corr FROM m"""
+            )
+    return (
+        f"WITH pts AS (SELECT {sel} FROM lineitem),\n"
+        f"m AS (SELECT {', '.join(moments + pair_sums)} FROM pts)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+    )
+
+
+@query("numeric_correlation_matrix", _corr_oracle())
+def q_correlation_matrix(spark, sf_dir):
+    """Pearson correlation of every pair of lineitem's numeric measures
+    as tidy (col_a, col_b, corr) rows — the profiling scan run before
+    feature selection.
+
+    Scale: ONE aggregate computes all 4 + 4 + 6 exact moments in a
+    single pass over the fact table (map-side combine; no per-pair
+    rescan, no `df.stat.corr` loop which scans once per pair); the 6
+    correlations then unpivot from the one-row moment table via
+    explode. Moments are DECIMAL so the value-hash matches the oracle
+    exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        *[F.col(c).cast("decimal(19,6)").alias(c) for c in _CORR_COLS]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = pts.agg(*aggs)
+
+    def dbl(name: str) -> F.Column:
+        return F.col(name).cast("double")
+
+    def corr(a: str, b: str) -> F.Column:
+        # combine in DOUBLE, mirroring the oracle's op order exactly
+        # (decimal products of the wide moments would overflow)
+        num = dbl("n") * dbl(f"sp_{a}_{b}") - dbl(f"s_{a}") * dbl(f"s_{b}")
+        va = dbl("n") * dbl(f"ss_{a}") - dbl(f"s_{a}") * dbl(f"s_{a}")
+        vb = dbl("n") * dbl(f"ss_{b}") - dbl(f"s_{b}") * dbl(f"s_{b}")
+        return F.round(num / F.sqrt(va * vb), 6)
+
+    pairs = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            corr(a, b).alias("corr"),
+        )
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    return m.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )
+
+
+@query(
+    "doc_length_histogram",
+    """
+    WITH b AS (
+      SELECT length(bin(n_chars)) AS bucket, n_chars FROM documents
+    )
+    SELECT bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+    FROM b GROUP BY bucket
+    """,
+)
+def q_doc_length_histogram(spark, sf_dir):
+    """Power-of-two document-length histogram — the corpus profile a
+    data-prep run reads before choosing chunk/shard sizes. The bucket
+    is `length(bin(n_chars))` = floor(log2)+1 computed in INTEGER
+    arithmetic, so bucket edges are exact in both engines (a float
+    log2 would put exact powers of two on a rounding knife-edge).
+
+    Scale: one map-side-combining aggregate over a 2-column scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.length(F.bin(F.col("n_chars"))).alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+    )

@@ -7,6 +7,7 @@ are bit-identical; list/lambda SQL uses DuckDB 1.0 builtins only.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.io import load_table, pin
@@ -781,4 +782,65 @@ def q_pmi_collocations(spark, sf_dir):
         )
         .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
         .limit(20)
+    )
+
+
+@query(
+    "bpe_merge_candidates",
+    f"""
+    WITH wl AS (SELECT string_split({_NORM}, ' ') AS w FROM documents),
+    wf AS (
+      SELECT word, count(*) AS wn
+      FROM (SELECT unnest(w) AS word FROM wl)
+      WHERE length(word) >= 2
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, wn
+      FROM (SELECT word, wn,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM wf)
+    ),
+    pc AS (SELECT pair, sum(wn) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+      FROM pc
+    ) WHERE rnk <= 20
+    """,
+)
+def q_bpe_merge_candidates(spark, sf_dir):
+    """The FIRST step of training a BPE tokenizer at corpus scale: the
+    top-20 adjacent symbol pairs by total corpus frequency (each word's
+    internal character bigrams weighted by the word's occurrence
+    count) — the pair a trainer would merge first. Iterating this
+    (merge, re-count) yields the full merge table; one step keeps the
+    query oracle-checkable while exercising the exact distributed
+    shape every iteration uses.
+
+    Scale: word counting is one (word) groupBy with map-side combine
+    over the UNIQUE-WORD table (not the corpus — bigram expansion
+    happens after frequency aggregation, so a word repeated a million
+    times explodes once); pair counting is a second small groupBy;
+    top-20 is TakeOrderedAndProject via the rank window over the tiny
+    pair table."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(words("text")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), "
+                   "i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wn",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("wn").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        pc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "n", "rnk")
     )

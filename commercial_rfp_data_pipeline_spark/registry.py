@@ -58,6 +58,7 @@ def _register_all() -> None:
         tpch_q,
         graph_q,
         linkage_q,
+        stats_q,
     )
 
 
