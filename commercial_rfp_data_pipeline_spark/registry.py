@@ -59,6 +59,7 @@ def _register_all() -> None:
         graph_q,
         linkage_q,
         stats_q,
+        layout_q,
     )
 
 

@@ -403,3 +403,60 @@ def test_fuzzy_pairs_exhaustive_for_one_edit(spark):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+def test_zorder_layout_shrinks_both_dims(spark, sf_dir, tmp_path):
+    """A z-ordered write must leave every file covering a small range
+    of BOTH interleaved columns (min/max stats then prune scans on
+    either), while a single-column sort leaves the other dimension
+    unpruned. Checked from the parquet footers the pruning would
+    actually use."""
+    import pyarrow.parquet as pq
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.layout import save_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    lo = {c: li.agg({c: "min"}).first()[0] for c in ("l_partkey", "l_suppkey")}
+    hi = {c: li.agg({c: "max"}).first()[0] for c in ("l_partkey", "l_suppkey")}
+
+    def mean_file_spans(path):
+        """Per-dimension mean of the files' normalized min/max spans —
+        the expected fraction of files a filter on that one column must
+        read. (Mean AREA is the wrong metric: ANY n-way split has area
+        ~1/n; z-order's win is bounding the WORST dimension.)"""
+        import glob as g
+
+        spans = {"l_partkey": [], "l_suppkey": []}
+        files = g.glob(f"{path}/part-*.parquet")
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for col in spans:
+                mn, mx = None, None
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        c = md.row_group(rg).column(ci)
+                        if c.path_in_schema == col and c.statistics:
+                            s = c.statistics
+                            mn = s.min if mn is None else min(mn, s.min)
+                            mx = s.max if mx is None else max(mx, s.max)
+                spans[col].append((mx - mn + 1) / (hi[col] - lo[col] + 1))
+        return (
+            {c: sum(v) / len(v) for c, v in spans.items()},
+            len(files),
+        )
+
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    save_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_partitions=8)
+    # baseline: 1-D sort on partkey only — suppkey spans stay ~full
+    from commercial_rfp_data_pipeline_spark.io import save_sorted
+
+    save_sorted(li, spath, ["l_partkey"], n_partitions=8)
+    z_spans, z_files = mean_file_spans(zpath)
+    s_spans, s_files = mean_file_spans(spath)
+    assert z_files >= 4 and s_files >= 4
+    # 1-D layout prunes its sort key hard but leaves the other
+    # dimension unprunable (span ~ 1); z-order bounds BOTH
+    assert s_spans["l_suppkey"] > 0.9, s_spans
+    assert z_spans["l_partkey"] < 0.6, z_spans
+    assert z_spans["l_suppkey"] < 0.6 * s_spans["l_suppkey"], (z_spans, s_spans)
