@@ -384,3 +384,60 @@ def q_hourly_gap_fill(spark, sf_dir):
         (F.col("n") == 0).alias("gap_filled"),
         F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
     )
+
+
+@query(
+    "events_trailing_24h_features",
+    """
+    WITH pts AS (
+      SELECT event_id, user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    )
+    SELECT event_id,
+           CAST(n_24h AS BIGINT) AS n_24h,
+           CAST(coalesce(s_24h, 0) AS DOUBLE) AS sum_24h
+    FROM (
+      SELECT event_id,
+             count(v) OVER w AS n_24h,
+             sum(v) OVER w AS s_24h
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def q_events_trailing_features(spark, sf_dir):
+    """Trailing-window feature generation — for every event, the
+    count and sum of the SAME user's events in the preceding 24 hours
+    (exclusive of the current instant): the per-entity rolling
+    features an online-ML pipeline backfills in batch.
+
+    Scale: ONE window shuffle on user_id; the 24h range frame runs as
+    a sliding aggregate over each user's time-sorted partition (Spark
+    keeps a running frame — no per-row rescan). The frame bound is in
+    exact integer MICROSECONDS and the sum in DECIMAL, so both
+    engines agree bit-for-bit. A range-frame window, not a self-join:
+    the equivalent inequality join would shuffle the fact table
+    against itself."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        "user_id",
+        # parquet NTZ -> TIMESTAMP under the UTC session: same instant
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    return pts.select(
+        "event_id",
+        F.count("v").over(w).cast("long").alias("n_24h"),
+        F.coalesce(F.sum("v").over(w), F.lit(0))
+        .cast("double")
+        .alias("sum_24h"),
+    )

@@ -217,3 +217,63 @@ def q_doc_length_histogram(spark, sf_dir):
             ).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event type: median / median-
+    absolute-deviation (the estimator a monitoring pipeline uses when
+    means are poisoned by the outliers themselves), flagging values
+    beyond 3 MAD.
+
+    Scale: two grouped EXACT percentiles (each one shuffle on the
+    5-value type key) with the tiny (type, median) tables broadcast
+    back onto the fact scan — never a per-row rescan. Exact medians
+    over a skewed group are the honest cost here; the mergeable-sketch
+    alternative is `percentiles_approx`."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
