@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -463,3 +464,60 @@ def compact_table(
     shutil.rmtree(path)
     _os.rename(tmp, path)
     return n_files
+
+
+MERGEABLE_AGGS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_agg_state(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_cols: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Incrementally-maintained aggregate table: fold ONE new batch of
+    facts into a persisted per-key aggregate state without rescanning
+    history — the batch mirror of streaming state stores, and the way
+    a 100-TB rollup stays cheap to refresh (each refresh touches the
+    delta plus the key-sized state table, never the fact history).
+
+    ``measures`` maps output column -> (agg, source_col) where agg is
+    one of sum/count/min/max — the MERGEABLE aggregates whose partial
+    states combine associatively (count partials merge by SUM). Derived
+    non-mergeable stats (avg = sum/count) belong at READ time, which is
+    why avg is deliberately absent.
+
+    Shape: one map-side-combining groupBy over the batch, one key
+    groupBy merging (state ∪ partial), tmp-dir swap write (same crash
+    discipline as ``upsert_table``). Returns the merged state."""
+    import os as _os
+    import shutil
+
+    aggs = []
+    for out, (agg, src) in measures.items():
+        if agg not in MERGEABLE_AGGS:
+            raise ValueError(
+                f"merge_agg_state: {agg!r} is not mergeable; "
+                f"use one of {sorted(MERGEABLE_AGGS)} (avg = sum/count at read)"
+            )
+        col = F.count(F.lit(1)) if agg == "count" else F.__dict__[agg](src)
+        aggs.append(col.alias(out))
+    partial = batch.groupBy(*key_cols).agg(*aggs)
+    if _os.path.exists(path):
+        state = spark.read.parquet(path)
+        merge_aggs = [
+            MERGEABLE_AGGS[agg if agg != "count" else "sum"](out).alias(out)
+            for out, (agg, _src) in measures.items()
+        ]
+        merged = (
+            state.unionByName(partial).groupBy(*key_cols).agg(*merge_aggs)
+        )
+    else:
+        merged = partial
+    tmp = path.rstrip("/") + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if _os.path.exists(path):
+        shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return spark.read.parquet(path)

@@ -494,3 +494,54 @@ def test_compact_table_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg({"v": "sum"}).collect()[0][0] == 10000 * 9999
+
+
+def test_merge_agg_state_incremental_equals_recompute(spark, tmp_path):
+    """Folding batches into the persisted aggregate state one at a
+    time must equal a full recompute over all facts — the mergeable-
+    state contract (count partials merge by sum; min/max idempotent) —
+    and avg must be derivable at read time."""
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.io import merge_agg_state
+
+    path = str(tmp_path / "state")
+    measures = {
+        "n": ("count", ""),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 2)], ["k", "v"]
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3), ("c", 7), ("b", -1), ("b", 10)], ["k", "v"]
+    )
+    merge_agg_state(spark, path, b1, ["k"], measures)
+    state = merge_agg_state(spark, path, b2, ["k"], measures)
+    full = (
+        b1.unionByName(b2)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+    got = {r.k: (r.n, r.total, r.lo, r.hi) for r in state.collect()}
+    want = {r.k: (r.n, r.total, r.lo, r.hi) for r in full.collect()}
+    assert got == want
+    avg = {
+        r.k: r.avg
+        for r in state.select(
+            "k", (F.col("total") / F.col("n")).alias("avg")
+        ).collect()
+    }
+    assert avg["a"] == 3.0 and avg["b"] == 11 / 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not mergeable"):
+        merge_agg_state(spark, path, b1, ["k"], {"a": ("avg", "v")})
