@@ -521,3 +521,37 @@ def merge_agg_state(
         shutil.rmtree(path)
     _os.rename(tmp, path)
     return spark.read.parquet(path)
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction for a hive-partitioned table: each
+    first-level ``key=value`` partition directory compacts
+    independently (``compact_table`` on flat layouts would flatten the
+    partition columns into data). Partitions keep their directory —
+    readers' partition pruning is untouched — and only partitions whose
+    file count exceeds their size-derived target are rewritten, so a
+    mostly-compacted table costs almost nothing to re-run (the
+    idempotent maintenance-job contract). Returns {partition: new file
+    count} for the rewritten partitions."""
+    import os as _os
+
+    out: dict[str, int] = {}
+    for entry in sorted(_os.listdir(path)):
+        sub = _os.path.join(path, entry)
+        if not (_os.path.isdir(sub) and "=" in entry):
+            continue
+        files = [
+            f
+            for f in _os.listdir(sub)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        total = sum(_os.path.getsize(_os.path.join(sub, f)) for f in files)
+        n_target = max(1, -(-total // target_file_bytes))  # ceil
+        if len(files) <= n_target:
+            continue  # already compact — skip the rewrite entirely
+        out[entry] = compact_table(spark, sub, target_file_bytes)
+    return out

@@ -545,3 +545,30 @@ def test_merge_agg_state_incremental_equals_recompute(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not mergeable"):
         merge_agg_state(spark, path, b1, ["k"], {"a": ("avg", "v")})
+
+
+def test_compact_partitioned_table_preserves_layout(spark, tmp_path):
+    """Partition dirs must survive compaction (pruning intact), rows
+    must be identical, file counts must drop, and a second run must be
+    a no-op (idempotent maintenance job)."""
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.io import compact_partitioned_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("p"), F.col("id").alias("v")
+    )
+    # 16 tiny files per partition
+    df.repartition(16).write.partitionBy("p").mode("overwrite").parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/p=*/*.parquet"))
+    done = compact_partitioned_table(spark, path)
+    after = len(glob.glob(f"{path}/p=*/*.parquet"))
+    assert set(done) == {"p=0", "p=1", "p=2"}
+    assert after == 3 < before
+    back = spark.read.parquet(path)
+    assert back.groupBy("p").count().count() == 3
+    assert back.agg(F.sum("v")).first()[0] == sum(range(2000))
+    assert compact_partitioned_table(spark, path) == {}
