@@ -1,0 +1,137 @@
+"""Deterministic contrastive negative sampling over a hash ring.
+
+Embedding-model training needs k pseudo-random "negative" partner
+documents per anchor. rand() is retry/partitioning-unstable, and a
+cross-join sample is quadratic. The consistent-hashing construction
+fixes both: every document takes a RING POSITION pos = md5(id)
+(fixed-length hex, so STRING order == numeric order — the same
+md5-uniform trick as `textops.importance_downsample`); each (anchor,
+j) probe hashes to q = md5(id#j), and the negative is the document at
+the first ring position >= q, wrapping at the end. Fully deterministic
+under any partitioning, retries, and cluster size, and uniform because
+md5 scatters both sides.
+
+Scale shape (the point of the exercise — the naive form is a global
+"find min pos >= q" against an UNKEYED total order):
+- ring and probes both bucket by their hex PREFIX (256 buckets): the
+  true successor is either inside the probe's own bucket — found by a
+  bucket-equi join with a pos >= q residual, fanout bounded by bucket
+  occupancy — or it is the first entry of a LATER bucket;
+- the "first entry of each later bucket" cascade computes on the
+  256-row bucket-min table (a partitionless window over an aggregated
+  tiny table — legitimate, it is metadata-sized) and broadcasts;
+- the global wrap value is the same table's first row.
+So: one narrow map per side, one bounded bucket join, one broadcast
+fix-up — nothing global, nothing quadratic. The DuckDB oracle states
+the naive inequality-join min; the bucketing's exhaustiveness is
+exactly what the value-hash verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+POS_HEX = 15  # 60-bit positions: fixed-length hex, string-ordered
+BUCKET_HEX = 2  # 256 buckets
+
+
+def _pos(col: F.Column) -> F.Column:
+    return F.substring(F.md5(col.cast("string")), 1, POS_HEX)
+
+
+def contrastive_negatives(
+    docs: DataFrame, id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """k deterministic negatives per document: (id, j, neg_id,
+    is_self). A probe can land on its own anchor (probability ~1/n);
+    it is flagged, not silently dropped, so both engines agree row for
+    row."""
+    ring = docs.select(
+        F.col(id_col).alias("_rid"), _pos(F.col(id_col)).alias("_pos")
+    ).withColumn("_rb", F.substring("_pos", 1, BUCKET_HEX))
+    probes = docs.select(
+        F.col(id_col).alias("_aid"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    ).withColumn(
+        "_q",
+        _pos(F.concat(F.col("_aid").cast("string"), F.lit("#"), F.col("j"))),
+    ).withColumn("_qb", F.substring("_q", 1, BUCKET_HEX))
+
+    # successor inside the probe's own bucket (bounded-fanout join)
+    in_bucket = (
+        probes.join(ring, (F.col("_qb") == F.col("_rb")) & (F.col("_pos") >= F.col("_q")))
+        .groupBy("_aid", "j")
+        .agg(F.min(F.struct("_pos", "_rid")).alias("_hit"))
+        .select("_aid", "j", F.col("_hit._rid").alias("_neg1"))
+    )
+
+    # first ring entry of each bucket, cascaded to "first entry in any
+    # LATER bucket" — over ALL 256 bucket values (a probe can hash into
+    # a bucket with no ring entries at all; it must still find the next
+    # NON-EMPTY bucket's first entry, not fall through to the wrap) —
+    # a 256-row table, then broadcast
+    spark = docs.sparkSession
+    bmin = (
+        spark.range(16 ** BUCKET_HEX)
+        .select(F.format_string(f"%0{BUCKET_HEX}x", F.col("id")).alias("_rb"))
+        .join(
+            ring.groupBy("_rb").agg(
+                F.min(F.struct("_pos", "_rid")).alias("_m")
+            ),
+            "_rb",
+            "left",
+        )
+    )
+    w_after = Window.orderBy("_rb").rowsBetween(1, Window.unboundedFollowing)
+    nxt = bmin.select(
+        "_rb", F.min("_m").over(w_after).alias("_nm")
+    ).select(
+        F.col("_rb").alias("_qb"), F.col("_nm._rid").alias("_neg2")
+    )
+    wrap = bmin.agg(F.min("_m").alias("_g")).select(
+        F.col("_g._rid").alias("_neg3")
+    )
+
+    return (
+        probes.join(in_bucket, ["_aid", "j"], "left")
+        .join(F.broadcast(nxt), "_qb", "left")
+        .crossJoin(F.broadcast(wrap))
+        .select(
+            F.col("_aid").alias(id_col),
+            "j",
+            F.coalesce("_neg1", "_neg2", "_neg3").alias("neg_id"),
+        )
+        .withColumn("is_self", F.col("neg_id") == F.col(id_col))
+    )
+
+
+def negatives_oracle_sql(k: int = 3) -> str:
+    """DuckDB oracle: the NAIVE global successor (inequality-join min +
+    wrap) the bucketed implementation must reproduce exactly."""
+    return f"""
+    WITH ring AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, {POS_HEX}) AS pos
+      FROM documents
+    ),
+    probes AS (
+      SELECT d.doc_id, js.j,
+             substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)),
+                    1, {POS_HEX}) AS q
+      FROM documents d,
+           (SELECT unnest(generate_series(1, {k})) AS j) js
+    ),
+    succ AS (
+      SELECT p.doc_id, p.j, p.q, min(r.pos) AS ppos
+      FROM probes p LEFT JOIN ring r ON r.pos >= p.q
+      GROUP BY p.doc_id, p.j, p.q
+    ),
+    wrapped AS (
+      SELECT s.doc_id, s.j,
+             coalesce(s.ppos, (SELECT min(pos) FROM ring)) AS ppos
+      FROM succ s
+    )
+    SELECT w.doc_id, w.j, r.doc_id AS neg_id,
+           (r.doc_id = w.doc_id) AS is_self
+    FROM wrapped w JOIN ring r ON r.pos = w.ppos
+    """

@@ -844,3 +844,21 @@ def q_bpe_merge_candidates(spark, sf_dir):
         .filter(F.col("rnk") <= 20)
         .select("pair", "n", "rnk")
     )
+
+
+from commercial_rfp_data_pipeline_spark.operators.sampling import (
+    negatives_oracle_sql,
+)
+
+
+@query("contrastive_negative_samples", negatives_oracle_sql(k=3))
+def q_contrastive_negatives(spark, sf_dir):
+    """Three deterministic hash-ring negatives per document for
+    contrastive embedding training (operators/sampling.py). Oracle
+    registered via the module's generator below."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contrastive_negatives(docs, id_col="doc_id", k=3)

@@ -43,6 +43,8 @@ DEFAULT = {
     "semdedup_prune": "embeddings",
     "pagerank_copurchase": "lineitem",
     "training_data_pipeline": "documents",
+    "fuzzy_name_pairs": "customer",
+    "entity_resolution_customers": "customer",
 }
 
 
