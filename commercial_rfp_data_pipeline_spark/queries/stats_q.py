@@ -277,3 +277,90 @@ def q_events_mad_outliers(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "revenue_pareto_stats",
+    """
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    cum AS (
+      SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn
+      FROM rev
+    ),
+    tot AS (SELECT count(*) AS n, sum(rev) AS t FROM rev)
+    SELECT n AS n_customers,
+           (SELECT count(*) FROM cum, tot
+             WHERE (cum_incl - rev) * 5 < t * 4) AS n_for_80pct,
+           round(CAST((SELECT sum(rev) FROM cum, tot
+                       WHERE rn <= ceil(n * 0.1)) AS DOUBLE)
+                 / CAST(t AS DOUBLE), 6) AS top10pct_share,
+           round(2.0 * CAST((SELECT sum(cum_incl) FROM cum) AS DOUBLE)
+                 / (n * CAST(t AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM tot
+    """,
+)
+def q_revenue_pareto(spark, sf_dir):
+    """Revenue-concentration profile over customers: how many
+    customers cover 80% of revenue, the share held by the top 10%,
+    and the Gini coefficient — the whale-analysis every revenue team
+    runs.
+
+    Scale: per-customer revenue is one map-side-combining groupBy; the
+    cumulative scan uses the DISTRIBUTED prefix sum
+    (operators/ordered.py — range exchange + local windows + a
+    256-row offset broadcast), never a single-partition global window;
+    the 80%-threshold and decile comparisons are EXACT decimal/integer
+    arithmetic ((cum - rev) * 5 < T * 4, no float fractions), and the
+    Gini folds Σcum via the identity G = 2·Σcum_desc/(nT) − (n+1)/n.
+    Three scalar aggregates broadcast; nothing collects."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    cum = distributed_prefix_sum(
+        rev,
+        values={"cum": F.col("rev"), "rn": F.lit(1)},
+        order_by=[F.col("rev").desc(), F.col("o_custkey")],
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("rev").alias("t")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    agg = j.agg(
+        F.first("n").alias("n_customers"),
+        F.sum(
+            F.when((F.col("cum_before")) * 5 < F.col("t") * 4, 1).otherwise(0)
+        ).alias("n_for_80pct"),
+        F.sum(
+            F.when(
+                F.col("rn_incl") <= F.ceil(F.col("n") * 0.1), F.col("rev")
+            )
+        ).alias("_top_rev"),
+        F.sum("cum_incl").alias("_s"),
+        F.first("t").alias("_t"),
+    )
+    return agg.select(
+        "n_customers",
+        "n_for_80pct",
+        F.round(
+            F.col("_top_rev").cast("double") / F.col("_t").cast("double"), 6
+        ).alias("top10pct_share"),
+        F.round(
+            2.0
+            * F.col("_s").cast("double")
+            / (F.col("n_customers") * F.col("_t").cast("double"))
+            - (F.col("n_customers") + 1.0) / F.col("n_customers"),
+            6,
+        ).alias("gini"),
+    )

@@ -460,3 +460,42 @@ def test_zorder_layout_shrinks_both_dims(spark, sf_dir, tmp_path):
     assert s_spans["l_suppkey"] > 0.9, s_spans
     assert z_spans["l_partkey"] < 0.6, z_spans
     assert z_spans["l_suppkey"] < 0.6 * s_spans["l_suppkey"], (z_spans, s_spans)
+
+
+def test_distributed_prefix_sum_partition_invariant(spark):
+    """The generalized prefix sum must equal the naive global window
+    for EVERY partition count — the offsets reconstruct the exact
+    global cumulative regardless of where range bounds fall — and must
+    support multiple values (measure + rank) in one pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 37) % 101).alias("v")
+    )
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: (r.c, r.rn)
+        for r in df.select(
+            "id",
+            F.sum("v").over(w).alias("c"),
+            F.sum(F.lit(1)).over(w).alias("rn"),
+        ).collect()
+    }
+    for nparts in (2, 7, 32):
+        got = {
+            r.id: (r.cum_incl, r.rn_incl)
+            for r in distributed_prefix_sum(
+                df,
+                values={"cum": F.col("v"), "rn": F.lit(1)},
+                order_by=[F.col("v").desc(), F.col("id")],
+                n_partitions=nparts,
+            ).collect()
+        }
+        assert got == want, nparts
