@@ -555,3 +555,51 @@ def compact_partitioned_table(
             continue  # already compact — skip the rewrite entirely
         out[entry] = compact_table(spark, sub, target_file_bytes)
     return out
+
+
+class AuditFailure(RuntimeError):
+    """Raised by ``publish_audited`` when a staged write violates its
+    constraints; carries {rule: n_violations} for the failing rules."""
+
+    def __init__(self, violations: dict[str, int], staging: str):
+        self.violations = violations
+        self.staging = staging
+        super().__init__(
+            f"audit failed, target not published; staged data kept at "
+            f"{staging} for inspection: {violations}"
+        )
+
+
+def publish_audited(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    constraints: dict[str, "Callable[[DataFrame], int]"],
+) -> dict[str, int]:
+    """Write-Audit-Publish: stage the write, audit WHAT WAS WRITTEN
+    (the staged files re-read — auditing the input plan would miss
+    write-path truncation/corruption), and only then atomically swap
+    the staging dir into place. On any violation the CURRENT table is
+    untouched and staging is kept for inspection — consumers never see
+    a bad version. This is the Iceberg/Delta WAP workflow expressed on
+    plain parquet with the same tmp-swap discipline as
+    ``upsert_table``.
+
+    ``constraints`` maps rule name -> callable returning the VIOLATION
+    COUNT over the staged DataFrame (0 = pass) — compose them from the
+    same anti-join/groupBy shapes as the ``data_quality_audit`` query.
+    Returns {rule: 0} on success."""
+    import os as _os
+    import shutil
+
+    staging = path.rstrip("/") + "_staging"
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    results = {rule: int(fn(staged)) for rule, fn in constraints.items()}
+    bad = {r: n for r, n in results.items() if n != 0}
+    if bad:
+        raise AuditFailure(bad, staging)
+    if _os.path.exists(path):
+        shutil.rmtree(path)
+    _os.rename(staging, path)
+    return results

@@ -572,3 +572,42 @@ def test_compact_partitioned_table_preserves_layout(spark, tmp_path):
     assert back.groupBy("p").count().count() == 3
     assert back.agg(F.sum("v")).first()[0] == sum(range(2000))
     assert compact_partitioned_table(spark, path) == {}
+
+
+def test_write_audit_publish_blocks_bad_batches(spark, tmp_path):
+    """WAP contract: a clean batch publishes atomically; a batch that
+    violates a constraint raises, leaves the published table at the
+    LAST GOOD version, and keeps staging for inspection."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.io import (
+        AuditFailure,
+        publish_audited,
+    )
+
+    path = str(tmp_path / "t")
+    rules = {
+        "qty_positive": lambda df: df.filter(F.col("v") <= 0).count(),
+        "key_unique": lambda df: df.groupBy("k")
+        .count()
+        .filter("count > 1")
+        .count(),
+    }
+    good = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    assert publish_audited(spark, path, good, rules) == {
+        "qty_positive": 0,
+        "key_unique": 0,
+    }
+    bad = spark.createDataFrame([("a", 1), ("a", -5)], ["k", "v"])
+    with pytest.raises(AuditFailure) as e:
+        publish_audited(spark, path, bad, rules)
+    assert e.value.violations == {"qty_positive": 1, "key_unique": 1}
+    # last good version still published; staging kept for debugging
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
+        ("a", 1),
+        ("b", 2),
+    }
+    assert os.path.exists(e.value.staging)
