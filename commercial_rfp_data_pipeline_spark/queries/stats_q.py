@@ -12,6 +12,7 @@ shuffles.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.io import load_table
@@ -363,4 +364,196 @@ def q_revenue_pareto(spark, sf_dir):
             - (F.col("n_customers") + 1.0) / F.col("n_customers"),
             6,
         ).alias("gini"),
+    )
+
+
+@query(
+    "market_basket_lift_top20",
+    """
+    WITH bask AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM bask),
+    freq AS (SELECT l_partkey, count(*) AS n_part FROM bask GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM bask a JOIN bask b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    scored AS (
+      SELECT part_a, part_b, n_ab,
+             round(CAST(n_ab AS DOUBLE) * n_orders
+                   / (CAST(fa.n_part AS DOUBLE) * fb.n_part), 6) AS lift
+      FROM pairs
+      JOIN freq fa ON fa.l_partkey = part_a
+      JOIN freq fb ON fb.l_partkey = part_b
+      CROSS JOIN n
+      WHERE n_ab >= 3
+    )
+    SELECT part_a, part_b, n_ab, lift, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY lift DESC, part_a, part_b) AS rnk
+      FROM scored
+    ) WHERE rnk <= 20
+    """,
+)
+def q_market_basket_lift(spark, sf_dir):
+    """Association mining: the top-20 part pairs by LIFT (observed
+    co-purchase rate over the independence expectation), min support
+    3 — the retail staple and the same basket self-join family as the
+    PageRank edge build.
+
+    Scale: basket distinct is one (order, part) shuffle; the pair join
+    fans out items-per-order² (a TPC-H constant) then aggregates with
+    map-side combine; the per-part frequency table is part-sized and
+    joins WITHOUT a forced broadcast (dimension-sized at SF100 —
+    AQE picks broadcast vs shuffle from runtime stats); top-20 via
+    rank window on the support-filtered pair table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bask = li.select("l_orderkey", "l_partkey").distinct()
+    n = bask.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    freq = bask.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = bask.alias("a"), bask.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    scored = (
+        pairs.join(
+            freq.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("_fa"),
+            ),
+            "part_a",
+        )
+        .join(
+            freq.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("_fb"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("_fa").cast("double") * F.col("_fb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("part_a", "part_b", "n_ab", "lift", "rnk")
+    )
+
+
+@query(
+    "events_changepoint_mean_shift",
+    f"""
+    WITH hourly AS (
+      SELECT event_type,
+             (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - {_T0}) // 3600 AS h,
+             sum(CAST(value AS DECIMAL(18,6))) AS s,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, h,
+             sum(s) OVER w AS s_before, sum(c) OVER w AS c_before,
+             sum(s) OVER t AS s_tot, sum(c) OVER t AS c_tot
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             t AS (PARTITION BY event_type)
+    ),
+    diffs AS (
+      SELECT event_type, h,
+             round(abs(CAST(s_before AS DOUBLE) / c_before
+                       - CAST(s_tot - s_before AS DOUBLE)
+                         / (c_tot - c_before)), 6) AS shift
+      FROM cum WHERE c_before > 0 AND c_tot > c_before
+    )
+    SELECT event_type, h AS change_hour, shift FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY shift DESC, h) AS rn
+      FROM diffs
+    ) WHERE rn = 1
+    """,
+)
+def q_events_changepoint(spark, sf_dir):
+    """Offline change-point detection per event type: the hour
+    boundary maximizing |mean(before) − mean(after)| — the exact
+    single-split scan a monitoring system runs to date a level shift.
+
+    Scale: hourly pre-aggregation first (the prefix scan runs over
+    HOURS per type, not raw events), then per-type cumulative windows
+    (partitioned by the group key — no global window), exact DECIMAL/
+    BIGINT prefix moments, one double division per candidate boundary,
+    deterministic earliest-hour tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (
+                (F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))) - _T0)
+                / 3600
+            )
+            .cast("long")
+            .alias("h"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wt = W.partitionBy("event_type")
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.sum("s").over(wb).alias("s_before"),
+        F.sum("c").over(wb).alias("c_before"),
+        F.sum("s").over(wt).alias("s_tot"),
+        F.sum("c").over(wt).alias("c_tot"),
+    )
+    diffs = cum.filter(
+        (F.col("c_before") > 0) & (F.col("c_tot") > F.col("c_before"))
+    ).select(
+        "event_type",
+        "h",
+        F.round(
+            F.abs(
+                F.col("s_before").cast("double") / F.col("c_before")
+                - (F.col("s_tot") - F.col("s_before")).cast("double")
+                / (F.col("c_tot") - F.col("c_before"))
+            ),
+            6,
+        ).alias("shift"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.col("shift").desc(), "h")
+    return (
+        diffs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("h").alias("change_hour"), "shift")
     )
