@@ -557,3 +557,65 @@ def q_events_changepoint(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("h").alias("change_hour"), "shift")
     )
+
+
+@query(
+    "orders_equidepth_histogram",
+    """
+    WITH rev AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                 FROM orders),
+    rn AS (
+      SELECT p, row_number() OVER (ORDER BY p, o_orderkey) AS r FROM rev
+    ),
+    n AS (SELECT count(*) AS n FROM rev),
+    b AS (SELECT p, CAST((r - 1) * 10 // n + 1 AS INTEGER) AS bucket
+          FROM rn CROSS JOIN n)
+    SELECT bucket, count(*) AS n_rows,
+           CAST(min(p) AS DOUBLE) AS lo,
+           CAST(max(p) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH decile histogram of order totals (each bucket holds
+    ~n/10 rows; the boundaries are the data profile a cost model or
+    banding scheme reads), complementing `doc_length_histogram`'s
+    equi-width form.
+
+    Scale: the global rank comes from the DISTRIBUTED prefix sum
+    (operators/ordered.py — range exchange + offset broadcast), not a
+    single-partition row_number window; the bucket formula
+    ((r-1)*10)//n is exact integer arithmetic (ntile's uneven-front
+    semantics restated identically in both engines would be fragile),
+    and the per-bucket rollup is one map-side-combining groupBy."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    ranked = distributed_prefix_sum(
+        rev,
+        values={"rn": F.lit(1)},
+        order_by=[F.col("p"), F.col("o_orderkey")],
+    )
+    n = rev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "p",
+            (
+                ((F.col("rn_incl") - 1) * 10 / F.col("n")).cast("long") + 1
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+        )
+    )

@@ -10,9 +10,10 @@ myExhaustiveKnnProfile); LSH/IVF are the scale paths.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.io import load_table, pin
 from commercial_rfp_data_pipeline_spark.operators.vector import (
     embedding_neardup_pairs,
     ivf_assign,
@@ -534,4 +535,140 @@ def q_semdedup(spark, sf_dir):
         "cent_id",
         "cluster_id",
         (F.col("cluster_id") == F.col("vec_id")).alias("keep"),
+    )
+
+
+_RESCORE_QIDS = (0, 1, 2)
+_SHORTLIST = 50
+
+
+@query(
+    "int8_shortlist_rescore_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS m FROM e)
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    ),
+    qry AS (SELECT vec_id AS q_id, qv AS qq FROM q8
+            WHERE vec_id IN {_RESCORE_QIDS!r}),
+    coarse AS (
+      SELECT qry.q_id, c.vec_id,
+             round(list_dot_product(c.qv, qry.qq)
+                   / (sqrt(list_dot_product(c.qv, c.qv))
+                      * sqrt(list_dot_product(qry.qq, qry.qq))), 6) AS sim8
+      FROM q8 c, qry
+      WHERE c.vec_id <> qry.q_id
+        AND list_dot_product(c.qv, c.qv) > 0
+    ),
+    short AS (
+      SELECT q_id, vec_id, sim8 FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim8 DESC, vec_id) AS rn8
+        FROM coarse
+      ) WHERE rn8 <= {_SHORTLIST}
+    ),
+    exact AS (
+      SELECT sh.q_id, sh.vec_id, sh.sim8,
+             round(list_dot_product(ce.v, qe.v)
+                   / (sqrt(list_dot_product(ce.v, ce.v))
+                      * sqrt(list_dot_product(qe.v, qe.v))), 6) AS sim
+      FROM short sh
+      JOIN e ce ON ce.vec_id = sh.vec_id
+      JOIN e qe ON qe.vec_id = sh.q_id
+    )
+    SELECT q_id, vec_id, sim8, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id) AS rnk
+      FROM exact
+    ) WHERE rnk <= 5
+    """,
+)
+def q_int8_rescore(spark, sf_dir):
+    """The standard memory-optimized ANN SERVING pattern: a cheap
+    int8 shortlist (quantized dot products — the scales cancel in the
+    cosine, so the whole coarse stage runs on the 4x-smaller index)
+    followed by exact float rescoring of only the top-{_SHORTLIST}
+    candidates per query, final top-5 by exact cosine. Quantization is
+    exact arithmetic, so the WHOLE two-stage path is value-checked —
+    shortlist membership, both scores, and the rescored order.
+
+    Scale: the coarse stage broadcasts the 3 quantized queries against
+    the quantized corpus (narrow scan of the int8 index; at 10^10
+    vectors this is the stage that must fit in memory, which is the
+    point of int8); the rescore joins the 50-row-per-query shortlist
+    back to the FLOAT corpus by id — a tiny fraction of the corpus is
+    ever read at full precision."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        _dot,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8 = pin(
+        quantize_int8(emb).select(
+            "vec_id",
+            F.transform("qvec", lambda x: x.cast("long")).alias("qv"),
+        )
+    )
+    qry = q8.filter(F.col("vec_id").isin(*_RESCORE_QIDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")
+    )
+    dot8 = _dot(F.col("qv"), F.col("qq"))
+    self8 = _dot(F.col("qv"), F.col("qv"))
+    qself8 = _dot(F.col("qq"), F.col("qq"))
+    coarse = (
+        q8.crossJoin(F.broadcast(qry))
+        .filter((F.col("vec_id") != F.col("q_id")) & (self8 > 0))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                dot8 / (F.sqrt(self8) * F.sqrt(qself8)), 6
+            ).alias("sim8"),
+        )
+    )
+    w8 = Window.partitionBy("q_id").orderBy(F.col("sim8").desc(), "vec_id")
+    short = (
+        coarse.withColumn("rn8", F.row_number().over(w8))
+        .filter(F.col("rn8") <= _SHORTLIST)
+        .select("q_id", "vec_id", "sim8")
+    )
+    ev = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    exact = (
+        short.join(ev, "vec_id")
+        .join(
+            F.broadcast(
+                ev.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv_f"))
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "sim8",
+            F.round(
+                _dot(F.col("v"), F.col("qv_f"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv_f"), F.col("qv_f")))
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        exact.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "sim8", "sim", "rnk")
     )
