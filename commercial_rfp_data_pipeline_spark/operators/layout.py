@@ -125,3 +125,33 @@ def save_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def optimize_table(
+    spark,
+    path: str,
+    zorder_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """The maintenance pass a lakehouse runs as `OPTIMIZE ... ZORDER
+    BY`: rewrite a (possibly fragmented) parquet table into
+    scan-sized, z-ordered files in ONE job — compaction and
+    multi-dimensional clustering share the same read+rewrite, so they
+    are never worth running separately. File count derives from the
+    table's on-disk bytes (no data read for the sizing); the write
+    goes through a tmp-dir swap (crash leaves the old table). Returns
+    the new file count."""
+    import os as _os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += _os.path.getsize(_os.path.join(root, f))
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    tmp = path.rstrip("/") + "_opt_tmp"
+    save_zordered(spark.read.parquet(path), tmp, zorder_cols, n_partitions=n_files)
+    shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return n_files

@@ -407,3 +407,30 @@ def q_disjunctive_pushdown(spark, sf_dir):
         F.sum(_revenue()).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+_Q6_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_q6_sql", _Q6_SQL)
+def q_forecast_revenue_sql(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change) submitted through
+    the SQL FRONT DOOR: the table registers as a temp view and the
+    IDENTICAL SQL text runs on both engines — demonstrating that the
+    engine's `spark.sql` surface accepts the ANSI dialect the oracle
+    speaks (Catalyst plans the same scan-filter-aggregate as the
+    DataFrame API; every filter pushes to the scan).
+
+    Scale: no joins, no shuffle — pushed scan plus a one-row
+    map-side-combined DECIMAL aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
