@@ -1129,3 +1129,146 @@ def dataset_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+# ---- BPE trainer ----------------------------------------------------------
+
+BPE_WORD_RE = "^[a-z0-9]{2,}$"  # merge within letter/digit runs only (the
+# GPT-2 pre-tokenizer already isolates punctuation runs); alphanumeric
+# symbols keep the data-dependent merge patterns regex-safe in BOTH
+# engines without an escaping layer
+BPE_MERGE_PASSES = 4  # regexp fixpoint passes per round: one pass merges
+# every other site of an a-b-a-b chain (the consumed separator hides the
+# next site), so 4 passes cover chains up to ~16 — far beyond real words
+
+
+def _bpe_merge_expr(seq_expr: str, pat: str, repl: str, dialect: str) -> str:
+    """``seq_expr`` with BPE_MERGE_PASSES nested regexp_replace
+    applications of (pattern, replacement) — generated for either
+    dialect so both engines run the IDENTICAL pass structure."""
+    out = seq_expr
+    for _ in range(BPE_MERGE_PASSES):
+        if dialect == "spark":
+            out = f"regexp_replace({out}, {pat}, {repl})"
+        else:
+            out = f"regexp_replace({out}, {pat}, {repl}, 'g')"
+    return out
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Train the first ``n_merges`` BPE tokenizer merges over the
+    corpus — the actual iterative loop, not just round-0 counts
+    (`q_bpe_merge_candidates` is the one-shot form): per round, count
+    adjacent symbol pairs weighted by word frequency, pick the most
+    frequent pair ((count DESC, pair ASC) tiebreak), merge it
+    everywhere left-to-right non-overlapping, repeat on the merged
+    segmentation. Returns (round, sym_a, sym_b, merged, n) — the merge
+    table, i.e. the trained tokenizer state.
+
+    Scale shape (the HuggingFace-tokenizers/Sentencepiece discipline
+    distributed): pair counting runs over the UNIQUE-WORD frequency
+    table (a corpus word repeated 10^6 times counts once, weighted),
+    each round is ONE groupBy(pair) with map-side combine + ONE narrow
+    regexp map over unique words; the winning pair is a single-row
+    driver fetch per round — the merge table IS trainer state, the
+    documented metadata-sized-collect exception (exactly how every
+    production BPE trainer alternates distributed counts with a
+    driver-side argmax). The merge itself is the regex fixpoint
+    (BPE_MERGE_PASSES passes) the oracle restates verbatim, so
+    left-to-right non-overlap semantics — including a-a-a and
+    a-b-a-b chains — are value-checked, not assumed.
+    """
+    from commercial_rfp_data_pipeline_spark.io import pin_eager
+
+    wf = (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word").rlike(BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    seqs = wf.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"), "wn"
+    )
+    merges = []
+    for r in range(1, n_merges + 1):
+        seqs = pin_eager(seqs, key=f"bpe_round_{r}")
+        toks = seqs.select(F.split("seq", " ").alias("t"), "wn")
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("pair"),
+            "wn",
+        )
+        counts = pairs.groupBy("pair").agg(F.sum("wn").alias("n"))
+        best = counts.orderBy(F.col("n").desc(), "pair").first()
+        if best is None:
+            break
+        a, b = best.pair.split(" ")
+        merges.append((r, a, b, a + b, best.n))
+        pat = f"'( |^){a} {b}( |\\\\$)'"
+        # Java regex needs $ escaped inside the char alternation? no —
+        # use an explicit end-anchor alternation instead
+        pat = f"'( |^){a} {b}( |$)'"
+        repl = f"'$1{a}{b}$2'"
+        seqs = seqs.select(
+            F.expr(_bpe_merge_expr("seq", pat, repl, "spark")).alias("seq"),
+            "wn",
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "round int, sym_a string, sym_b string, merged string, n bigint"
+    )
+
+
+def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 3) -> str:
+    """DuckDB oracle for :func:`bpe_train`: the rounds unroll into
+    chained CTEs; each round's winning pair is a scalar-subquery CTE
+    cross-joined into the next segmentation, and the merge applies the
+    SAME regexp pass structure via `_bpe_merge_expr`. Generated from
+    the same constants so the engines cannot drift."""
+    ctes = [
+        f"""wf AS (
+          SELECT word, count(*) AS wn FROM (
+            SELECT unnest(string_split({norm_sql}, ' ')) AS word FROM documents
+          ) WHERE regexp_full_match(word, '[a-z0-9]{{2,}}')
+          GROUP BY word
+        )""",
+        "seq0 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, wn FROM wf)",
+    ]
+    for r in range(1, n_merges + 1):
+        p = f"seq{r - 1}"
+        ctes.append(
+            f"""pc{r} AS (
+              SELECT t[i] || ' ' || t[i + 1] AS pair, sum(wn) AS n
+              FROM (SELECT t, wn, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM (SELECT string_split(seq, ' ') AS t, wn FROM {p}))
+              GROUP BY 1
+            )""")
+        ctes.append(
+            f"best{r} AS (SELECT pair, n FROM pc{r} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        merge_expr = _bpe_merge_expr(
+            "seq",
+            "'( |^)' || pair || '( |$)'",
+            "'\\1' || replace(pair, ' ', '') || '\\2'",
+            "duckdb",
+        )
+        ctes.append(
+            f"seq{r} AS (SELECT {merge_expr} AS seq, wn FROM {p} CROSS JOIN best{r})"
+        )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS round,
+               string_split(pair, ' ')[1] AS sym_a,
+               string_split(pair, ' ')[2] AS sym_b,
+               replace(pair, ' ', '') AS merged, n
+        FROM best{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows

@@ -862,3 +862,19 @@ def q_contrastive_negatives(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return contrastive_negatives(docs, id_col="doc_id", k=3)
+
+
+from commercial_rfp_data_pipeline_spark.operators.textops import (
+    bpe_train,
+    bpe_train_oracle_sql,
+)
+
+
+@query("bpe_train_merges", bpe_train_oracle_sql(_NORM, n_merges=3))
+def q_bpe_train(spark, sf_dir):
+    """The first 3 trained BPE merges over the corpus (see
+    operators/textops.py:bpe_train) — distributed pair counting,
+    driver-side argmax (trainer state), regex-fixpoint re-segmentation
+    per round, all value-checked against the unrolled-CTE oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=3)
