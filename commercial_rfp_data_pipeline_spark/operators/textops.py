@@ -1212,9 +1212,6 @@ def bpe_train(
             break
         a, b = best.pair.split(" ")
         merges.append((r, a, b, a + b, best.n))
-        pat = f"'( |^){a} {b}( |\\\\$)'"
-        # Java regex needs $ escaped inside the char alternation? no —
-        # use an explicit end-anchor alternation instead
         pat = f"'( |^){a} {b}( |$)'"
         repl = f"'$1{a}{b}$2'"
         seqs = seqs.select(
