@@ -71,8 +71,10 @@ def pagerank(
     symmetric: bool = True,
     checkpoint: bool = True,
     dedup_edges: bool = False,
+    teleport_col: str | None = None,
 ) -> DataFrame:
-    """PageRank with uniform teleport and dangling-mass redistribution.
+    """PageRank with uniform — or PERSONALIZED — teleport and
+    dangling-mass redistribution.
 
     ``nodes``: one row per vertex (``id_col``); ``edges``: directed
     (``src_col``, ``dst_col``) — symmetrize in the caller for an
@@ -82,9 +84,22 @@ def pagerank(
     vertices and ``rank_rel`` = rank × n (mean 1.0 — scale-free, the
     number you threshold on).
 
-    rank_{k+1}(v) = (1-d)/n + d * (Σ_{u→v} rank_k(u)/outdeg(u) + D_k/n)
-    with D_k = Σ_{dangling u} rank_k(u).
+    rank_{k+1}(v) = (1-d)·t_v + d * (Σ_{u→v} rank_k(u)/outdeg(u) + D_k·t_v)
+    with D_k = Σ_{dangling u} rank_k(u) and t_v the teleport weight.
+
+    ``teleport_col``: optional column on ``nodes`` with per-vertex
+    teleport weights SUMMING TO 1 (zeros allowed) — Personalized
+    PageRank: random walks restart only at the weighted seed set, so
+    rank measures proximity to the seeds (the "related items for X"
+    primitive). Requires ``symmetric=False`` (the closed-form dangling
+    recurrence assumes uniform teleport); initial rank is t_v. Uniform
+    (None) preserves classic PageRank exactly.
     """
+    if teleport_col is not None and symmetric:
+        raise ValueError(
+            "pagerank: personalized teleport needs symmetric=False "
+            "(the closed-form dangling recurrence assumes uniform teleport)"
+        )
     # the edge list feeds every superstep — build it once and pin it
     # (at cluster scale: persist to MEMORY_AND_DISK or a parquet
     # checkpoint; recomputing an edge-generation join per superstep is
@@ -102,14 +117,22 @@ def pagerank(
         e = e.distinct()
     e = pin(e)
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    tp_cols = (
+        [F.col(teleport_col).alias("_tp")] if teleport_col is not None else []
+    )
     base = pin(
-        nodes.select(F.col(id_col).alias("_id"))
+        nodes.select(F.col(id_col).alias("_id"), *tp_cols)
         .distinct()
         .join(deg, F.col("_id") == F.col("_src"), "left")
-        .select("_id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .select(
+            "_id",
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            *( [F.col("_tp")] if teleport_col is not None else [] ),
+        )
     )
     n = base.count()
-    state = base.select("_id", "outdeg", F.lit(1.0 / n).alias("rank"))
+    init = F.col("_tp") if teleport_col is not None else F.lit(1.0 / n)
+    state = base.select("_id", "outdeg", init.alias("rank"))
 
     consts: list[float] | None = None
     if symmetric:
@@ -139,10 +162,11 @@ def pagerank(
                 ).alias("_dmass")
             )
             nxt = nxt.crossJoin(F.broadcast(dangling))
+            tp = F.col("_tp") if teleport_col is not None else F.lit(1.0 / n)
             rank = (
-                F.lit((1.0 - damping) / n)
+                (1.0 - damping) * tp
                 + damping
-                * (F.coalesce("_s", F.lit(0.0)) + F.col("_dmass") / n)
+                * (F.coalesce("_s", F.lit(0.0)) + F.col("_dmass") * tp)
             )
         state = nxt.select("_id", "outdeg", rank.alias("rank"))
     return state.select(
@@ -223,5 +247,64 @@ def pagerank_oracle_cte(
                round(rank, 9) AS rank,
                round(rank * (SELECT n FROM _n), 6) AS rank_rel
         FROM {final}
+        """
+    )
+
+
+def ppr_oracle_cte(
+    nodes_sql: str,
+    edges_sql: str,
+    teleport_sql: str,
+    id_col: str = "id",
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+) -> str:
+    """DuckDB oracle for PERSONALIZED :func:`pagerank`
+    (``teleport_col`` path): the per-vertex teleport weight
+    ``teleport_sql`` (an expression over ``id``; must sum to 1) rides
+    every state CTE, and each round's dangling mass redistributes
+    proportionally to it. Same unrolled-MATERIALIZED-CTE discipline as
+    :func:`pagerank_oracle_cte`."""
+    d = damping
+    ctes = [
+        f"_nodes AS MATERIALIZED ({nodes_sql})",
+        f"_edges AS MATERIALIZED ({edges_sql})",
+        "_n AS MATERIALIZED (SELECT count(*) AS n FROM (SELECT DISTINCT id FROM _nodes))",
+        "_deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM _edges GROUP BY src)",
+        f"""state0 AS MATERIALIZED (
+          SELECT v.id, coalesce(g.outdeg, 0) AS outdeg,
+                 {teleport_sql} AS tp,
+                 {teleport_sql} AS rank
+          FROM (SELECT DISTINCT id FROM _nodes) v
+          LEFT JOIN _deg g ON v.id = g.src
+        )""",
+    ]
+    for k in range(iterations):
+        p, c = f"state{k}", f"state{k + 1}"
+        dmass = f"""(SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0.0)
+                     FROM {p})"""
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+          SELECT p.id, p.outdeg, p.tp,
+                 (1.0 - {d}) * p.tp
+                 + {d} * ({dmass}) * p.tp
+                 + {d} * coalesce(s._s, 0.0) AS rank
+          FROM {p} p
+          LEFT JOIN (
+            SELECT e.dst, sum(q.rank / q.outdeg) AS _s
+            FROM {p} q JOIN _edges e ON q.id = e.src
+            WHERE q.outdeg > 0
+            GROUP BY e.dst
+          ) s ON p.id = s.dst
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT id AS {id_col}, outdeg,
+               round(rank, 9) AS rank,
+               round(rank * (SELECT n FROM _n), 6) AS rank_rel
+        FROM state{iterations}
         """
     )

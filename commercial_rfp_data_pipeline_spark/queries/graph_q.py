@@ -16,6 +16,7 @@ from commercial_rfp_data_pipeline_spark.io import load_table
 from commercial_rfp_data_pipeline_spark.operators.graph import (
     pagerank,
     pagerank_oracle_cte,
+    ppr_oracle_cte,
 )
 from commercial_rfp_data_pipeline_spark.registry import query
 
@@ -62,6 +63,67 @@ def q_pagerank_copurchase(spark, sf_dir):
     # repartition(src), collapsing to a local aggregate (one edge shuffle
     # total instead of two — measured ~20% off the edge build at sf0.1)
     pr = pagerank(nodes, edges, id_col="p_partkey", dedup_edges=True)
+    return pr.select(
+        "p_partkey",
+        "outdeg",
+        F.round("rank", 9).alias("rank"),
+        F.round("rank_rel", 6).alias("rank_rel"),
+    )
+
+
+_PPR_SEEDS = (1, 2, 3)
+_PPR_W = repr(1.0 / len(_PPR_SEEDS))
+
+
+@query(
+    "personalized_pagerank_parts",
+    ppr_oracle_cte(
+        _NODES_SQL,
+        _EDGES_SQL,
+        teleport_sql=(
+            f"CASE WHEN v.id IN {_PPR_SEEDS!r} THEN {_PPR_W} ELSE 0.0 END"
+        ),
+        id_col="p_partkey",
+    ),
+)
+def q_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PageRank over the co-purchase graph: random walks
+    restart only at the three seed parts, so rank measures proximity
+    to the seeds — the "parts related to these parts" recommendation
+    primitive (same operator as `pagerank_copurchase`; the teleport
+    vector is the only change, which is the point: one Pregel loop,
+    both semantics).
+
+    Scale: identical superstep shape to the uniform form; the dangling
+    mass rides the in-plan one-row aggregate (the closed-form fast
+    path is uniform-only)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    nodes = load_table(spark, sf_dir, "part").select("p_partkey").withColumn(
+        "tp",
+        F.when(
+            F.col("p_partkey").isin(*_PPR_SEEDS), F.lit(1.0 / len(_PPR_SEEDS))
+        ).otherwise(F.lit(0.0)),
+    )
+    pr = pagerank(
+        nodes,
+        edges,
+        id_col="p_partkey",
+        symmetric=False,
+        dedup_edges=True,
+        teleport_col="tp",
+    )
     return pr.select(
         "p_partkey",
         "outdeg",

@@ -1,5 +1,7 @@
 """Statistical-analytics queries: grouped OLS trend fitting, a Pearson
-correlation matrix, and a power-of-two length histogram.
+correlation matrix, equi-width and equi-depth histograms, robust
+median/MAD outliers, Pareto/Gini concentration, market-basket lift,
+and mean-shift change-point detection.
 
 Oracle-parity discipline: floating-point SUMS are order-dependent, so
 every moment (Sx, Sy, Sxx, Sxy, Syy) accumulates in DECIMAL /
@@ -618,4 +620,89 @@ def q_equidepth_histogram(spark, sf_dir):
             F.min("p").cast("double").alias("lo"),
             F.max("p").cast("double").alias("hi"),
         )
+    )
+
+
+@query(
+    "item_cf_similar_top3",
+    """
+    WITH bask AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey, count(*) AS n_part FROM bask GROUP BY l_partkey),
+    co AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM bask a JOIN bask b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT part_a, part_b, n_ab,
+             round(n_ab / sqrt(CAST(fa.n_part AS DOUBLE) * fb.n_part), 6) AS cosine
+      FROM co
+      JOIN freq fa ON fa.l_partkey = part_a
+      JOIN freq fb ON fb.l_partkey = part_b
+      WHERE n_ab >= 2
+    )
+    SELECT part_a, part_b, n_ab, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY part_a
+                ORDER BY cosine DESC, part_b) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_item_cf_similar(spark, sf_dir):
+    """Item-item collaborative filtering: for EVERY part, its top-3
+    most-similar parts by binary cosine over order baskets
+    (n_ab / sqrt(n_a·n_b), min co-support 2) — the "customers also
+    bought" recommender built from the same bounded basket self-join
+    as the lift query, but per-item ranked (a full similar-items
+    table, not one global top list).
+
+    Scale: co-occurrence fanout is items-per-order² (constant); the
+    per-part frequency join is dimension-sized (AQE decides broadcast
+    vs shuffle); per-item top-3 is a window over the support-filtered
+    pair table partitioned by part_a — map-side WindowGroupLimit
+    prunes before the rank exchange. Exact integer counts + one sqrt
+    and division at the end keep the oracle bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bask = li.select("l_orderkey", "l_partkey").distinct()
+    freq = bask.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = bask.alias("a"), bask.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    scored = (
+        co.join(
+            freq.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("_fa")),
+            "part_a",
+        )
+        .join(
+            freq.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("_fb")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab")
+                / F.sqrt(F.col("_fa").cast("double") * F.col("_fb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(F.col("cosine").desc(), "part_b")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("part_a", "part_b", "n_ab", "cosine", "rnk")
     )

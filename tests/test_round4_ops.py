@@ -527,3 +527,29 @@ def test_optimize_table_compacts_and_zorders(spark, sf_dir, tmp_path):
     for f in files:
         md = pq.ParquetFile(f).metadata
         assert md.row_group(0).column(0).statistics is not None
+
+
+def test_bpe_train_chain_merge_semantics(spark):
+    """Pins the left-to-right non-overlap contract on pathological
+    chains: with 'aaaa' dominating, round 1 must merge (a,a) giving
+    [aa][aa] (not a triple), and round 2 must then merge (aa,aa) —
+    verifying the regex fixpoint reproduces classic BPE exactly."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import bpe_train
+
+    rows = [(1, "aaaa aaaa aaaa xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.round: r for r in bpe_train(df, n_merges=2).collect()}
+    assert (out[1].sym_a, out[1].sym_b, out[1].merged) == ("a", "a", "aa")
+    # 'aaaa' = [a a a a] has 3 adjacent (a,a) sites but left-to-right
+    # non-overlap counts 3 per word... each word contributes 3 pair
+    # OCCURRENCES to the count (counting is over all adjacent pairs),
+    # weighted by 3 words
+    assert out[1].n == 9
+    # after round 1 each 'aaaa' segments as [aa][aa] -> round 2 merges
+    # (aa, aa), NOT (aa, a): the fixpoint left no stray singles
+    assert (out[2].sym_a, out[2].sym_b, out[2].merged) == (
+        "aa",
+        "aa",
+        "aaaa",
+    )
+    assert out[2].n == 3
