@@ -122,3 +122,43 @@ def write_jsonl_shards(
         .option("compression", compression)
         .json(path)
     )
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV with the same hardening contract as `read_jsonl_corpus`:
+    explicit schema (no inference pass doubling the 100-TB I/O),
+    PERMISSIVE mode with `_corrupt_record` capture so one mangled row
+    quarantines instead of killing the job, multiline/quote handling
+    ON (real-world CSV text columns embed newlines and quotes).
+    Callers split on `_corrupt_record IS NULL` and route rejects to a
+    quarantine sink — the mirror of the reference's coerce-don't-crash
+    ingest posture (ingestion_and_cleaning.py's errors='coerce')."""
+    full = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def save_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    warehouses); same overwrite-rebuild contract as the parquet
+    sinks. Native Spark writer: predicate pushdown and column pruning
+    work on read-back exactly as with parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

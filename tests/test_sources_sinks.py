@@ -611,3 +611,52 @@ def test_write_audit_publish_blocks_bad_batches(spark, tmp_path):
         ("b", 2),
     }
     assert os.path.exists(e.value.staging)
+
+
+def test_csv_corpus_quarantine_and_roundtrip(spark, tmp_path):
+    """Well-formed CSV rows (including quoted embedded newlines) parse
+    to typed columns; a malformed row lands in _corrupt_record instead
+    of failing the read."""
+    from commercial_rfp_data_pipeline_spark.sources.ingest import read_csv_corpus
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        'doc_id,text,lang,source\n'
+        '1,"hello world",en,web\n'
+        '2,"multi\nline text",en,book\n'
+        'not_a_number,"bad row",en,web\n'
+    )
+    df = read_csv_corpus(spark, str(p))
+    # Spark disallows queries touching ONLY the corrupt-record column
+    # of a raw CSV scan — materialize full rows first (the documented
+    # pattern; a real pipeline writes good/bad to separate sinks)
+    all_rows = df.collect()
+    rows = {
+        r.doc_id: r.text for r in all_rows if r._corrupt_record is None
+    }
+    bad = [r for r in all_rows if r._corrupt_record is not None]
+    assert rows == {1: "hello world", 2: "multi\nline text"}
+    assert len(bad) == 1
+    assert "not_a_number" in bad[0]._corrupt_record
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip preserves rows and the read-back supports
+    predicate pushdown (PushedFilters in the scan plan)."""
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.sources.ingest import (
+        read_orc,
+        save_orc,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "li_orc")
+    save_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    filtered = back.filter("l_partkey = 5")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_partkey" in plan
+    assert filtered.count() == li.filter("l_partkey = 5").count()
