@@ -441,3 +441,88 @@ def q_events_trailing_features(spark, sf_dir):
         .cast("double")
         .alias("sum_24h"),
     )
+
+
+@query(
+    "user_event_type_profiles",
+    """
+    SELECT user_id,
+           list(DISTINCT event_type ORDER BY event_type) AS types,
+           CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
+           list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_profiles(spark, sf_dir):
+    """Per-user behavioral profile with a COMPLEX-TYPE result column:
+    the sorted distinct event-type ARRAY (plus its cardinality, a
+    membership flag, and the activity span) — the collect_set /
+    array_sort / array_contains surface a feature store materializes.
+
+    Scale: one groupBy(user) with map-side partial set-union (distinct
+    types per user are bounded by the type vocabulary, so the set
+    state is tiny regardless of event counts)."""
+    e = load_table(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return e.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(types).cast("int").alias("n_types"),
+        F.array_contains(types, "purchase").alias("has_purchase"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )
+
+
+@query(
+    "events_session_window_batch",
+    """
+    WITH pts AS (
+      SELECT user_id, ts,
+             -- >= not >: session_window's end is EXCLUSIVE (an event at
+             -- exactly last_ts + gap starts a new session)
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM pts
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_batch(spark, sf_dir):
+    """Spark's NATIVE `session_window` aggregate (30-minute gap) in
+    batch, value-checked against the manual lag-gap construction the
+    oracle states — proving the built-in's semantics (session end =
+    last event + gap) coincide with the hand-rolled sessionization
+    (`events_sessionization`), so the streaming form
+    (`streaming.windows.session_counts`) inherits verified semantics.
+
+    Scale: session_window groups in ONE shuffle on (user, assigned
+    window) with Spark merging overlapping candidate sessions
+    internally — no window-function pass over the raw stream."""
+    e = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        e.groupBy("user_id", sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
