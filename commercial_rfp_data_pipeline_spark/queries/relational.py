@@ -407,3 +407,58 @@ def q_rfm_segments(spark, sf_dir):
         F.when(F.col("frequency") >= 20, 2).when(F.col("frequency") >= 10, 1).otherwise(0).alias("f_band"),
         F.when(F.col("monetary") >= 2000000, 2).when(F.col("monetary") >= 1000000, 1).otherwise(0).alias("m_band"),
     )
+
+
+@query(
+    "cdc_diff_snapshots",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderdate < DATE '1998-01-01'),
+    v2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderdate >= DATE '1996-01-01')
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           CAST(b.o_totalprice AS DOUBLE) AS new_totalprice,
+           CAST(a.o_totalprice AS DOUBLE) AS old_totalprice
+    FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+)
+def q_cdc_diff(spark, sf_dir):
+    """Change-data-capture by SNAPSHOT DIFF: given two keyed versions
+    of a table (here: two date-window views of orders standing in for
+    consecutive snapshots), emit the insert/update/delete change feed —
+    what a plain-parquet warehouse computes to feed incremental
+    consumers when there is no transaction log to read.
+
+    Scale: ONE full-outer key join (both sides shuffle on the key
+    once); the change predicate evaluates post-join per row. For
+    repeated diffs, bucket both snapshots on the key
+    (`io.save_bucketed`) and the join runs with zero Exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    v1 = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date")).select(cols)
+    v2 = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")).select(cols)
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    changed = j.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    return changed.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("a.o_orderkey").isNull(), "insert")
+        .when(F.col("b.o_orderkey").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("b.o_totalprice").cast("double").alias("new_totalprice"),
+        F.col("a.o_totalprice").cast("double").alias("old_totalprice"),
+    )

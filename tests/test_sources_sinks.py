@@ -660,3 +660,26 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_partkey" in plan
     assert filtered.count() == li.filter("l_partkey = 5").count()
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A table whose later batches added a column must read back whole
+    with mergeSchema: old rows surface NULL for the new column, and
+    the reader never drops either side's columns — the schema-drift
+    posture a long-lived ingest pipeline needs."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], ["id", "x"]).write.mode(
+        "overwrite"
+    ).parquet(path + "/batch=1")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "score"]).write.mode(
+        "overwrite"
+    ).parquet(path + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "x", "score", "batch"}
+    rows = {r.id: (r.x, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # without mergeSchema the union schema is NOT guaranteed — the
+    # option is the contract, not a default to rely on
+    assert df.filter(F.col("score").isNull()).count() == 1
