@@ -434,3 +434,88 @@ def q_forecast_revenue_sql(spark, sf_dir):
     map-side-combined DECIMAL aggregate."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q6_SQL)
+
+
+@query(
+    "order_priority_checking_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1997-01-01'
+      AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_checking(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    having at least one lineitem shipped after the order date, counted
+    by priority — the EXISTS/semi-join report.
+
+    Scale: the correlated EXISTS is a LEFT SEMI join on orderkey (one
+    shuffle of the date-filtered orders against the ship-filtered
+    lineitems — each order matches at most once no matter how many
+    qualifying lines); counts aggregate map-side over the 5-value
+    priority key. The non-equi part (l_shipdate > o_orderdate) rides
+    the semi join as its residual condition."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    qualified = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "parts_supplier_counts_q16",
+    """
+    SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_type, p_size
+    """,
+)
+def q_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    suppliers per (type, size) for selected part shapes, excluding a
+    complaint-list of suppliers — the NOT-IN + count-distinct report.
+
+    Scale: the brand/size filters push to the part scan; part
+    broadcasts; the NOT IN compiles to a LEFT ANTI join against the
+    (tiny, filtered) supplier exclusion list — broadcast too, so the
+    fact side's only shuffle is the final two-phase distinct
+    aggregation on the grouped keys. (The exclusion list is guaranteed
+    non-null-keyed, so anti-join and NOT IN agree — the classic NOT IN
+    null trap does not arise.)"""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_type", "p_size")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
