@@ -519,3 +519,95 @@ def q_parts_supplier_counts(spark, sf_dir):
         .groupBy("p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "important_stock_q11",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS value
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(value) AS t, count(*) AS np FROM pv)
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value
+    FROM pv CROSS JOIN tot
+    WHERE value * np * 2 > 3 * t
+    """,
+)
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): parts whose
+    inventory value exceeds 1.5x THE MEAN part value — the
+    global-threshold HAVING pattern (Q11 proper uses a fixed fraction
+    scaled by SF; the mean-relative cut keeps the result non-empty and
+    meaningful at every test SF).
+
+    Scale: one map-side-combining groupBy builds the per-part values;
+    the total and count are a ONE-ROW aggregate broadcast back (never
+    a recomputation of the group sums, never a driver collect); the
+    threshold comparison `value * np * 2 > 3 * t` (1.5x as an integer
+    ratio) stays in exact DECIMAL/
+    BIGINT — no float fraction at the cut boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+        ).alias("value")
+    )
+    tot = pv.agg(F.sum("value").alias("t"), F.count(F.lit(1)).alias("np"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") * F.col("np") * 2 > 3 * F.col("t"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "large_volume_customers_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders ON o_orderkey = b.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the top-20 orders by
+    total quantity above a threshold, with their customers.
+
+    Scale: the HAVING aggregation runs FIRST on the fact table (one
+    orderkey shuffle with map-side partial sums), shrinking to the few
+    qualifying orders before any dimension joins — orders and customer
+    then broadcast onto that small set; top-20 with total order is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
