@@ -611,3 +611,550 @@ def q_large_volume_customers(spark, sf_dir):
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+@query(
+    "volume_shipping_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume between
+    two nations by ship year — the two-role nation join (supplier's
+    nation vs customer's nation from the same dim table).
+
+    Scale: both nation roles and supplier/customer broadcast (the
+    nation-pair predicate prunes suppliers and customers BEFORE the
+    broadcast, so the hash tables carry only the two nations' rows);
+    lineitem therefore shuffles exactly once, on l_orderkey, to meet
+    orders. The date range pushes to the lineitem scan."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "market_share_q8",
+    f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(sum(rev) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             {_REV_SQL} AS rev,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'PROMO'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1998-01-01'
+    ) t
+    GROUP BY o_year
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_7's share of ASIA
+    PROMO-part revenue per order year — conditional share-of-total over
+    a star join.
+
+    Scale: part/customer/supplier/nation/region all broadcast (p_type
+    and region filters shrink them before the build side), lineitem
+    shuffles once on l_orderkey. The share divides two exact DECIMAL
+    sums after a single aggregation — numerator via CASE, never a
+    second pass — and the double division is performed identically by
+    both engines on exact operands."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cnk")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    zero = F.lit("0").cast(DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", _revenue())
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum(_revenue()).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "product_profit_q9",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): profit on red parts by
+    supplier nation and order year. The testdata has no partsupp, so
+    supply cost is modeled as half the part's retail price — the shape
+    (fact joined to part + supplier + nation + orders, profit as a
+    price-minus-cost expression, two-level groupBy) is Q9's.
+
+    Scale: part (name-filtered), supplier, nation broadcast; lineitem
+    shuffles once on l_orderkey for the orders join (orders is the
+    only non-dim side). Profit arithmetic is exact DECIMAL throughout
+    (0.5 is an exact decimal literal), so group sums are
+    order-independent."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice").cast(DEC)
+        * (1 - F.col("l_discount").cast(DEC))
+        - F.col("p_retailprice").cast(DEC)
+        * F.col("l_quantity").cast(DEC)
+        * F.lit("0.5").cast("decimal(2,1)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "customer_distribution_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) co
+    GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): histogram of per-
+    customer order counts, excluding one priority class — the classic
+    left-outer-join + double aggregation. (Q13 proper excludes by an
+    o_comment pattern; the testdata has no comment column, so the
+    exclusion predicate is the priority class.)
+
+    Scale: instead of the literal customer LEFT JOIN orders (which
+    shuffles the full customer table against raw orders and carries
+    customer payload through the join), orders pre-aggregates to
+    (custkey, n) FIRST — one map-side-combining shuffle of keys only —
+    and customers left-join that small per-customer count table;
+    missing customers coalesce to 0. Same result, strictly less data
+    moved: the histogram then aggregates ~1 row per customer."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "top_supplier_q15",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_REV_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): supplier(s) whose quarterly
+    revenue equals the global maximum — the view + scalar-max-subquery
+    pattern, with ties preserved exactly as Q15 requires.
+
+    Scale: one map-side-combining groupBy builds per-supplier revenue;
+    the global max is a ONE-ROW aggregate of that small table,
+    broadcast back for the equality filter (never a global sort, never
+    a driver collect); the equality is exact because revenue is an
+    exact DECIMAL sum. Supplier names broadcast onto the winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .orderBy("s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "small_quantity_revenue_q17",
+    """
+    WITH pa AS (
+      SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS s,
+             count(*) AS c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7
+           AS avg_yearly
+    FROM lineitem l
+    JOIN part ON p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * c < s
+    """,
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost if
+    orders below 20% of a part's average quantity were not taken — the
+    correlated-average-subquery report, decorrelated into a per-part
+    aggregate join.
+
+    Scale: the per-part (sum, count) table is ONE map-side-combining
+    shuffle of (partkey, qty) pairs; the brand-filtered fact side joins
+    it on partkey (AQE picks broadcast when the filtered side is
+    small). The 20%-of-average cut is exact integer/DECIMAL arithmetic
+    (qty*5*count < sum — no float average at the boundary), and the
+    final scalar is a one-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("c") < F.col("s"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / 7
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "potential_promotion_q20",
+    """
+    WITH spq AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (SELECT l_partkey, sum(sq) AS tq FROM spq GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM spq JOIN pt USING (l_partkey) WHERE sq * 5 > tq
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers holding a
+    dominant share (>20%) of any 'small%' part's shipped volume — the
+    nested-IN-subqueries pattern. (Q20 proper compares partsupp
+    availability to half the shipped quantity; without partsupp the
+    dominance test compares each supplier's shipped volume to the
+    part's total, preserving the two-level aggregate + IN shape.)
+
+    Scale: one (suppkey, partkey) groupBy over the name-filtered fact
+    rows, then a partkey re-aggregation of THAT small table for the
+    totals — never a second pass over lineitem; the qualifying-supplier
+    id set is distinct-ed and broadcast into a LEFT SEMI join against
+    supplier. Share test in exact DECIMAL."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    spq = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
+    )
+    pt = spq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("sq").alias("tq")
+    )
+    winners = (
+        spq.join(pt, spq.l_partkey == pt.pk)
+        .filter(F.col("sq") * 5 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            F.broadcast(winners),
+            s.s_suppkey == winners.l_suppkey,
+            "left_semi",
+        )
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "waiting_orders_q21",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on finished
+    multi-supplier orders, the supplier who was the ONLY late one —
+    EXISTS plus NOT-EXISTS both correlated to the same fact table.
+    (Late = shipped >60 days after the order date; the testdata has no
+    commit/receipt dates.)
+
+    Scale: the late-line table (lineitem joined to status-F orders on
+    orderkey — the fact shuffle, date residual rides the join) is
+    computed ONCE and reused for both the outer rows and the
+    NOT-EXISTS side; the EXISTS compiles to a LEFT SEMI and the
+    NOT-EXISTS to a LEFT ANTI join, both on l_orderkey with the
+    suppkey-inequality residual — each a key-only shuffle of slim
+    (orderkey, suppkey) projections, never a count-all-pairs. Supplier
+    names broadcast; top-20 is TakeOrderedAndProject."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    only_late = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "dormant_customers_q22",
+    """
+    WITH in_scope AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    pos AS (
+      SELECT sum(bal) AS t, count(*) AS c FROM in_scope WHERE bal > 0
+    )
+    SELECT c_nationkey AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(bal) AS DOUBLE) AS totacctbal
+    FROM in_scope CROSS JOIN pos
+    WHERE bal * c > t
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = in_scope.c_custkey
+          AND o.o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): well-funded
+    customers in selected countries with no recent orders — scalar
+    average subquery + NOT EXISTS anti-join, grouped by country code.
+    (The testdata has no phone column, so the country code is the
+    nation key, and "never ordered" — empty at test SFs — becomes "no
+    order since 2000".)
+
+    Scale: the positive-balance average is a ONE-ROW aggregate of the
+    nation-filtered customer slice, broadcast back; the above-average
+    test multiplies through by the count so it stays in exact DECIMAL
+    (no float average at the boundary). The NOT EXISTS is a LEFT ANTI
+    join against the date-filtered orders keys — the only shuffle, on
+    custkey, of slim key columns."""
+    in_scope = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("c_acctbal").cast(DEC).alias("bal"),
+        )
+    )
+    pos = in_scope.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("t"), F.count(F.lit(1)).alias("c")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        in_scope.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal") * F.col("c") > F.col("t"))
+        .join(recent, in_scope.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
