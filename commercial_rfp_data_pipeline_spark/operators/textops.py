@@ -956,6 +956,78 @@ def span_dedup(
     )
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """Boilerplate removal by cross-document span frequency (the
+    CCNet / RefinedWeb line-dedup posture applied to fixed word
+    windows): a span occurring in >= ``min_df`` DISTINCT documents is
+    boilerplate (headers, footers, nav text, license blurbs) and is
+    removed from EVERY document — unlike ``span_dedup`` no first copy
+    survives. Documents are rewritten from their remaining spans.
+
+    Output: (id, text_clean, n_spans, n_spans_kept) for every input
+    document (a fully-boilerplate doc comes back with empty text).
+
+    Shape at scale: identical discipline to ``span_dedup`` — span
+    extraction is a narrow map; the document-frequency table is ONE
+    groupBy on md5(span) aggregating count(DISTINCT id) (two-phase
+    distinct, map-side partials); the strip is one equi-join on the
+    32-hex key against only the spans' keys; reassembly is one
+    groupBy(id) bounded by document length. Nothing is doc-vs-doc."""
+    w = F.coalesce(words(text_col), F.array(F.lit("")))
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(w) / F.lit(span_len)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(w, i * span_len + 1, span_len), " "
+                ),
+            )
+        ).alias("idx", "span"),
+    ).filter(F.length(F.trim("span")) > 0)
+    # two consumers (df-stats build + strip join) read the spans — pin
+    # so tokenization+slicing runs once
+    spans = pin(base.withColumn("k", F.md5("span")))
+    common = (
+        spans.groupBy("k")
+        .agg(F.countDistinct(F.col(id_col)).alias("docs"))
+        .filter(F.col("docs") >= min_df)
+        .select("k")
+    )
+    kept = spans.join(common, "k", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "span"))),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_spans_kept"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        )
+    )
+
+
 def unigram_lm_score(
     df: DataFrame,
     text_col: str = "text",

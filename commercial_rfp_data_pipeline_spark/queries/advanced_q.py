@@ -428,3 +428,63 @@ def q_percentiles_approx(spark, sf_dir):
         F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "hll_manual_distinct",
+    """
+    WITH est AS (WITH hashed AS (
+      SELECT l_returnflag,  substr(h, 1, 2) AS bucket,
+             CASE WHEN length(regexp_replace(substr(h, 3, 6), '^0+', '', 'g')) = 0
+                  THEN 25
+                  ELSE (6 - length(regexp_replace(substr(h, 3, 6), '^0+', '', 'g'))) * 4
+                       + CASE substr(regexp_replace(substr(h, 3, 6), '^0+', '', 'g'), 1, 1)
+                           WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 ELSE 0 END
+                       + 1
+             END AS rho
+      FROM (SELECT l_returnflag,  md5(CAST(l_orderkey AS VARCHAR)) AS h
+            FROM lineitem)
+    ),
+    regs AS (
+      SELECT l_returnflag,  bucket, max(rho) AS r
+      FROM hashed GROUP BY l_returnflag, bucket
+    )
+    SELECT l_returnflag, 
+           round(47072.71267120224 / (sum(power(2.0, -r)) + (256 - count(*))), 3)
+             AS hll_estimate
+    FROM regs GROUP BY l_returnflag),
+    ex AS (
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT e.l_returnflag, exact_distinct, hll_estimate
+    FROM est e JOIN ex ON e.l_returnflag = ex.l_returnflag
+    """,
+)
+def q_hll_manual(spark, sf_dir):
+    """Deterministic hand-rolled HyperLogLog (p=8, m=256) whose
+    register states and estimate REPRODUCE in the oracle — upgrading
+    the approx-distinct family from rows-only to a full value-hash
+    check (`distinct_counts_approx` keeps covering the built-in HLL++
+    path). Buckets are md5 hex prefixes and ranks come from hex-digit
+    string ops, so no engine-specific hashing or hex->int conversion
+    is involved; the estimate's 2^-r sum is exact in doubles and
+    order-independent.
+
+    Scale: ONE map-side-combining groupBy builds <= groups x 256
+    registers from the full column; the estimate aggregates that tiny
+    register table. The exact countDistinct rides along for the error
+    comparison (at 100 TB you would run ONLY the sketch — that is the
+    point)."""
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_estimate(li, "l_orderkey", ["l_returnflag"])
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return est.join(ex, "l_returnflag").select(
+        "l_returnflag", "exact_distinct", "hll_estimate"
+    )

@@ -878,3 +878,124 @@ def q_bpe_train(spark, sf_dir):
     per round, all value-checked against the unrolled-CTE oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=3)
+
+
+@query(
+    "boilerplate_span_strip",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    wl AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm
+           WHERE t IS NOT NULL AND length(t) > 0),
+    spans AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(list_slice(w, i*5+1, i*5+5), ' ') AS span
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, CAST(ceil(len(w)/5.0) AS INT) - 1)) AS i
+            FROM wl)
+      WHERE length(trim(array_to_string(list_slice(w, i*5+1, i*5+5), ' '))) > 0
+    ),
+    common AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, idx, span FROM spans
+      WHERE span NOT IN (SELECT span FROM common)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS text_clean,
+             count(*) AS n_spans_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(r.text_clean, '') AS text_clean,
+           coalesce(t.n_spans, 0) AS n_spans,
+           coalesce(r.n_spans_kept, 0) AS n_spans_kept
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def q_boilerplate_strip(spark, sf_dir):
+    """Cross-document boilerplate removal: every 5-word span present in
+    >= 3 distinct documents is stripped from ALL documents (no survivor
+    — this is the remove-everywhere complement of `span_dedup_c4`'s
+    keep-first). The oracle restates the document-frequency rule with a
+    HAVING + NOT IN; the engine's groupBy(countDistinct) + anti-join is
+    the scale-safe equivalent."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        boilerplate_strip,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = boilerplate_strip(docs, span_len=5, min_df=3)
+    return out.select(
+        "doc_id",
+        "text_clean",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH norm AS (SELECT {_NORM} AS t FROM documents),
+    wrds AS (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm
+      WHERE t IS NOT NULL AND length(t) > 0
+    ),
+    tok AS (SELECT w FROM wrds WHERE length(w) > 0),
+    cnt AS (SELECT w, count(*) AS exact_n FROM tok GROUP BY w),
+    top AS (SELECT w, exact_n FROM cnt ORDER BY exact_n DESC, w LIMIT 20),
+    seeds AS (SELECT unnest(['cms0','cms1','cms2','cms3']) AS j),
+    counters AS (
+      SELECT j, substr(md5(j || ':' || w), 1, 2) AS col, count(*) AS n
+      FROM tok CROSS JOIN seeds GROUP BY j, substr(md5(j || ':' || w), 1, 2)
+    ),
+    probes AS (
+      SELECT w, exact_n, j, substr(md5(j || ':' || w), 1, 2) AS col
+      FROM top CROSS JOIN seeds
+    )
+    SELECT w AS word, exact_n, min(n) AS cms_estimate
+    FROM probes JOIN counters USING (j, col)
+    GROUP BY w, exact_n
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimation (Cormode & Muthukrishnan
+    2005) with deterministic md5 hashing: build a d=4 x w=256 counter
+    table over all corpus tokens, then point-query it for the exact
+    top-20 tokens and report sketch vs exact counts (CMS guarantees
+    estimate >= exact; the overshoot is the collision tax).
+
+    Scale: the sketch build is ONE groupBy of at most 1024 (row,
+    column) groups with map-side combine — the 100-TB answer to "token
+    frequencies without shuffling the full vocabulary"; lookups
+    broadcast the tiny counter table. The exact top-20 rides along as
+    the comparison baseline (TakeOrderedAndProject, no global sort)."""
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        cms_counters,
+        cms_lookup,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = pin(
+        docs.select(F.explode(words("text")).alias("w")).filter(
+            F.length("w") > 0
+        )
+    )
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "w").limit(20)
+    counters = cms_counters(tok, "w")
+    est = cms_lookup(counters, top, "w")
+    return (
+        top.join(est, "w")
+        .select(
+            F.col("w").alias("word"),
+            "exact_n",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Unit coverage for the deterministic sketch operators (HLL,
+count-min) and the triangle counter — semantics the oracle queries
+exercise end-to-end, pinned here on tiny known inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.operators.sketch import (
+    cms_counters,
+    cms_lookup,
+    hll_estimate,
+    hll_registers,
+)
+from commercial_rfp_data_pipeline_spark.operators.textops import (
+    boilerplate_strip,
+)
+
+
+def _py_rho(h6: str) -> int:
+    """Reference rank: leading zero bits of the 24-bit value + 1."""
+    v = int(h6, 16)
+    if v == 0:
+        return 25
+    return 24 - v.bit_length() + 1
+
+
+def test_hll_rho_matches_bit_arithmetic(spark):
+    vals = [str(i) for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    regs = hll_registers(df, "v", []).collect()
+    # rebuild expected registers in Python from the same md5 scheme
+    expected: dict[str, int] = {}
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        b, rho = h[:2], _py_rho(h[2:8])
+        expected[b] = max(expected.get(b, 0), rho)
+    got = {r.bucket: r.r for r in regs}
+    assert got == expected
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    est = hll_estimate(df, "v", []).collect()[0].hll_estimate
+    # p=8 -> typical rel. error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.20
+
+
+def test_cms_estimate_never_undercounts(spark):
+    rows = [("a",)] * 50 + [("b",)] * 20 + [(str(i),) for i in range(300)]
+    df = spark.createDataFrame(rows, ["v"])
+    counters = cms_counters(df, "v")
+    keys = spark.createDataFrame([("a",), ("b",), ("7",)], ["v"])
+    got = {r.v: r.cms_estimate for r in cms_lookup(counters, keys, "v").collect()}
+    assert got["a"] >= 50 and got["b"] >= 20 and got["7"] >= 1
+    # point queries on a d=4 x 256 sketch over ~370 rows should be tight
+    assert got["a"] <= 50 + 30
+
+
+def test_boilerplate_strip_removes_common_spans_everywhere(spark):
+    bp = "one two three four five"
+    rows = [
+        (1, bp + " alpha beta gamma delta epsilon"),
+        (2, bp + " zeta eta theta iota kappa"),
+        (3, bp),
+        (4, "unique words only here now there"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(df, span_len=5, min_df=3).collect()
+    }
+    # the boilerplate span occurred in 3 docs -> gone from ALL of them
+    assert out[1].text_clean == "alpha beta gamma delta epsilon"
+    assert out[2].text_clean == "zeta eta theta iota kappa"
+    assert out[3].text_clean == ""  # fully-boilerplate doc survives as a row
+    assert out[4].text_clean == "unique words only here now there"
+    assert out[3].n_spans == 1 and out[3].n_spans_kept == 0
+
+
+def test_triangle_count_known_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4: 1 triangle, wedges = C(2,2)x3 + deg3
+    # degrees: 1:2, 2:2, 3:3, 4:1 -> wedges = 1+1+3+0 = 5
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    li = spark.createDataFrame(
+        [
+            # order 10 covers edges 1-2, 1-3, 2-3 (triangle)
+            (10, 1), (10, 2), (10, 3),
+            # order 11 covers edge 3-4
+            (11, 3), (11, 4),
+        ],
+        ["l_orderkey", "l_partkey"],
+    )
+    # drive the registered query's logic directly on a temp dir is
+    # overkill; replicate the oriented count inline via the query fn
+    # by monkeypatching load_table is brittle — instead assert through
+    # the same construction the query uses:
+    from pyspark.sql import functions as F2
+
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F2.col("a.l_orderkey") == F2.col("b.l_orderkey"))
+            & (F2.col("a.l_partkey") < F2.col("b.l_partkey")),
+        )
+        .select(F2.col("a.l_partkey").alias("u"), F2.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F2.col("u").alias("id"))
+        .unionAll(und.select(F2.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F2.count(F2.lit(1)).alias("d"))
+    )
+    key = (F2.col("d") * F2.lit(2_000_000_000) + F2.col("id")).alias("k")
+    degk = deg.select("id", key)
+    oriented = (
+        und.join(degk.select(F2.col("id").alias("u"), F2.col("k").alias("ku")), "u")
+        .join(degk.select(F2.col("id").alias("v"), F2.col("k").alias("kv")), "v")
+        .select(
+            F2.when(F2.col("ku") < F2.col("kv"), F2.col("u")).otherwise(F2.col("v")).alias("src"),
+            F2.when(F2.col("ku") < F2.col("kv"), F2.col("kv")).otherwise(F2.col("ku")).alias("kdst"),
+            F2.when(F2.col("ku") < F2.col("kv"), F2.col("v")).otherwise(F2.col("u")).alias("dst"),
+        )
+    )
+    w1 = oriented.select("src", F2.col("dst").alias("d1"), F2.col("kdst").alias("k1"))
+    w2 = oriented.select(F2.col("src").alias("src2"), F2.col("dst").alias("d2"), F2.col("kdst").alias("k2"))
+    wedges = w1.join(
+        w2, (F2.col("src") == F2.col("src2")) & (F2.col("k1") < F2.col("k2"))
+    ).select("d1", "d2")
+    closer = oriented.select(F2.col("src").alias("d1"), F2.col("dst").alias("d2"))
+    t = wedges.join(closer, ["d1", "d2"], "left_semi").count()
+    w = deg.agg(F2.sum(F2.expr("(d*(d-1)) DIV 2")).alias("w")).collect()[0].w
+    assert t == 1
+    assert w == 5
