@@ -588,3 +588,82 @@ def quantize_int8(
         ).alias("qvec"),
         F.size("_v").alias("n_dims"),
     )
+
+
+def pca_top_component(
+    e: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by POWER
+    ITERATION on the covariance operator, without ever materializing
+    the d x d covariance matrix: w <- normalize( sum_i (x_i . w) x_i )
+    over mean-centered vectors, fixed iteration count, deterministic
+    start w0 = 1/sqrt(d).
+
+    Returns (idx, loading, eigenvalue): the d loadings of the first
+    component plus the Rayleigh-quotient eigenvalue estimate
+    sum_i (x_i . w)^2 / n.
+
+    Determinism/oracle discipline: per-component means, per-vector
+    dots, per-component accumulations, and normalized loadings all
+    round to 6 dp each round (the Lloyd-iteration convention from
+    ``ivf_centroids``), so both engines walk the identical float
+    trajectory.
+
+    Shape at scale (the reason power iteration is THE 100-TB PCA):
+    each iteration is one broadcast of the 64-row w table, one
+    groupBy(id) for the dots, and one groupBy(idx) with map-side
+    partial sums for the accumulation — no d x d covariance shuffle,
+    no driver-side linear algebra; cost is O(nnz) per iteration like
+    a sparse matvec. Centered components are computed ONCE and pinned
+    across iterations."""
+    from commercial_rfp_data_pipeline_spark.io import pin
+
+    spark = e.sparkSession
+    ex = e.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "idx0", "x"
+        ),
+    ).select("vid", (F.col("idx0") + 1).alias("idx"), "x")
+    mu = ex.groupBy("idx").agg(F.round(F.avg("x"), 6).alias("mu"))
+    xc = pin(
+        ex.join(F.broadcast(mu), "idx").select(
+            "vid", "idx", (F.col("x") - F.col("mu")).alias("xc")
+        )
+    )
+    w0 = round(1.0 / dim**0.5, 6)
+    w = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("idx"), F.lit(w0).alias("w")
+    )
+    for _ in range(n_iter):
+        s = (
+            xc.join(F.broadcast(w), "idx")
+            .groupBy("vid")
+            .agg(F.round(F.sum(F.col("xc") * F.col("w")), 6).alias("s"))
+        )
+        z = (
+            xc.join(s, "vid")
+            .groupBy("idx")
+            .agg(F.round(F.sum(F.col("xc") * F.col("s")), 6).alias("z"))
+        )
+        nz = z.agg(F.sqrt(F.sum(F.col("z") * F.col("z"))).alias("nz"))
+        w = z.crossJoin(F.broadcast(nz)).select(
+            "idx", F.round(F.col("z") / F.col("nz"), 6).alias("w")
+        )
+    sf = (
+        xc.join(F.broadcast(w), "idx")
+        .groupBy("vid")
+        .agg(F.round(F.sum(F.col("xc") * F.col("w")), 6).alias("s"))
+    )
+    ev = sf.agg(
+        F.round(F.sum(F.col("s") * F.col("s")) / F.count(F.lit(1)), 4).alias(
+            "eigenvalue"
+        )
+    )
+    return w.crossJoin(F.broadcast(ev)).select(
+        "idx", F.col("w").alias("loading"), "eigenvalue"
+    )

@@ -526,3 +526,181 @@ def q_session_window_batch(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "events_attribution_linear",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT event_id AS touch_id, user_id, event_type, ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT purchase_id, touch_id, event_type
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.ts <= p.pts AND t.ts > p.pts - INTERVAL 24 HOUR
+    ),
+    per AS (SELECT purchase_id, count(*) AS n_touch FROM pairs GROUP BY purchase_id)
+    SELECT event_type,
+           count(*) AS n_touches,
+           round(sum(1.0 / n_touch), 6) AS credit
+    FROM pairs JOIN per USING (purchase_id)
+    GROUP BY event_type
+    """,
+)
+def q_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: every purchase splits one unit
+    of credit equally across the user's view/click touches in the
+    preceding 24 h; credit totals per touch type. (First/last-touch are
+    the argmin/argmax specializations of the same pair table.)
+
+    Scale: the touch<->purchase pairing is an equi-join on user_id with
+    the time-window residual riding the join — per-user fanout is
+    bounded by touches-per-day, never a cross join; the per-purchase
+    touch counts and the per-type credit sums are both
+    map-side-combining groupBys. Credit terms 1/n round at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        "event_type",
+        "ts",
+    )
+    pairs = p.join(
+        t,
+        (F.col("pu") == F.col("user_id"))
+        & (F.col("ts") <= F.col("pts"))
+        & (F.col("ts") > F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("purchase_id", "touch_id", "event_type")
+    per = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_touch"))
+    return (
+        pairs.join(per, "purchase_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 6).alias("credit"),
+        )
+    )
+
+
+@query(
+    "session_error_overlap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+      FROM sess GROUP BY user_id, session_id
+    ),
+    incidents AS (
+      SELECT date_trunc('hour', ts) AS incident_hour,
+             min(ts) AS i_start, max(ts) AS i_end
+      FROM events WHERE event_type = 'error'
+      GROUP BY date_trunc('hour', ts)
+      HAVING count(*) >= 6
+    )
+    SELECT strftime(incident_hour, '%Y-%m-%d %H:%M:%S') AS incident_hour,
+           count(*) AS n_sessions,
+           count(DISTINCT s.user_id) AS n_users
+    FROM incidents i JOIN intervals s
+      ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+    GROUP BY incident_hour
+    """,
+)
+def q_session_error_overlap(spark, sf_dir):
+    """Interval-overlap join: user sessions (30-min-gap intervals) x
+    error-incident windows (hours with >= 6 errors) — how many active
+    sessions each incident touched.
+
+    Scale: the oracle's non-equi interval join is quadratic if both
+    sides are large; the engine BUCKETIZES both interval sets to the
+    hour (an interval explodes into the hours it covers — bounded
+    fanout for bounded-length intervals), equi-joins on the bucket,
+    pair-dedups, and applies the exact overlap predicate as the
+    residual — the standard big-big interval-join decomposition. At
+    this data's incident cardinality AQE broadcasts the incident side,
+    which is exactly right; the bucketized shape is what survives when
+    both sides are 100-TB-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(run))
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("incident_hour"))
+        .agg(
+            F.min("ts").alias("i_start"),
+            F.max("ts").alias("i_end"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 6)
+        .drop("_n")
+    )
+    # bucketize: each interval joins through the hour buckets it spans
+    hours = lambda a, b: F.sequence(
+        F.date_trunc("hour", a), F.date_trunc("hour", b), F.expr("INTERVAL 1 HOUR")
+    )
+    s_b = intervals.select(
+        "user_id", "session_id", "s_start", "s_end",
+        F.explode(hours("s_start", "s_end")).alias("bucket"),
+    )
+    i_b = incidents.select(
+        "incident_hour", "i_start", "i_end",
+        F.explode(hours("i_start", "i_end")).alias("bucket"),
+    )
+    pairs = (
+        s_b.join(i_b, "bucket")
+        .filter(
+            (F.col("s_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("s_end"))
+        )
+        .select("incident_hour", "user_id", "session_id")
+        .distinct()
+    )
+    return pairs.groupBy("incident_hour").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        F.date_format("incident_hour", "yyyy-MM-dd HH:mm:ss").alias(
+            "incident_hour"
+        ),
+        "n_sessions",
+        "n_users",
+    )

@@ -672,3 +672,56 @@ def q_int8_rescore(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("q_id", "vec_id", "sim8", "sim", "rnk")
     )
+
+
+def _pca_cte(n_iter: int = 3) -> str:
+    """Unrolled power-iteration CTEs mirroring
+    operators.vector.pca_top_component's rounded trajectory."""
+    w0 = round(1.0 / DIM**0.5, 6)
+    parts = [
+        f"""ex AS (SELECT vec_id AS vid, i.i AS idx, v[i.i] AS x
+           FROM e, (SELECT unnest(generate_series(1, {DIM})) AS i) i),
+    mu AS (SELECT idx, round(avg(x), 6) AS mu FROM ex GROUP BY idx),
+    xc AS (SELECT vid, ex.idx, x - mu AS xc
+           FROM ex JOIN mu ON ex.idx = mu.idx),
+    w0 AS (SELECT unnest(generate_series(1, {DIM})) AS idx, {w0!r} AS w)"""
+    ]
+    prev = "w0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""s{t} AS (SELECT vid, round(sum(xc * w), 6) AS s
+           FROM xc JOIN {prev} USING (idx) GROUP BY vid),
+    z{t} AS (SELECT idx, round(sum(xc * s), 6) AS z
+           FROM xc JOIN s{t} USING (vid) GROUP BY idx),
+    n{t} AS (SELECT sqrt(sum(z * z)) AS nz FROM z{t}),
+    w{t} AS (SELECT idx, round(z / nz, 6) AS w FROM z{t} CROSS JOIN n{t})"""
+        )
+        prev = f"w{t}"
+    parts.append(
+        f"""sf AS (SELECT vid, round(sum(xc * w), 6) AS s
+           FROM xc JOIN {prev} USING (idx) GROUP BY vid),
+    ev AS (SELECT round(sum(s * s) / count(*), 4) AS eigenvalue FROM sf)"""
+    )
+    return ",\n    ".join(parts) + f"""
+    SELECT idx, w AS loading, eigenvalue FROM {prev} CROSS JOIN ev"""
+
+
+@query(
+    "pca_top_component",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_pca_cte(3)}
+    """,
+)
+def q_pca_top_component(spark, sf_dir):
+    """First principal component of the embedding corpus via
+    covariance-free power iteration (3 rounds, deterministic start,
+    6-dp rounded trajectory — the Lloyd convention). The oracle unrolls
+    the identical rounds as CTEs, so loadings AND the Rayleigh
+    eigenvalue are value-checked."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        pca_top_component,
+    )
+
+    e = _vectors(spark, sf_dir)
+    return pca_top_component(e, dim=DIM, n_iter=3)
