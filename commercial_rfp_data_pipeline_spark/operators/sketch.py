@@ -71,17 +71,15 @@ def hll_registers(
     return rows.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r"))
 
 
-def hll_estimate(
-    df: DataFrame, value_col: str, group_cols: list[str]
+def hll_estimate_registers(
+    regs: DataFrame, group_cols: list[str]
 ) -> DataFrame:
-    """Per-group raw HLL estimate alpha*m^2 / (sum 2^-r + zero
-    registers), rounded to 3 decimals. The 2^-r terms and the register
-    count are exactly representable doubles, so the sum is exact and
-    order-independent — bit-identical across engines. (The small-range
-    linear-counting correction is deliberately omitted: it needs ln(),
-    whose last-ulp behavior is libm-specific; the raw estimate is the
-    oracle-stable choice and the bias at n >> m is negligible.)"""
-    regs = hll_registers(df, value_col, group_cols)
+    """Estimate from an existing register table (bucket, r) — the
+    MERGE-side half of HLL: register tables from different partitions,
+    days, or machines combine by per-bucket max and this turns the
+    merged registers into the estimate. Exposed separately so rolling /
+    incremental distinct counts can reuse persisted registers instead
+    of rescanning raw data."""
     return (
         regs.groupBy(*group_cols)
         .agg(
@@ -96,6 +94,21 @@ def hll_estimate(
                 3,
             ).alias("hll_estimate"),
         )
+    )
+
+
+def hll_estimate(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group raw HLL estimate alpha*m^2 / (sum 2^-r + zero
+    registers), rounded to 3 decimals. The 2^-r terms and the register
+    count are exactly representable doubles, so the sum is exact and
+    order-independent — bit-identical across engines. (The small-range
+    linear-counting correction is deliberately omitted: it needs ln(),
+    whose last-ulp behavior is libm-specific; the raw estimate is the
+    oracle-stable choice and the bias at n >> m is negligible.)"""
+    return hll_estimate_registers(
+        hll_registers(df, value_col, group_cols), group_cols
     )
 
 

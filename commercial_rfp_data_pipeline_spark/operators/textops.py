@@ -813,6 +813,90 @@ def tfidf_top_terms(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Real-valued sibling of ``jaccard_pairs``: document similarity as
+    the cosine of tf-idf-weighted term vectors, computed as a SPARSE
+    dot product over an inverted index — never a dense vector join.
+    Terms with df > ``max_doc_freq`` are dropped from the vocabulary
+    entirely (the classic stopword effect: hot terms carry no
+    discrimination and would dominate the postings fanout); idf =
+    ln(N/df) and every weight/norm/dot rounds at 6 dp so the oracle
+    reproduces the trajectory.
+
+    Shape at scale: one (doc, term) groupBy for tf, one (term) groupBy
+    for df, weights via an equi-join on term; the pair stream comes
+    from array-combinations over each term's posting (bounded by
+    sum(df^2)/2, df <= cap) feeding ONE pair-keyed groupBy for the
+    dots; norms join per-doc. Identical discipline to the Jaccard
+    postings path — this is inverted-index sparse matmul."""
+    toks = df.select(F.col(id_col), F.explode(words(text_col)).alias("tok"))
+    tf = toks.filter(F.length("tok") > 0).groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    wt = pin(
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("wt"),
+        )
+    )
+    norms = wt.groupBy(id_col).agg(
+        F.round(F.sqrt(F.sum(F.col("wt") * F.col("wt"))), 6).alias("nrm")
+    )
+    postings = wt.groupBy("tok").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("d"), F.col("wt")))
+        ).alias("docs")
+    )
+    docs = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(
+                    x["d"].alias("doc_a"),
+                    y["d"].alias("doc_b"),
+                    (x["wt"] * y["wt"]).alias("prod"),
+                ),
+            ),
+        )
+    )
+    dots = (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.prod")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum("prod"), 6).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str],

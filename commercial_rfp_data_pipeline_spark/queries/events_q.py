@@ -704,3 +704,103 @@ def q_session_error_overlap(spark, sf_dir):
         "n_sessions",
         "n_users",
     )
+
+
+@query(
+    "hll_rolling_7d_users",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ev),
+    hashed AS (
+      SELECT day, substr(h, 1, 2) AS bucket,
+             CASE WHEN length(regexp_replace(substr(h, 3, 6), '^0+', '', 'g')) = 0
+                  THEN 25
+                  ELSE (6 - length(regexp_replace(substr(h, 3, 6), '^0+', '', 'g'))) * 4
+                       + CASE substr(regexp_replace(substr(h, 3, 6), '^0+', '', 'g'), 1, 1)
+                           WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                           WHEN '7' THEN 1 ELSE 0 END
+                       + 1
+             END AS rho
+      FROM (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM ev)
+    ),
+    regs AS (SELECT day, bucket, max(rho) AS r FROM hashed GROUP BY day, bucket),
+    scattered AS (
+      SELECT day + CAST(i.i AS INT) AS t_day, bucket, r
+      FROM regs, (SELECT unnest(generate_series(0, 6)) AS i) i
+    ),
+    merged AS (
+      SELECT t_day, bucket, max(r) AS r
+      FROM scattered JOIN days ON t_day = days.day
+      GROUP BY t_day, bucket
+    ),
+    est AS (
+      SELECT t_day,
+             round(47072.71267120224
+                   / (sum(power(2.0, -r)) + (256 - count(*))), 3) AS hll_7d
+      FROM merged GROUP BY t_day
+    ),
+    exact_pairs AS (SELECT DISTINCT day, user_id FROM ev),
+    exact_scattered AS (
+      SELECT day + CAST(i.i AS INT) AS t_day, user_id
+      FROM exact_pairs, (SELECT unnest(generate_series(0, 6)) AS i) i
+    ),
+    exact AS (
+      SELECT t_day, count(DISTINCT user_id) AS exact_7d
+      FROM exact_scattered JOIN days ON t_day = days.day
+      GROUP BY t_day
+    )
+    SELECT strftime(e.t_day, '%Y-%m-%d') AS day, exact_7d, hll_7d
+    FROM est e JOIN exact ON e.t_day = exact.t_day
+    """,
+)
+def q_hll_rolling_7d(spark, sf_dir):
+    """Rolling 7-day distinct users via MERGED HLL registers — the
+    property that makes sketches the 100-TB answer: each day's register
+    table is built once from that day's data, and any window estimate
+    is a per-bucket MAX over the member days' registers, never a rescan
+    of raw events. Day registers scatter to the <=7 windows they serve
+    (bounded fanout), merge with one groupBy, and the estimate reads
+    the merged 256-register table. The exact rolling distinct rides
+    along for the error comparison — computed by the same scatter on
+    distinct (day, user) pairs.
+
+    At 100 TB: persist `hll_registers` per day/partition (256 rows
+    each); every rolling/cumulative/ad-hoc-window distinct after that
+    is register arithmetic."""
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        hll_estimate_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct().select(F.col("day").alias("t_day"))
+    regs = hll_registers(ev, "user_id", ["day"])
+    scatter = F.explode(
+        F.transform(F.sequence(F.lit(0), F.lit(6)), lambda i: F.date_add("day", i))
+    ).alias("t_day")
+    merged = (
+        regs.select(scatter, "bucket", "r")
+        .join(F.broadcast(days), "t_day")
+        .groupBy("t_day", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate_registers(merged, ["t_day"]).withColumnRenamed(
+        "hll_estimate", "hll_7d"
+    )
+    exact = (
+        ev.distinct()
+        .select(scatter, "user_id")
+        .join(F.broadcast(days), "t_day")
+        .groupBy("t_day")
+        .agg(F.countDistinct("user_id").alias("exact_7d"))
+    )
+    return est.join(exact, "t_day").select(
+        F.date_format("t_day", "yyyy-MM-dd").alias("day"),
+        "exact_7d",
+        "hll_7d",
+    )

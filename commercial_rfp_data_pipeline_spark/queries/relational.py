@@ -462,3 +462,93 @@ def q_cdc_diff(spark, sf_dir):
         F.col("b.o_totalprice").cast("double").alias("new_totalprice"),
         F.col("a.o_totalprice").cast("double").alias("old_totalprice"),
     )
+
+
+@query(
+    "table_profile_orders",
+    """
+    SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice),
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d'),
+           strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    """,
+)
+def q_table_profile(spark, sf_dir):
+    """Data-profiling summary of a table (per-column rows / nulls /
+    distincts / canonicalized min-max) — the first query every data
+    platform runs against a new 100-TB drop.
+
+    Scale: the oracle re-scans the table once PER COLUMN (six passes);
+    the engine computes every profile statistic in ONE aggregate over
+    one scan (the multi-distinct compiles to a single Expand —
+    one pass, expand factor = #distinct columns) and pivots the single
+    result row to long form with a stack() generate, which is free.
+    Min/max canonicalize per type (decimal 18,2 for money, ISO for
+    dates) so both engines print identical strings."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def _null(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+
+    row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[x for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"]
+          for x in (
+              _null(c).alias(f"null_{c}"),
+              F.countDistinct(c).alias(f"nd_{c}"),
+          )],
+        F.min("o_orderkey").cast("string").alias("min_o_orderkey"),
+        F.max("o_orderkey").cast("string").alias("max_o_orderkey"),
+        F.min("o_custkey").cast("string").alias("min_o_custkey"),
+        F.max("o_custkey").cast("string").alias("max_o_custkey"),
+        F.min("o_orderstatus").alias("min_o_orderstatus"),
+        F.max("o_orderstatus").alias("max_o_orderstatus"),
+        F.min("o_orderpriority").alias("min_o_orderpriority"),
+        F.max("o_orderpriority").alias("max_o_orderpriority"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("min_o_totalprice"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("max_o_totalprice"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_o_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_o_orderdate"),
+    )
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice", "o_orderdate"]
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_null, n_distinct, min_str, max_str)",
+        "n AS n_rows",
+    ).select("col", "n_rows", "n_null", "n_distinct", "min_str", "max_str")

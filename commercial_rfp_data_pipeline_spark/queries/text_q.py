@@ -999,3 +999,56 @@ def q_cms_heavy_hitters(spark, sf_dir):
             F.col("cms_estimate").cast("long").alias("cms_estimate"),
         )
     )
+
+
+@query(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+      WHERE t IS NOT NULL AND length(t) > 0
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE length(tok) > 0 GROUP BY doc_id, tok
+    ),
+    dfq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY tok
+      HAVING count(*) <= 100
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    wt AS (
+      SELECT doc_id, tok,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS wt
+      FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+    ),
+    nrm AS (
+      SELECT doc_id, round(sqrt(sum(wt * wt)), 6) AS nrm
+      FROM wt GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(sum(a.wt * b.wt), 6) AS dot
+      FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, round(dot / (x.nrm * y.nrm), 6) AS cosine
+    FROM dots
+    JOIN nrm x ON doc_a = x.doc_id
+    JOIN nrm y ON doc_b = y.doc_id
+    WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.5
+    """,
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Tf-idf cosine similarity pairs over the corpus via inverted-
+    index sparse dot products (df-capped vocabulary, ln(N/df) idf,
+    6-dp rounded trajectory). The oracle's term self-join is the
+    quadratic restatement; the engine's array-combinations-over-
+    postings form is the bounded-fanout scale path."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.5, max_doc_freq=100)

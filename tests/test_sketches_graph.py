@@ -138,3 +138,41 @@ def test_triangle_count_known_graph(spark):
     w = deg.agg(F2.sum(F2.expr("(d*(d-1)) DIV 2")).alias("w")).collect()[0].w
     assert t == 1
     assert w == 5
+
+
+def test_hll_merge_equals_full_scan(spark):
+    """Mergeability: per-partition registers merged by max == registers
+    built in one pass, hence identical estimates."""
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_registers,
+        hll_registers,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("v"),
+        (F.col("id") % 3).alias("part"),
+    )
+    whole = hll_estimate(df, "v", []).collect()[0].hll_estimate
+    per_part = hll_registers(df, "v", ["part"])
+    merged = per_part.groupBy("bucket").agg(F.max("r").alias("r"))
+    got = hll_estimate_registers(merged, []).collect()[0].hll_estimate
+    assert got == whole
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_cosine_pairs(df, threshold=0.5, max_doc_freq=100).collect()
+    assert len(out) == 1
+    assert out[0].doc_a == 1 and out[0].doc_b == 2
+    # 6-dp rounded trajectory: 1.0 lands at 0.999999
+    assert abs(out[0].cosine - 1.0) < 1e-5
