@@ -168,7 +168,10 @@ def dup_clusters(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = None
+    # sentinel (not None): an EMPTY edge set sums to null every round,
+    # and ``prev is not None`` would then never let the fixpoint check
+    # fire — 25 wasted rounds and a spurious non-convergence warning
+    prev_sum: object = object()
     converged = False
     for _ in range(max_iter):
         prop = edges.join(
@@ -193,7 +196,7 @@ def dup_clusters(
         cur_sum = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
-        if prev_sum is not None and cur_sum == prev_sum:
+        if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
