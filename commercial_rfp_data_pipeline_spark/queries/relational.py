@@ -552,3 +552,39 @@ def q_table_profile(spark, sf_dir):
         f"stack({len(cols)}, {stack_args}) AS (col, n_null, n_distinct, min_str, max_str)",
         "n AS n_rows",
     ).select("col", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+@query(
+    "bloom_semi_join_lineitem",
+    """
+    SELECT l_orderkey, count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 350000)
+    GROUP BY l_orderkey
+    """,
+)
+def q_bloom_semi_join(spark, sf_dir):
+    """Broadcast bloom-filter semi-join: the selective order-key set
+    becomes an 8 KB bitset broadcast to every lineitem scan task, so
+    the big side is prefiltered BEFORE any exchange; the exact
+    left-semi join then only sees bloom survivors. False positives die
+    in the exact join, so the result is EXACTLY the plain semi-join —
+    which is what the oracle states. At 100 TB this is the difference
+    between shuffling the full fact table and shuffling the ~1% that
+    can possibly match (the same trick AQE row-level runtime filters
+    play, here as an explicit operator with a tunable bit budget)."""
+    from commercial_rfp_data_pipeline_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return bloom_semi_join(li, keys, "l_orderkey").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast(DEC))
+        .cast("double")
+        .alias("revenue"),
+    )
