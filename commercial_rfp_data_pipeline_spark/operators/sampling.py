@@ -135,3 +135,46 @@ def negatives_oracle_sql(k: int = 3) -> str:
            (r.doc_id = w.doc_id) AS is_self
     FROM wrapped w JOIN ring r ON r.pos = w.ppos
     """
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 1,
+    seed: str = "shuffle",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch:
+    every row gets ``shuffle_pos`` — its 0-based position in the order
+    of ``md5(seed:epoch:id)`` — a new pseudo-random permutation per
+    epoch, identical under any partitioning, retries, and cluster
+    size (no rand(), no monotonically_increasing_id, both of which
+    are partitioning-dependent).
+
+    The naive form is ``row_number() OVER (ORDER BY key)`` — an
+    empty-partition window that funnels 100 TB through ONE task. Here
+    the global ordinal comes from ``distributed_prefix_sum``
+    (range-partition by key -> per-partition local window ->
+    per-partition totals cascade broadcast back), so every stage is
+    distributed and the widest shuffle is the range exchange. The
+    DuckDB oracle states the naive global row_number; the prefix-sum
+    decomposition is exactly what the value-hash verifies."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
+    key = F.md5(
+        F.concat(
+            F.lit(f"{seed}:{epoch}:"), F.col(id_col).cast("string")
+        )
+    )
+    keyed = df.withColumn("shuffle_key", key)
+    out = distributed_prefix_sum(
+        keyed,
+        values={"one": F.lit(1).cast("long")},
+        order_by=[F.col("shuffle_key"), F.col(id_col)],
+        n_partitions=n_partitions,
+    )
+    return out.withColumn("shuffle_pos", F.col("one_before")).drop(
+        "one_incl", "one_before"
+    )

@@ -600,3 +600,37 @@ def q_dataset_split(spark, sf_dir):
     return dataset_split(docs.select("doc_id", "lang")).select(
         "doc_id", "lang", "split"
     )
+
+
+@query(
+    "epoch_shuffle_positions",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             md5('shuffle:1:' || CAST(doc_id AS VARCHAR)) AS k1,
+             md5('shuffle:2:' || CAST(doc_id AS VARCHAR)) AS k2
+      FROM documents
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY k1, doc_id) - 1 AS pos_epoch1,
+           row_number() OVER (ORDER BY k2, doc_id) - 1 AS pos_epoch2
+    FROM k
+    """,
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch global shuffle order for training data
+    delivery: a fresh md5-keyed permutation each epoch, with the
+    global ordinal computed by distributed prefix sum — the oracle
+    states the naive single-task row_number the operator explicitly
+    avoids. Two epochs side by side show re-permutation without
+    reassigning ids."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    e1 = epoch_shuffle(docs, epoch=1).select(
+        "doc_id", F.col("shuffle_pos").alias("pos_epoch1")
+    )
+    e2 = epoch_shuffle(docs, epoch=2).select(
+        "doc_id", F.col("shuffle_pos").alias("pos_epoch2")
+    )
+    return e1.join(e2, "doc_id")

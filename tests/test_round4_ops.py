@@ -553,3 +553,20 @@ def test_bpe_train_chain_merge_semantics(spark):
         "aaaa",
     )
     assert out[2].n == 3
+
+
+def test_epoch_shuffle_is_partition_invariant_permutation(spark):
+    """Positions form an exact 0..n-1 permutation, differ between
+    epochs, and do not depend on the input partitioning (the
+    determinism contract that makes retries/speculation safe)."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    df1 = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    df8 = df1.repartition(8)
+    out1 = {r.doc_id: r.shuffle_pos for r in epoch_shuffle(df1, epoch=1).collect()}
+    out8 = {r.doc_id: r.shuffle_pos for r in epoch_shuffle(df8, epoch=1).collect()}
+    assert out1 == out8
+    assert sorted(out1.values()) == list(range(500))
+    out_e2 = {r.doc_id: r.shuffle_pos for r in epoch_shuffle(df1, epoch=2).collect()}
+    assert sorted(out_e2.values()) == list(range(500))
+    assert out_e2 != out1  # a fresh permutation per epoch
