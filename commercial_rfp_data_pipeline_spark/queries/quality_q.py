@@ -634,3 +634,79 @@ def q_epoch_shuffle(spark, sf_dir):
         "doc_id", F.col("shuffle_pos").alias("pos_epoch2")
     )
     return e1.join(e2, "doc_id")
+
+
+@query(
+    "naive_bayes_lang_classify",
+    f"""
+    WITH norm AS (SELECT doc_id, lang, {_NORM} AS t FROM documents),
+    train AS (SELECT * FROM norm WHERE doc_id % 5 != 0),
+    test AS (SELECT * FROM norm WHERE doc_id % 5 = 0),
+    ttok AS (
+      SELECT lang AS cls, tok FROM (
+        SELECT lang, unnest(string_split(t, ' ')) AS tok FROM train
+      ) WHERE tok <> ''
+    ),
+    cnt AS (SELECT cls, tok, count(*) AS c FROM ttok GROUP BY 1, 2),
+    nc AS (SELECT cls, count(*) AS nc FROM ttok GROUP BY 1),
+    vocab AS (SELECT DISTINCT tok FROM ttok),
+    v AS (SELECT count(*) AS v FROM vocab),
+    classes AS (SELECT lang AS cls, count(*) AS ndocs FROM train GROUP BY 1),
+    tot AS (SELECT count(*) AS nd FROM train),
+    prior AS (
+      SELECT cls, CAST(round(ln(CAST(ndocs AS DOUBLE) / nd), 6) AS DECIMAL(20,6)) AS prior
+      FROM classes CROSS JOIN tot
+    ),
+    grid AS (
+      SELECT vo.tok, cl.cls,
+             round(ln((coalesce(cnt.c, 0) + 1.0) / (nc.nc + v.v)), 6) AS logp
+      FROM vocab vo CROSS JOIN classes cl
+      JOIN nc ON nc.cls = cl.cls CROSS JOIN v
+      LEFT JOIN cnt ON cnt.tok = vo.tok AND cnt.cls = cl.cls
+    ),
+    unk AS (SELECT cls, round(ln(1.0 / (nc + v)), 6) AS logp_unk FROM nc CROSS JOIN v),
+    stok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM test
+      ) WHERE tok <> ''
+    ),
+    contrib AS (
+      SELECT s.doc_id, c.cls,
+             CAST(coalesce(g.logp, u.logp_unk) AS DECIMAL(20,6)) AS lp
+      FROM stok s CROSS JOIN classes c
+      LEFT JOIN grid g ON g.tok = s.tok AND g.cls = c.cls
+      JOIN unk u ON u.cls = c.cls
+    ),
+    sums AS (SELECT doc_id, cls, sum(lp) AS s FROM contrib GROUP BY 1, 2),
+    scored AS (
+      SELECT t.doc_id, t.lang AS actual, c.cls,
+             p.prior + coalesce(s.s, CAST(0 AS DECIMAL(20,6))) AS score_dec
+      FROM test t CROSS JOIN classes c
+      JOIN prior p ON p.cls = c.cls
+      LEFT JOIN sums s ON s.doc_id = t.doc_id AND s.cls = c.cls
+    ),
+    pick AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_dec DESC, cls) AS rn
+      FROM scored
+    )
+    SELECT doc_id, actual, cls AS predicted,
+           CAST(score_dec AS DOUBLE) AS score,
+           (cls = actual) AS correct
+    FROM pick WHERE rn = 1
+    """,
+)
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial naive Bayes over the document corpus: train token
+    counts on the 80% id-split, predict language on the held-out 20%.
+    Exact counts + Laplace smoothing + decimal log-prob sums make the
+    full train/predict cycle value-hash-checkable; the vocab-keyed
+    model table stays distributed (only per-class totals broadcast)."""
+    from commercial_rfp_data_pipeline_spark.operators.classify import (
+        naive_bayes_predict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return naive_bayes_predict(train, test)

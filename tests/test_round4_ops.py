@@ -570,3 +570,37 @@ def test_epoch_shuffle_is_partition_invariant_permutation(spark):
     out_e2 = {r.doc_id: r.shuffle_pos for r in epoch_shuffle(df1, epoch=2).collect()}
     assert sorted(out_e2.values()) == list(range(500))
     assert out_e2 != out1  # a fresh permutation per epoch
+
+
+def test_naive_bayes_learns_separable_classes(spark):
+    """On a corpus whose classes use disjoint vocabularies the
+    classifier must be perfect, unseen tokens must not crash scoring,
+    and an empty test doc falls back to the prior argmax."""
+    from commercial_rfp_data_pipeline_spark.operators.classify import (
+        naive_bayes_predict,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "apple banana cherry fruit", "food") for i in range(8)]
+        + [(100 + i, "gear brake wheel engine", "auto") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    test = spark.createDataFrame(
+        [
+            (200, "banana cherry", "food"),
+            (201, "engine wheel brake", "auto"),
+            (202, "zzz unseen tokens only", "food"),  # all-unk -> prior
+            (203, "", "food"),  # no tokens -> prior argmax
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in naive_bayes_predict(train, test).collect()}
+    assert out[200].predicted == "food" and out[200].correct
+    assert out[201].predicted == "auto" and out[201].correct
+    # all-unknown tokens: the smoothed floor ln(1/(N_c+V)) is HIGHER
+    # for the class with less token mass (auto: 16 tokens vs 32), and
+    # 4 floor terms outweigh the prior gap — textbook NB behavior
+    assert out[202].predicted == "auto"
+    # no tokens at all -> pure prior argmax (food: 8 docs vs 4)
+    assert out[203].predicted == "food"
+    assert len(out) == 4
