@@ -667,3 +667,219 @@ def pca_top_component(
     return w.crossJoin(F.broadcast(ev)).select(
         "idx", F.col("w").alias("loading"), "eigenvalue"
     )
+
+
+# ---------------------------------------------------------------- PQ --
+
+PQ_DEC = "decimal(20,9)"
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance with per-term 9-dp rounding and an exact
+    DECIMAL accumulator: (a_i-b_i)*(a_i-b_i) is one IEEE multiply
+    (identical in any engine), the per-term round pins the last ulp,
+    and the decimal sum is order-independent — so distances compare
+    EXACTLY the same under any partitioning and in the DuckDB oracle
+    (double sums would tie-break argmins differently in rare ulp
+    collisions)."""
+    terms = F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)))
+    return F.aggregate(
+        terms,
+        F.lit(0).cast(PQ_DEC),
+        lambda acc, t: (acc + F.round(t, 9).cast(PQ_DEC)).cast(PQ_DEC),
+    )
+
+
+def pq_subvectors(
+    vectors: DataFrame,
+    dim: int,
+    m_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, sv): each vector split into ``m_sub`` contiguous
+    subvectors of dim/m_sub components — a narrow map, no shuffle."""
+    sub = dim // m_sub
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_col).cast("array<double>"), m * sub + 1, sub).alias(
+                    "sv"
+                ),
+            )
+            for m in range(m_sub)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.explode(slices).alias("e")
+    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    seed: str = "pq",
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks (m, code_id, code_vec): per
+    subspace, md5-hash-sample ``k_codes`` seed subvectors, then
+    ``n_iters`` Lloyd rounds under exact-decimal squared-L2 (assign =
+    min_by(dist, code_id tiebreak); recompute = per-component mean
+    rounded to 6 dp; an emptied code keeps its init subvector).
+
+    Scale shape: identical to ivf_centroids — each round is one
+    broadcast-codebook corpus scan plus a (m, code, idx) aggregation;
+    the codebook is m_sub*k_codes rows, always broadcast-sized. PQ is
+    the memory-side half of a FAISS-style IVF-PQ index: 64 floats
+    become m_sub single-byte codes, a 32x shrink of what the ANN
+    serving tier must hold."""
+    sub = dim // m_sub
+    sv = pq_subvectors(vectors, dim, m_sub, id_col, vec_col)
+    # per-subspace seeded hash-sample init; orderBy().limit() compiles
+    # to TakeOrdered (per-partition partial top-k), looped m_sub times
+    inits = []
+    for m in range(m_sub):
+        h = F.md5(F.concat(F.lit(f"{seed}{m}:"), F.col(id_col).cast("string")))
+        inits.append(
+            vectors.select(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_col).cast("array<double>"), m * sub + 1, sub).alias(
+                    "sv"
+                ),
+                h.alias("_h"),
+                F.col(id_col).alias("_id"),
+            )
+            .orderBy("_h", "_id")
+            .limit(k_codes)
+        )
+    init_rows = inits[0]
+    for other in inits[1:]:
+        init_rows = init_rows.unionByName(other)
+    w = Window.partitionBy("m").orderBy("_h", "_id")
+    init = init_rows.select(
+        "m",
+        (F.row_number().over(w) - 1).alias("code_id"),
+        F.col("sv").alias("code_vec"),
+    )
+    books = init
+    for _ in range(n_iters):
+        j = sv.join(F.broadcast(books), "m")
+        d = _sq_l2(F.col("sv"), F.col("code_vec"))
+        assigned = (
+            j.select("vec_id", "m", "sv", "code_id", d.alias("d"))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by(
+                    F.struct("code_id", "sv"),
+                    F.struct(F.col("d"), F.col("code_id")),
+                ).alias("_b")
+            )
+            .select("m", F.col("_b.code_id").alias("code_id"), F.col("_b.sv").alias("sv"))
+        )
+        comp = assigned.select(
+            "m", "code_id", F.posexplode("sv").alias("idx", "x")
+        )
+        means = comp.groupBy("m", "code_id", "idx").agg(
+            F.round(F.avg("x"), 6).alias("mu")
+        )
+        newb = means.groupBy("m", "code_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "mu"))),
+                lambda s: s["mu"],
+            ).alias("code_vec")
+        )
+        books = (
+            init.select("m", "code_id", F.col("code_vec").alias("_init_vec"))
+            .join(newb, ["m", "code_id"], "left")
+            .select(
+                "m",
+                "code_id",
+                F.coalesce("code_vec", "_init_vec").alias("code_vec"),
+            )
+        )
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: DataFrame,
+    dim: int,
+    m_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, m, code): nearest codebook entry per subspace under
+    the same exact-decimal distance — one broadcast join + one
+    map-side-combining groupBy over m_sub rows per vector."""
+    sv = pq_subvectors(vectors, dim, m_sub, id_col, vec_col)
+    j = sv.join(F.broadcast(books), "m")
+    d = _sq_l2(F.col("sv"), F.col("code_vec"))
+    return (
+        j.select("vec_id", "m", "code_id", d.alias("d"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                "code_id", F.struct(F.col("d"), F.col("code_id"))
+            ).alias("code")
+        )
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    k: int = 5,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries stay full-precision, the
+    corpus is its PQ codes, and the approximate distance is the sum of
+    per-subspace (query-subvector -> code centroid) lookups.
+
+    The lookup table is queries x m_sub x k_codes rows — broadcast —
+    so per corpus row the scan does m_sub map-joins and one decimal
+    sum: the serving cost that makes PQ the standard RAM-bound ANN
+    format. Exact-decimal distances keep the whole path
+    oracle-checkable."""
+    books = pq_codebooks(
+        vectors, dim, m_sub=m_sub, k_codes=k_codes, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    from commercial_rfp_data_pipeline_spark.io import pin
+
+    books = pin(books, key="pq_books")
+    codes = pq_encode(vectors, books, dim, m_sub, id_col, vec_col)
+    qsv = pq_subvectors(
+        vectors.filter(F.col(id_col).isin(query_ids)), dim, m_sub, id_col, vec_col
+    ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
+    lut = qsv.join(F.broadcast(books), "m").select(
+        "q_id",
+        "m",
+        F.col("code_id").alias("code"),
+        _sq_l2(F.col("qsv"), F.col("code_vec")).alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adist_dec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist_dec"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -725,3 +725,97 @@ def q_pca_top_component(spark, sf_dir):
 
     e = _vectors(spark, sf_dir)
     return pca_top_component(e, dim=DIM, n_iter=3)
+
+
+def _pq_sqdist_sql(a: str, b: str, sub: int = 16) -> str:
+    """Inline exact-decimal squared-L2: per-component single-multiply
+    terms rounded to 9 dp, summed as DECIMAL left-to-right — the same
+    arithmetic operators.vector._sq_l2 performs, so distances (and
+    therefore every argmin/top-k built on them) agree bit-for-bit."""
+    terms = [
+        f"CAST(round(({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}]), 9) AS DECIMAL(20,9))"
+        for i in range(1, sub + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_cte(m_sub: int = 4, k_codes: int = 8, sub: int = 16) -> str:
+    """PQ codebook training (1 Lloyd round), encoding, and the ADC
+    lookup table as CTEs mirroring operators.vector.pq_* exactly:
+    md5-hash-sample init per subspace, exact-decimal assignment with
+    (d, code_id) tiebreak, 6-dp means, emptied codes keeping init."""
+    d_sc = _pq_sqdist_sql("s.sv", "c.code_vec", sub)
+    d_qc = _pq_sqdist_sql("q.qsv", "c.code_vec", sub)
+    return f"""ms AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
+    sv AS (SELECT vec_id, m, v[(m*{sub}+1):(m*{sub}+{sub})] AS sv FROM e CROSS JOIN ms),
+    pqinit AS (
+      SELECT m, CAST(rn - 1 AS INTEGER) AS code_id, sv AS code_vec FROM (
+        SELECT m, vec_id, sv,
+               row_number() OVER (PARTITION BY m
+                 ORDER BY md5('pq' || CAST(m AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM sv
+      ) WHERE rn <= {k_codes}
+    ),
+    assign1 AS (
+      SELECT m, code_id, sv FROM (
+        SELECT s.vec_id, s.m, s.sv, c.code_id, {d_sc} AS d,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {d_sc}, c.code_id) AS rn
+        FROM sv s JOIN pqinit c USING (m)
+      ) WHERE rn = 1
+    ),
+    means1 AS (
+      SELECT m, code_id, i.i AS ci, round(avg(sv[i.i]), 6) AS mu
+      FROM assign1, (SELECT unnest(generate_series(1, {sub})) AS i) i
+      GROUP BY m, code_id, i.i
+    ),
+    agg1 AS (SELECT m, code_id, array_agg(mu ORDER BY ci) AS code_vec
+             FROM means1 GROUP BY m, code_id),
+    books AS (
+      SELECT i.m, i.code_id, coalesce(a.code_vec, i.code_vec) AS code_vec
+      FROM pqinit i LEFT JOIN agg1 a USING (m, code_id)
+    ),
+    codes AS (
+      SELECT vec_id, m, code_id AS code FROM (
+        SELECT s.vec_id, s.m, c.code_id, {d_sc} AS d,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {d_sc}, c.code_id) AS rn
+        FROM sv s JOIN books c USING (m)
+      ) WHERE rn = 1
+    ),
+    qsv AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sv WHERE vec_id IN (0, 1, 2)),
+    lut AS (
+      SELECT q.q_id, q.m, c.code_id AS code, {d_qc} AS d
+      FROM qsv q JOIN books c USING (m)
+    )"""
+
+
+@query(
+    "pq_adc_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_pq_cte()},
+    scored AS (
+      SELECT l.q_id, c.vec_id, sum(l.d) AS adist_dec
+      FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+      GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id, CAST(adist_dec AS DOUBLE) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY adist_dec, vec_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_pq_adc(spark, sf_dir):
+    """FAISS-style product quantization with asymmetric-distance
+    search: 64-dim corpus vectors compress to 4 one-byte codes (a 32x
+    memory shrink for the serving tier), queries stay full precision,
+    and top-k ranks by the sum of per-subspace query->code-centroid
+    lookups. Codebooks are 1 deterministic Lloyd round per subspace
+    under exact-decimal squared-L2, so training, encoding, the lookup
+    table, and the final ranking all value-hash against the oracle."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import pq_adc_topk
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    return pq_adc_topk(v, [0, 1, 2], dim=DIM)

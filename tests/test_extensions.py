@@ -686,3 +686,52 @@ def test_percentiles_approx_error_bound(spark, sf_dir):
     for k in exact:
         assert abs(approx[k].p50_approx - exact[k].p50) / exact[k].p50 < 0.02
         assert abs(approx[k].p90_approx - exact[k].p90) / exact[k].p90 < 0.02
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """PQ@4x8 (one Lloyd round) against the exact L2 top-5 at
+    sf0.001: deterministic construction pins the measured recall —
+    assert it stays above 0.25 (quantization to 4 bytes is lossy by
+    design; the oracle checks exactness of the COMPUTATION, this
+    checks it still ranks usefully) and codes stay in range."""
+    from pyspark.sql import functions as F
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        _sq_l2,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = pq_codebooks(v, dim=64)
+    codes = pq_encode(v, books, dim=64)
+    rng = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi"),
+        F.countDistinct("vec_id").alias("n"),
+    ).first()
+    assert rng.lo >= 0 and rng.hi <= 7
+    assert rng.n == v.count()
+
+    adc = {(r.q_id, r.vec_id) for r in pq_adc_topk(v, [0, 1, 2], dim=64).collect()}
+    q = v.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    full = v.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        _sq_l2(
+            F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")
+        ).alias("d"),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy("d", "vec_id")
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in full.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    recall = len(adc & exact) / len(exact)
+    assert recall >= 0.25, f"ADC recall collapsed: {recall}"
