@@ -308,3 +308,43 @@ def ppr_oracle_cte(
         FROM state{iterations}
         """
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: (id, hops) — the minimum hop count from any
+    source, for every node reachable within ``max_hops``. Sources
+    report hops=0.
+
+    The frontier discipline is what makes this scale: round h joins
+    ONLY the hop-(h-1) frontier against the edge table (never the
+    whole visited set), anti-joins the already-visited set to keep the
+    frontier minimal, and localCheckpoints both tables so round h+1's
+    lineage does not replay rounds 1..h (the same iterative hygiene as
+    dup_clusters / pagerank). A fixed ``max_hops`` keeps the whole
+    construction SQL-expressible — the oracle states the identical
+    bounded recursion."""
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges[src])
+            .select(F.col(dst).alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return dist

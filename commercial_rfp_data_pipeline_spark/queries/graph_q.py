@@ -242,3 +242,51 @@ def q_triangle_count(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "bfs_hops_copurchase",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    srcs AS (SELECT p_partkey AS id FROM part WHERE p_size = 50),
+    walk(id, d) AS (
+      SELECT id, 0 FROM srcs
+      UNION
+      SELECT g.dst, w.d + 1 FROM walk w JOIN edges g ON g.src = w.id
+      WHERE w.d < 3
+    )
+    SELECT id AS p_partkey, CAST(min(d) AS INTEGER) AS hops
+    FROM walk GROUP BY id
+    """,
+)
+def q_bfs_copurchase(spark, sf_dir):
+    """Multi-source BFS over the co-purchase graph: minimum hop count
+    from the p_size=50 part set, bounded at 3 hops. Frontier-only
+    joins + anti-join against visited keep every round proportional
+    to the NEW nodes discovered, not the graph — the scalable BFS
+    shape (the oracle states the same bounded recursion naively)."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    sources = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select("p_partkey")
+    )
+    out = bfs_hops(edges, sources, max_hops=3)
+    return out.select(
+        F.col("id").alias("p_partkey"), F.col("hops").cast("int").alias("hops")
+    )

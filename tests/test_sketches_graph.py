@@ -176,3 +176,21 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
     assert out[0].doc_a == 1 and out[0].doc_b == 2
     # 6-dp rounded trajectory: 1.0 lands at 0.999999
     assert abs(out[0].cosine - 1.0) < 1e-5
+
+
+def test_bfs_hops_chain_and_frontier_semantics(spark):
+    """On a known chain + branch graph: exact min-hop distances,
+    unreachable nodes absent, hop bound respected, and multi-source
+    min wins."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import bfs_hops
+
+    # 1-2-3-4-5 chain (directed), plus 10->3 shortcut source
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 3)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(1,), (10,)], "id long")
+    out = {r.id: r.hops for r in bfs_hops(edges, srcs, max_hops=3).collect()}
+    # node 3 is 2 hops from 1 but only 1 from 10 -> min wins
+    assert out == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+    out2 = {r.id: r.hops for r in bfs_hops(edges, srcs, max_hops=1).collect()}
+    assert out2 == {1: 0, 10: 0, 2: 1, 3: 1}  # bound respected
