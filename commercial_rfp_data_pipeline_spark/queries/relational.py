@@ -588,3 +588,55 @@ def q_bloom_semi_join(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "incremental_view_maintenance",
+    """
+    WITH effective AS (
+      SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT o_orderdate, count(*) AS n_orders,
+           CAST(sum(p) AS DOUBLE) AS revenue,
+           CAST(sum(p) AS DOUBLE) / count(*) AS avg_price
+    FROM effective GROUP BY o_orderdate
+    """,
+)
+def q_incremental_view(spark, sf_dir):
+    """Incremental view maintenance under CDC retractions: the daily
+    revenue rollup's partial state (cnt, sum) is built from the base
+    ONCE, then a delta batch — deletes (o_orderkey%97=0, op=-1) and
+    re-inserts (o_orderkey%89=0, op=+1) — folds in as one
+    delta-proportional aggregation + merge. The oracle recomputes the
+    view from scratch over the effective row set, value-checking the
+    retraction law merge(state(base), state(delta)) ==
+    agg(base - deletes + inserts). avg derives from the state at read
+    time (quotients are not mergeable; sums and counts are)."""
+    from commercial_rfp_data_pipeline_spark.operators.incremental import (
+        merge_states,
+        view_state,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_totalprice").cast(DEC).alias("p")
+    )
+    base_state = view_state(orders, ["o_orderdate"], F.col("p"))
+    deletes = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "op", F.lit(-1)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+        "op", F.lit(1)
+    )
+    delta = deletes.unionByName(inserts)
+    delta_state = view_state(delta, ["o_orderdate"], F.col("p"), op=F.col("op"))
+    merged = merge_states([base_state, delta_state], ["o_orderdate"])
+    return merged.select(
+        "o_orderdate",
+        F.col("cnt").alias("n_orders"),
+        F.col("total").cast("double").alias("revenue"),
+        (F.col("total").cast("double") / F.col("cnt")).alias("avg_price"),
+    )

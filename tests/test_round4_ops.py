@@ -604,3 +604,31 @@ def test_naive_bayes_learns_separable_classes(spark):
     # no tokens at all -> pure prior argmax (food: 8 docs vs 4)
     assert out[203].predicted == "food"
     assert len(out) == 4
+
+
+def test_incremental_view_retraction_law(spark):
+    """merge(state(base), state(delta)) == agg(effective rows), and a
+    group fully retracted (cnt -> 0) disappears from the view."""
+    from commercial_rfp_data_pipeline_spark.operators.incremental import (
+        merge_states,
+        view_state,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k string, v long"
+    )
+    # delete both 'a' rows? no - delete one 'a', delete the only 'b',
+    # insert a new 'c'
+    delta = spark.createDataFrame(
+        [("a", 10, -1), ("b", 5, -1), ("c", 7, 1)],
+        "k string, v long, op int",
+    )
+    merged = merge_states(
+        [
+            view_state(base, ["k"], F.col("v")),
+            view_state(delta, ["k"], F.col("v"), op=F.col("op")),
+        ],
+        ["k"],
+    )
+    out = {r.k: (r.cnt, r.total) for r in merged.collect()}
+    assert out == {"a": (1, 20), "c": (1, 7)}  # 'b' fully retracted
