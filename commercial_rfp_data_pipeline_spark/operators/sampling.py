@@ -178,3 +178,52 @@ def epoch_shuffle(
     return out.withColumn("shuffle_pos", F.col("one_before")).drop(
         "one_incl", "one_before"
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-based mixture resampling — the standard LLM
+    data-mixing move: per group g with n_g rows, the sampling share is
+    n_g^(1/T) / sum(n^(1/T)), so T>1 upweights low-resource groups
+    relative to proportional sampling (T=1) without ever exceeding
+    uniform (T=inf). Takes floor(budget * share) rows per group,
+    chosen by md5 rank — deterministic under any partitioning and
+    retries, hence oracle-checkable.
+
+    Scale shape: group sizes are one map-side-combining groupBy whose
+    result is groups-sized (broadcast); shares round to 6 dp and sum
+    as DECIMAL so every engine computes identical targets; the
+    per-group take is one hash-ranked window partitioned by group
+    (AQE's window-group-limit pushes the rank filter map-side)."""
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    share = F.round(
+        F.pow(F.col("n_g").cast("double"), 1.0 / temperature), 6
+    ).cast("decimal(20,6)")
+    sized = sizes.select(group_col, "n_g", share.alias("w"))
+    tot = sized.agg(F.sum("w").alias("w_tot"))
+    targets = sized.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_g",
+        F.least(
+            F.floor(
+                F.lit(float(budget))
+                * F.col("w").cast("double")
+                / F.col("w_tot").cast("double")
+            ).cast("long"),
+            F.col("n_g"),
+        ).alias("n_take"),
+    )
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.join(F.broadcast(targets), group_col)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= F.col("n_take"))
+        .drop("rn", "n_g")
+    )

@@ -1052,3 +1052,43 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(docs, threshold=0.5, max_doc_freq=100)
+
+
+@query(
+    "temperature_mix_resample",
+    """
+    WITH sizes AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+    sized AS (
+      SELECT lang, n_g,
+             CAST(round(sqrt(CAST(n_g AS DOUBLE)), 6) AS DECIMAL(20,6)) AS w
+      FROM sizes
+    ),
+    tot AS (SELECT sum(w) AS w_tot FROM sized),
+    targets AS (
+      SELECT lang, n_g,
+             least(CAST(floor(200.0 * CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE)) AS BIGINT),
+                   n_g) AS n_take
+      FROM sized CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, t.n_take,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY md5('tmix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      FROM documents d JOIN targets t USING (lang)
+    )
+    SELECT doc_id, lang, n_take FROM ranked WHERE rn <= n_take
+    """,
+)
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-2 mixture over the skewed language distribution: a
+    200-doc budget splits by sqrt-of-count shares, upweighting
+    low-resource languages vs proportional sampling; survivors are
+    md5-ranked, so the exact sample is value-hash-checked."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", budget=200, temperature=2.0).select(
+        "doc_id", "lang", "n_take"
+    )

@@ -632,3 +632,38 @@ def test_incremental_view_retraction_law(spark):
     )
     out = {r.k: (r.cnt, r.total) for r in merged.collect()}
     assert out == {"a": (1, 20), "c": (1, 7)}  # 'b' fully retracted
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    """T=2 must give the minority group MORE than its proportional
+    share and the majority LESS; T -> 1 recovers proportional; takes
+    never exceed group size; deterministic under repartitioning."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", budget=100, temperature=2.0)
+    by = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # proportional would be 90/10; sqrt shares are 30/10 -> 75/25
+    assert by["small"] > 10 and by["big"] < 90
+    assert by["small"] + by["big"] <= 100
+    prop = temperature_mix(df, "lang", budget=100, temperature=1.0)
+    byp = {
+        r.lang: r.n
+        for r in prop.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert byp == {"big": 90, "small": 10}
+    again = {
+        (r.doc_id, r.lang)
+        for r in temperature_mix(
+            df.repartition(7), "lang", budget=100, temperature=2.0
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.lang) for r in out.collect()}
