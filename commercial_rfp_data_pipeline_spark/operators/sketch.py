@@ -207,3 +207,51 @@ def cms_lookup(counters: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         .groupBy(key_col)
         .agg(F.min("n").alias("cms_estimate"))
     )
+
+
+# ----------------------------------------------------------- KMV --
+
+TWO60 = float(1 << 60)  # normalization for 15-hex (60-bit) hashes
+
+
+def kmv_hash(col: Column) -> Column:
+    """60-bit md5-derived hash as BIGINT — identical in any engine
+    (DuckDB: ('0x' || substring(md5(v),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, value_col: str, group_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) sketch: the k smallest hash
+    values of the group's distinct ``value_col``s, as a sorted array.
+
+    Two-phase k-min so no task ever materializes a group's full
+    distinct set: a salted local phase keeps <= k hashes per (group,
+    salt) — collect_set dedups map-side — then the merge phase k-mins
+    over <= 64*k survivors per group. This is also exactly how KMV
+    sketches MERGE across days/machines: union the arrays, keep the k
+    smallest — which the union/intersection estimators below rely on."""
+    h = kmv_hash(F.col(value_col))
+    salt = F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(64))
+    local = (
+        df.select(*group_cols, salt.alias("_salt"), h.alias("h"))
+        .groupBy(*group_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+    )
+    return (
+        local.select(*group_cols, F.explode("hs").alias("h"))
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs"))
+    )
+
+
+def kmv_estimate(hs: Column, k: int = 10) -> Column:
+    """Distinct estimate from a KMV array: if the sketch holds fewer
+    than k values it IS the distinct set (exact count); otherwise
+    (k-1) / normalized k-th minimum."""
+    return F.when(F.size(hs) < k, F.size(hs).cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(TWO60) / F.element_at(hs, k).cast("double")
+    )

@@ -488,3 +488,98 @@ def q_hll_manual(spark, sf_dir):
     return est.join(ex, "l_returnflag").select(
         "l_returnflag", "exact_distinct", "hll_estimate"
     )
+
+
+@query(
+    "kmv_distinct_set_ops",
+    """
+    WITH uid AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM uid
+    ),
+    mink AS (
+      SELECT event_type, h FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+      ) WHERE rn <= 10
+    ),
+    arr AS (SELECT event_type, list(h ORDER BY h) AS hs FROM mink GROUP BY event_type),
+    ab AS (
+      SELECT a.hs AS ha, b.hs AS hb
+      FROM (SELECT hs FROM arr WHERE event_type = 'click') a
+      CROSS JOIN (SELECT hs FROM arr WHERE event_type = 'purchase') b
+    ),
+    u AS (
+      SELECT ha, hb,
+             list_sort(list_distinct(flatten([ha, hb])))[1:10] AS hu
+      FROM ab
+    ),
+    est AS (
+      SELECT
+        CASE WHEN len(ha) < 10 THEN CAST(len(ha) AS DOUBLE)
+             ELSE 9.0 * 1152921504606846976.0 / CAST(ha[10] AS DOUBLE) END AS est_a,
+        CASE WHEN len(hb) < 10 THEN CAST(len(hb) AS DOUBLE)
+             ELSE 9.0 * 1152921504606846976.0 / CAST(hb[10] AS DOUBLE) END AS est_b,
+        CASE WHEN len(hu) < 10 THEN CAST(len(hu) AS DOUBLE)
+             ELSE 9.0 * 1152921504606846976.0 / CAST(hu[10] AS DOUBLE) END AS est_union,
+        CAST(len(list_intersect(hu, list_intersect(ha, hb))) AS DOUBLE)
+          / len(hu) AS jacc
+      FROM u
+    )
+    SELECT 10 AS k, round(est_a, 4) AS est_a, round(est_b, 4) AS est_b,
+           round(est_union, 4) AS est_union, round(jacc, 4) AS jaccard,
+           round(jacc * est_union, 4) AS est_intersection
+    FROM est
+    """,
+)
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV sketches support what HLL cannot: INTERSECTION estimates.
+    Distinct click-users and purchase-users sketch to their 10 smallest
+    60-bit hashes (two-phase salted k-min — no task holds a full
+    distinct set); the union sketch is the k smallest of the merged
+    arrays, and |A∩B| estimates as jaccard(K) * |A∪B|-estimate. Every
+    hash is md5-derived, so sketch contents AND estimates value-hash
+    against the oracle."""
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    K = 10
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    arr = kmv_sketch(ev, "user_id", ["event_type"], k=K)
+    a = arr.filter(F.col("event_type") == "click").select(
+        F.col("hs").alias("ha")
+    )
+    b = arr.filter(F.col("event_type") == "purchase").select(
+        F.col("hs").alias("hb")
+    )
+    u = a.crossJoin(b).withColumn(
+        "hu", F.slice(F.array_sort(F.array_union("ha", "hb")), 1, K)
+    )
+    est = u.select(
+        kmv_estimate(F.col("ha"), K).alias("est_a"),
+        kmv_estimate(F.col("hb"), K).alias("est_b"),
+        kmv_estimate(F.col("hu"), K).alias("est_union"),
+        (
+            F.size(F.array_intersect("hu", F.array_intersect("ha", "hb"))).cast(
+                "double"
+            )
+            / F.size("hu")
+        ).alias("jacc"),
+    )
+    return est.select(
+        F.lit(K).alias("k"),
+        F.round("est_a", 4).alias("est_a"),
+        F.round("est_b", 4).alias("est_b"),
+        F.round("est_union", 4).alias("est_union"),
+        F.round("jacc", 4).alias("jaccard"),
+        F.round(F.col("jacc") * F.col("est_union"), 4).alias("est_intersection"),
+    )

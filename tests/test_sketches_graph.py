@@ -194,3 +194,43 @@ def test_bfs_hops_chain_and_frontier_semantics(spark):
     assert out == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2, 5: 3}
     out2 = {r.id: r.hops for r in bfs_hops(edges, srcs, max_hops=1).collect()}
     assert out2 == {1: 0, 10: 0, 2: 1, 3: 1}  # bound respected
+
+
+def test_kmv_estimates_track_truth_and_merge_law(spark):
+    """KMV on a known universe: sub-k sketches are exact; at-k
+    estimates land within 40% of truth for k=16; the union sketch
+    equals the sketch of the union (merge law); partition-invariant."""
+    from pyspark.sql import functions as F
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    k = 16
+    a = spark.range(0, 1000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    b = spark.range(500, 1500).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    sk = kmv_sketch(a.unionByName(b), "v", ["g"], k=k)
+    ests = {
+        r.g: r.est
+        for r in sk.select("g", kmv_estimate(F.col("hs"), k).alias("est")).collect()
+    }
+    for g in ("a", "b"):
+        assert 600 < ests[g] < 1400, f"{g}: {ests[g]}"
+    # merge law: k-min of (sketch_a U sketch_b) == sketch of (A U B)
+    arrs = {r.g: r.hs for r in sk.collect()}
+    merged = sorted(set(arrs["a"]) | set(arrs["b"]))[:k]
+    both = a.unionByName(b).select(F.lit("u").alias("g"), "v")
+    direct = kmv_sketch(both, "v", ["g"], k=k).first().hs
+    assert merged == list(direct)
+    # sub-k exactness
+    small = spark.range(0, 5).select(F.lit("s").alias("g"), F.col("id").alias("v"))
+    est = (
+        kmv_sketch(small, "v", ["g"], k=k)
+        .select(kmv_estimate(F.col("hs"), k).alias("e"))
+        .first()
+        .e
+    )
+    assert est == 5.0
+    # partition invariance
+    again = kmv_sketch(a.repartition(11).unionByName(b), "v", ["g"], k=k)
+    assert {r.g: r.hs for r in again.collect()} == arrs
