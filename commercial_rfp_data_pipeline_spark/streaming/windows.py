@@ -142,3 +142,15 @@ def run_to_completion(df: DataFrame, name: str, mode: str = "complete") -> DataF
     q.processAllAvailable()
     q.stop()
     return df.sparkSession.table(name)
+
+
+def enrich_with_static(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the static dimension snapshot — Spark re-plans the static side per
+    batch, so a broadcast-sized dim never shuffles the stream. This is
+    the standard serving-side enrichment shape (events + user/profile
+    dim); stream-STREAM joins (stream_click_pairs) cover the
+    both-sides-moving case."""
+    return events.join(F.broadcast(dim), key, "left")

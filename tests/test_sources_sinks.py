@@ -683,3 +683,39 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # without mergeSchema the union schema is NOT guaranteed — the
     # option is the contract, not a default to rely on
     assert df.filter(F.col("score").isNull()).count() == 1
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static left join == the same join in batch: every event
+    enriched with its user's first-signup cohort from a static
+    snapshot; users without a signup keep null cohort."""
+    from pyspark.sql import functions as F
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.streaming.windows import (
+        enrich_with_static,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    dim = (
+        batch.filter(
+            (F.col("event_type") == "signup") & (F.col("user_id") % 2 == 0)
+        )
+        .groupBy("user_id")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM").alias("cohort"))
+    )
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_completion(
+        enrich_with_static(
+            stream.select("event_id", "user_id"), dim
+        ),
+        "t_enrich",
+        mode="append",
+    )
+    want = enrich_with_static(batch.select("event_id", "user_id"), dim)
+    g = {(r.event_id, r.cohort) for r in got.collect()}
+    w = {(r.event_id, r.cohort) for r in want.collect()}
+    assert g == w and len(g) == batch.count()
+    assert any(c is None for _, c in g)  # off-dim users survive (left)
+    assert any(c is not None for _, c in g)
