@@ -819,3 +819,116 @@ def q_pq_adc(spark, sf_dir):
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
     return pq_adc_topk(v, [0, 1, 2], dim=DIM)
+
+
+_IDCG5 = (
+    "(CAST(round(1.0/(ln(2)/ln(2)), 9) AS DECIMAL(20,9))"
+    " + CAST(round(1.0/(ln(3)/ln(2)), 9) AS DECIMAL(20,9))"
+    " + CAST(round(1.0/(ln(4)/ln(2)), 9) AS DECIMAL(20,9))"
+    " + CAST(round(1.0/(ln(5)/ln(2)), 9) AS DECIMAL(20,9))"
+    " + CAST(round(1.0/(ln(6)/ln(2)), 9) AS DECIMAL(20,9)))"
+)
+
+
+@query(
+    "retrieval_eval_metrics",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_multi_buckets_cte(4, 6).strip()},
+    eb AS (SELECT e.vec_id, e.v, b.tbl, b.bucket FROM e JOIN buckets b USING (vec_id)),
+    qb AS (SELECT vec_id AS q_id, tbl, bucket FROM eb WHERE vec_id < {N_QUERIES}),
+    qv AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT qb.q_id, eb.vec_id
+      FROM eb JOIN qb ON eb.tbl = qb.tbl AND eb.bucket = qb.bucket
+       AND eb.vec_id <> qb.q_id
+    ),
+    asims AS (
+      SELECT c.q_id, c.vec_id, round(list_cosine_similarity(e.v, qv.q_vec), 6) AS sim
+      FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN qv ON qv.q_id = c.q_id
+    ),
+    ann AS (
+      SELECT q_id, vec_id, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM asims
+      ) WHERE rnk <= 5
+    ),
+    esims AS (
+      SELECT q.q_id, e.vec_id, round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
+      FROM e JOIN qv q ON e.vec_id <> q.q_id
+    ),
+    ex AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM esims
+      ) WHERE rnk <= 5
+    ),
+    hits AS (
+      SELECT a.q_id, a.rnk FROM ann a
+      JOIN ex x ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+    ),
+    agg AS (
+      SELECT q_id, count(*) AS n_hits, min(rnk) AS first_hit,
+             sum(CAST(round(1.0/(ln(rnk + 1)/ln(2)), 9) AS DECIMAL(20,9))) AS dcg
+      FROM hits GROUP BY q_id
+    )
+    SELECT qv.q_id,
+           round(coalesce(a.n_hits, 0) / 5.0, 6) AS recall_at_5,
+           round(coalesce(1.0 / a.first_hit, 0.0), 6) AS mrr,
+           round(CAST(coalesce(a.dcg, CAST(0 AS DECIMAL(20,9))) AS DOUBLE)
+                 / CAST({_IDCG5} AS DOUBLE), 6) AS ndcg_at_5
+    FROM qv LEFT JOIN agg a USING (q_id)
+    """,
+)
+def q_retrieval_eval(spark, sf_dir):
+    """The evaluation half every ANN deployment needs: recall@5, MRR,
+    and binary-relevance nDCG@5 of the LSH path against the exact
+    top-5 ground truth, per query. Discount terms round to 9 dp and
+    sum as DECIMAL (order-independent), so the metric table — not
+    just the rankings — value-hash-checks. At 100 TB ground truth
+    comes from a held-out query sample; the metric join itself is
+    queries x k rows."""
+    v = _vectors(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    exact = knn_exact(v, q, k=5).select("q_id", "vec_id")
+    ann = knn_lsh(v, q, dim=DIM, k=5, n_bits=4, n_tables=6).select(
+        "q_id", "vec_id", "rnk"
+    )
+    hits = ann.join(exact, ["q_id", "vec_id"])
+    dcg_term = F.round(
+        1.0 / (F.log(F.col("rnk") + 1) / F.log(F.lit(2.0))), 9
+    ).cast("decimal(20,9)")
+    agg = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rnk").alias("first_hit"),
+        F.sum(dcg_term).alias("dcg"),
+    )
+    import math
+    from decimal import Decimal
+
+    # exact-decimal sum of the 9-dp-rounded discounts, then one
+    # float conversion — the same arithmetic as the oracle's
+    # CAST(sum(DECIMAL) AS DOUBLE), so the constant is bit-identical
+    idcg = float(
+        sum(Decimal(str(round(1.0 / math.log2(i + 1), 9))) for i in range(1, 6))
+    )
+    return (
+        q.select("q_id")
+        .join(agg, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 5.0, 6).alias(
+                "recall_at_5"
+            ),
+            F.round(
+                F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0).cast("decimal(20,9)")).cast(
+                    "double"
+                )
+                / F.lit(idcg),
+                6,
+            ).alias("ndcg_at_5"),
+        )
+    )
