@@ -636,10 +636,7 @@ def q_epoch_shuffle(spark, sf_dir):
     return e1.join(e2, "doc_id")
 
 
-@query(
-    "naive_bayes_lang_classify",
-    f"""
-    WITH norm AS (SELECT doc_id, lang, {_NORM} AS t FROM documents),
+_NB_CTES = f"""norm AS (SELECT doc_id, lang, {_NORM} AS t FROM documents),
     train AS (SELECT * FROM norm WHERE doc_id % 5 != 0),
     test AS (SELECT * FROM norm WHERE doc_id % 5 = 0),
     ttok AS (
@@ -689,11 +686,21 @@ def q_epoch_shuffle(spark, sf_dir):
       SELECT *, row_number() OVER (PARTITION BY doc_id
                 ORDER BY score_dec DESC, cls) AS rn
       FROM scored
-    )
-    SELECT doc_id, actual, cls AS predicted,
+    ),
+    preds AS (
+      SELECT doc_id, actual, cls AS predicted, score_dec
+      FROM pick WHERE rn = 1
+    )"""
+
+
+@query(
+    "naive_bayes_lang_classify",
+    f"""
+    WITH {_NB_CTES}
+    SELECT doc_id, actual, predicted,
            CAST(score_dec AS DOUBLE) AS score,
-           (cls = actual) AS correct
-    FROM pick WHERE rn = 1
+           (predicted = actual) AS correct
+    FROM preds
     """,
 )
 def q_naive_bayes(spark, sf_dir):
@@ -710,3 +717,56 @@ def q_naive_bayes(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
     return naive_bayes_predict(train, test)
+
+
+@query(
+    "naive_bayes_confusion_matrix",
+    f"""
+    WITH {_NB_CTES},
+    cm AS (
+      SELECT actual, predicted, count(*) AS n
+      FROM preds GROUP BY actual, predicted
+    ),
+    per_actual AS (SELECT actual, sum(n) AS n_actual FROM cm GROUP BY actual),
+    per_pred AS (SELECT predicted, sum(n) AS n_pred FROM cm GROUP BY predicted)
+    SELECT cm.actual, cm.predicted, cm.n,
+           round(cm.n / CAST(pa.n_actual AS DOUBLE), 6) AS recall_contrib,
+           round(cm.n / CAST(pp.n_pred AS DOUBLE), 6) AS precision_contrib
+    FROM cm
+    JOIN per_actual pa ON pa.actual = cm.actual
+    JOIN per_pred pp ON pp.predicted = cm.predicted
+    """,
+)
+def q_naive_bayes_confusion(spark, sf_dir):
+    """Confusion matrix + per-cell precision/recall contributions for
+    the naive-Bayes evaluation — the model-quality readout a pipeline
+    dashboards after every retrain. Diagonal cells' recall_contrib is
+    the class recall; their precision_contrib is the class
+    precision."""
+    from commercial_rfp_data_pipeline_spark.operators.classify import (
+        naive_bayes_predict,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    preds = naive_bayes_predict(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+    cm = preds.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    pa = cm.groupBy("actual").agg(F.sum("n").alias("n_actual"))
+    pp = cm.groupBy("predicted").agg(F.sum("n").alias("n_pred"))
+    return (
+        cm.join(pa, "actual")
+        .join(pp, "predicted")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.round(F.col("n") / F.col("n_actual").cast("double"), 6).alias(
+                "recall_contrib"
+            ),
+            F.round(F.col("n") / F.col("n_pred").cast("double"), 6).alias(
+                "precision_contrib"
+            ),
+        )
+    )
