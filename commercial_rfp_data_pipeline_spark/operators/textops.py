@@ -198,6 +198,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_doc_freq: int = 100,
+    keep_counts: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle POSTINGS LISTS:
     one groupBy(sh) builds the inverted index as a sorted doc array per
@@ -246,7 +247,7 @@ def jaccard_pairs(
     # and falls back to a shuffled join once they are not
     na = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    out = (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
         .withColumn(
@@ -256,8 +257,11 @@ def jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "common", "jaccard")
+        .select("doc_a", "doc_b", "common", "jaccard", "na", "nb")
     )
+    if not keep_counts:
+        out = out.drop("na", "nb")
+    return out
 
 
 def winnowing_fingerprints(
@@ -1425,3 +1429,32 @@ def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 3) -> str:
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Asymmetric near-dup: containment C = common / min(na, nb)
+    catches the QUOTE/SUBSET case Jaccard misses — a short document
+    wholly embedded in a long one has high containment but low
+    Jaccard (the union is dominated by the long doc). Same postings-
+    list construction and scale shape as jaccard_pairs; only the
+    final normalization differs."""
+    pairs = jaccard_pairs(
+        sh,
+        id_col=id_col,
+        threshold=0.0,
+        max_doc_freq=max_doc_freq,
+        keep_counts=True,
+    )
+    return (
+        pairs.withColumn(
+            "containment",
+            F.round(F.col("common") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard", "containment")
+    )

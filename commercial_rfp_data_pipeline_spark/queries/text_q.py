@@ -1092,3 +1092,43 @@ def q_temperature_mix(spark, sf_dir):
     return temperature_mix(docs, "lang", budget=200, temperature=2.0).select(
         "doc_id", "lang", "n_take"
     )
+
+
+@query(
+    "containment_pairs_quote_detect",
+    f"""
+    WITH {_SHINGLES_CTE.strip()},
+    freq AS (SELECT sh AS fsh, count(*) AS df FROM sh GROUP BY sh),
+    sh2 AS (SELECT doc_id, sh FROM sh JOIN freq ON sh = fsh WHERE df <= 100),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, common,
+           round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) AS jaccard,
+           round(common / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE), 6) AS containment
+    FROM common
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE round(common / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE), 6) >= 0.15
+    """,
+)
+def q_containment(spark, sf_dir):
+    """Asymmetric containment pairs (C = common/min set size): the
+    quote/subset detector — a short doc embedded in a long one scores
+    high containment but low Jaccard. Threshold 0.15 keeps the result
+    non-trivial on near-orthogonal synthetic text; the construction
+    (postings lists, df cap, pair-keyed groupBy) is jaccard_pairs'
+    exactly."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        containment_pairs,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return containment_pairs(
+        shingles(docs, parallelism=par), threshold=0.15, max_doc_freq=100
+    )

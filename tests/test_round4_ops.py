@@ -667,3 +667,25 @@ def test_temperature_mix_upweights_low_resource(spark):
         ).collect()
     }
     assert again == {(r.doc_id, r.lang) for r in out.collect()}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment = 1.0
+    while jaccard is low — the asymmetric detector's reason to
+    exist."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        containment_pairs,
+        shingles,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, quote)], "doc_id long, text string"
+    )
+    out = containment_pairs(shingles(df), threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0
+    assert r.jaccard < 0.1
