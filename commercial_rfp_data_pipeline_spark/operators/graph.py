@@ -348,3 +348,70 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("id")
     return dist
+
+
+_HITS_DEC = "decimal(18,6)"
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) with sum-normalization,
+    fixed ``n_iters`` rounds: auth(d) = sum of hub(s) over in-edges,
+    hub(s) = sum of auth(d) over out-edges, each renormalized to sum
+    1. Scores live as DECIMAL(18,6) (6-dp round after each normalize),
+    so every per-node sum is order-independent and the whole unrolled
+    iteration reproduces as oracle CTEs.
+
+    Scale shape: each half-step is one edges-state equi-join plus one
+    map-side-combining groupBy — identical cost to a PageRank
+    superstep; normalization totals ride a broadcast one-row
+    aggregate. Returns (role, id, score) with role in {hub, auth}."""
+    e = edges.select(src, dst).distinct().localCheckpoint()
+    hubs = (
+        e.select(F.col(src).alias("id"))
+        .distinct()
+        .withColumn("hub", F.lit(1).cast(_HITS_DEC))
+    )
+    auths = None
+    for _ in range(n_iters):
+        araw = (
+            e.join(hubs.withColumnRenamed("id", src), src)
+            .groupBy(dst)
+            .agg(F.sum("hub").alias("raw"))
+        )
+        atot = araw.agg(F.sum("raw").alias("tot"))
+        auths = araw.crossJoin(F.broadcast(atot)).select(
+            F.col(dst).alias("id"),
+            F.round(
+                F.col("raw").cast("double") / F.col("tot").cast("double"), 6
+            )
+            .cast(_HITS_DEC)
+            .alias("auth"),
+        )
+        hraw = (
+            e.join(auths.withColumnRenamed("id", dst), dst)
+            .groupBy(src)
+            .agg(F.sum("auth").alias("raw"))
+        )
+        htot = hraw.agg(F.sum("raw").alias("tot"))
+        hubs = hraw.crossJoin(F.broadcast(htot)).select(
+            F.col(src).alias("id"),
+            F.round(
+                F.col("raw").cast("double") / F.col("tot").cast("double"), 6
+            )
+            .cast(_HITS_DEC)
+            .alias("hub"),
+        )
+        hubs = hubs.localCheckpoint(eager=False)
+        auths = auths.localCheckpoint(eager=False)
+    h = hubs.select(F.lit("hub").alias("role"), "id", F.col("hub").alias("score"))
+    a = auths.select(
+        F.lit("auth").alias("role"), "id", F.col("auth").alias("score")
+    )
+    return h.unionByName(a).select(
+        "role", "id", F.col("score").cast("double").alias("score")
+    )

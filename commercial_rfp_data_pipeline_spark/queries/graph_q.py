@@ -290,3 +290,73 @@ def q_bfs_copurchase(spark, sf_dir):
     return out.select(
         F.col("id").alias("p_partkey"), F.col("hops").cast("int").alias("hops")
     )
+
+
+def _hits_cte(n_iters: int = 3) -> tuple[str, str, str]:
+    """Unrolled HITS iterations mirroring operators.graph.hits: decimal
+    scores, 6-dp round after each sum-normalization."""
+    parts = [
+        "h0 AS (SELECT DISTINCT src AS id, CAST(1 AS DECIMAL(18,6)) AS hub FROM e)"
+    ]
+    prev_h = "h0"
+    a = "a0"
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""araw{i} AS (
+      SELECT e.dst, sum(h.hub) AS raw
+      FROM e JOIN {prev_h} h ON h.id = e.src GROUP BY e.dst
+    ),
+    a{i} AS (
+      SELECT dst AS id,
+             CAST(round(CAST(raw AS DOUBLE)
+               / CAST((SELECT sum(raw) FROM araw{i}) AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS auth
+      FROM araw{i}
+    ),
+    hraw{i} AS (
+      SELECT e.src, sum(a.auth) AS raw
+      FROM e JOIN a{i} a ON a.id = e.dst GROUP BY e.src
+    ),
+    h{i} AS (
+      SELECT src AS id,
+             CAST(round(CAST(raw AS DOUBLE)
+               / CAST((SELECT sum(raw) FROM hraw{i}) AS DOUBLE), 6)
+               AS DECIMAL(18,6)) AS hub
+      FROM hraw{i}
+    )"""
+        )
+        prev_h = f"h{i}"
+        a = f"a{i}"
+    return ",\n    ".join(parts), prev_h, a
+
+
+_HITS_SQL, _HITS_H, _HITS_A = _hits_cte(3)
+
+
+@query(
+    "hits_hubs_authorities",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    {_HITS_SQL}
+    SELECT 'hub' AS role, id, CAST(hub AS DOUBLE) AS score FROM {_HITS_H}
+    UNION ALL
+    SELECT 'auth' AS role, id, CAST(auth AS DOUBLE) AS score FROM {_HITS_A}
+    """,
+)
+def q_hits(spark, sf_dir):
+    """HITS on the bipartite customer->part purchase graph: customer
+    hub scores and part authority scores after 3 sum-normalized
+    rounds. Each half-step is one edges-state join + one groupBy (a
+    PageRank-superstep cost); decimal scores make the unrolled
+    iteration value-hash-checkable."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import hits
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return hits(edges, n_iters=3)

@@ -234,3 +234,21 @@ def test_kmv_estimates_track_truth_and_merge_law(spark):
     # partition invariance
     again = kmv_sketch(a.repartition(11).unionByName(b), "v", ["g"], k=k)
     assert {r.g: r.hs for r in again.collect()} == arrs
+
+
+def test_hits_bipartite_hub_authority_ordering(spark):
+    """On a small bipartite graph the customer linked to every part
+    must be the top hub and the part bought by everyone the top
+    authority; scores normalize to ~1 per side."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import hits
+
+    # customers 1..3, parts 10..12; c1 buys all parts, p10 bought by all
+    e = [(1, 10), (1, 11), (1, 12), (2, 10), (3, 10), (2, 11)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    out = hits(edges, n_iters=3).collect()
+    hubs = {r.id: r.score for r in out if r.role == "hub"}
+    auths = {r.id: r.score for r in out if r.role == "auth"}
+    assert max(hubs, key=hubs.get) == 1
+    assert max(auths, key=auths.get) == 10
+    assert abs(sum(hubs.values()) - 1.0) < 1e-4
+    assert abs(sum(auths.values()) - 1.0) < 1e-4
