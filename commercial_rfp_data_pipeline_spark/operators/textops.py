@@ -1458,3 +1458,49 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard", "containment")
     )
+
+
+def char_trigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct character 3-grams of the normalized text — the
+    inverted-index feed for substring search. Narrow map + explode;
+    at scale the (tri, doc) postings persist as the search index."""
+    t = norm_text(text_col)
+    tris = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
+        lambda i: t.substr(i, F.lit(3)),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tris)).alias("tri")
+    )
+
+
+def trigram_substring_search(
+    docs: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring search through a trigram inverted index: candidates
+    are docs containing EVERY character 3-gram of the pattern
+    (AND-intersection of posting lists — one filtered scan of the
+    trigram table + one groupBy counting matched trigrams), then the
+    exact LIKE verifies candidates only. Trigram filtering has no
+    false negatives (any occurrence of the pattern contains all its
+    trigrams), so the result is EXACTLY the full-scan LIKE — which the
+    oracle states. At 100 TB the postings are the persisted index and
+    the expensive exact scan touches the candidate subset, not the
+    corpus."""
+    tris = sorted({pattern[i : i + 3] for i in range(len(pattern) - 2)})
+    cand = (
+        char_trigrams(docs, id_col, text_col)
+        .filter(F.col("tri").isin(tris))
+        .groupBy(id_col)
+        .agg(F.countDistinct("tri").alias("n_hit"))
+        .filter(F.col("n_hit") == len(tris))
+        .select(id_col)
+    )
+    return docs.join(cand, id_col, "left_semi").filter(
+        F.contains(norm_text(text_col), F.lit(pattern))
+    )

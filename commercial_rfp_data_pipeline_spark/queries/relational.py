@@ -640,3 +640,70 @@ def q_incremental_view(spark, sf_dir):
         F.col("total").cast("double").alias("revenue"),
         (F.col("total").cast("double") / F.col("cnt")).alias("avg_price"),
     )
+
+
+@query(
+    "merkle_bucket_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p, o_orderdate
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 103 != 0
+      UNION ALL
+      SELECT o_orderkey + 20000000,
+             CAST(o_totalprice AS DECIMAL(12,2)), o_orderdate
+      FROM orders WHERE o_orderkey % 107 = 0
+    )
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v2.o_orderkey IS NULL THEN 'deleted'
+                WHEN v1.o_orderkey IS NULL THEN 'inserted'
+                WHEN v1.p != v2.p OR v1.o_orderdate != v2.o_orderdate
+                  THEN 'updated' END AS change
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE CASE WHEN v2.o_orderkey IS NULL THEN 'deleted'
+               WHEN v1.o_orderkey IS NULL THEN 'inserted'
+               WHEN v1.p != v2.p OR v1.o_orderdate != v2.o_orderdate
+                 THEN 'updated' END IS NOT NULL
+    """,
+)
+def q_merkle_diff(spark, sf_dir):
+    """Anti-entropy replica reconciliation: two snapshot versions
+    (deterministic update/delete/insert deltas on orders) compare via
+    per-bucket xor/sum/count digests, and the row-level full-outer
+    diff runs ONLY inside disagreeing buckets — unchanged buckets (the
+    vast majority) never join. The oracle recomputes the diff the
+    direct way, value-checking that the pruning lost nothing."""
+    from commercial_rfp_data_pipeline_spark.operators.incremental import (
+        merkle_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(DEC).alias("p"),
+        "o_orderdate",
+    )
+    base2 = o.filter(F.col("o_orderkey") % 103 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0,
+            F.col("o_totalprice").cast(DEC) + 1,
+        )
+        .otherwise(F.col("o_totalprice").cast(DEC))
+        .alias("p"),
+        "o_orderdate",
+    )
+    ins = o.filter(F.col("o_orderkey") % 107 == 0).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        F.col("o_totalprice").cast(DEC).alias("p"),
+        "o_orderdate",
+    )
+    v2 = base2.unionByName(ins)
+    return merkle_diff(v1, v2, "o_orderkey", ["p", "o_orderdate"])

@@ -1132,3 +1132,27 @@ def q_containment(spark, sf_dir):
     return containment_pairs(
         shingles(docs, parallelism=par), threshold=0.15, max_doc_freq=100
     )
+
+
+@query(
+    "trigram_index_substring_search",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_NORM} LIKE '%batch value%'
+    """,
+)
+def q_trigram_search(spark, sf_dir):
+    """Substring search through the trigram inverted index: AND-
+    intersect posting lists for the pattern's character 3-grams, then
+    LIKE-verify candidates only. No false negatives, so the result is
+    exactly the full-scan LIKE the oracle states — at corpus scale the
+    index probe replaces the scan."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        trigram_substring_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_substring_search(docs, "batch value").select(
+        "doc_id", "lang", "n_chars"
+    )
