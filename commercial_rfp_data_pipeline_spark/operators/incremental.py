@@ -82,9 +82,12 @@ def merkle_diff(
     d1, d2 = digested(v1), digested(v2)
 
     def bucket_digests(d: DataFrame, tag: str) -> DataFrame:
+        # the sum digest accumulates 64-bit hashes: DECIMAL(38,0)
+        # keeps it exact AND overflow-free under the driver's ANSI
+        # session (a long sum raises ARITHMETIC_OVERFLOW there)
         return d.groupBy("b").agg(
             F.bit_xor("h").alias(f"x_{tag}"),
-            F.sum("h").alias(f"s_{tag}"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias(f"s_{tag}"),
             F.count(F.lit(1)).alias(f"n_{tag}"),
         )
 
