@@ -227,3 +227,49 @@ def temperature_mix(
         .filter(F.col("rn") <= F.col("n_take"))
         .drop("rn", "n_g")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wsamp",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each row draws key = u^(1/w) from a deterministic
+    md5-uniform u in (0, 1], and the sample is the top-k keys —
+    inclusion probability proportional to weight, exactly one pass,
+    no rejection loop. Deterministic u (no rand()) makes the sample
+    reproducible under any partitioning, retries, and speculative
+    execution — and therefore oracle-checkable.
+
+    Scale shape: the top-k compiles to TakeOrderedAndProject
+    (per-partition partial top-k, driver merges k rows) — the whole
+    corpus is scanned once and only k rows ever leave the executors.
+    Ranks attach with a window over the ALREADY-LIMITED k rows."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1) / F.lit(float(1 << 60))
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    top = (
+        df.select(id_col, F.col(weight_col).alias("w"), key.alias("_key"))
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w_rnk = Window.orderBy(F.col("_key").desc(), F.col(id_col))
+    return top.select(
+        id_col,
+        "w",
+        # emit the key ROUNDED (value parity across engines; ordering
+        # stays on the full-precision double)
+        F.round("_key", 6).alias("sample_key"),
+        F.row_number().over(w_rnk).cast("int").alias("rnk"),
+    )

@@ -770,3 +770,32 @@ def q_naive_bayes_confusion(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "weighted_sample_no_replacement",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars AS w,
+             (('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+               / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    keyed AS (SELECT doc_id, w, pow(u, 1.0 / w) AS k FROM h)
+    SELECT doc_id, w, round(k, 6) AS sample_key, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rnk FROM keyed
+    ) WHERE rnk <= 50
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    50 docs drawn with probability proportional to length, one pass,
+    reproducible (md5 uniforms) — the top-k compiles to
+    TakeOrderedAndProject so only k rows leave the executors."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "n_chars", k=50)

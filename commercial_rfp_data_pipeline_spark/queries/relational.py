@@ -707,3 +707,49 @@ def q_merkle_diff(spark, sf_dir):
     )
     v2 = base2.unionByName(ins)
     return merkle_diff(v1, v2, "o_orderkey", ["p", "o_orderdate"])
+
+
+@query(
+    "skyline_parts_price_size",
+    """
+    WITH p AS (
+      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(12,2)) AS price, p_size
+      FROM part
+    )
+    SELECT a.p_partkey, CAST(a.price AS DOUBLE) AS price, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price <= a.price AND b.p_size <= a.p_size
+        AND (b.price < a.price OR b.p_size < a.p_size)
+    )
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """2-D skyline (Pareto front): parts not dominated on (price,
+    size) — no other part is <= on both and < on one. The naive form
+    is the quadratic NOT-EXISTS self-join the oracle states; the
+    engine computes it in ONE pass over the per-price group table:
+    min size per distinct price (map-side-combining groupBy), strict-
+    prefix running min across price groups, then a row survives iff
+    no strictly-cheaper group reaches its size and no same-price row
+    is strictly smaller. The unpartitioned window runs over the
+    DISTINCT-PRICE table (already aggregated, orders of magnitude
+    smaller than rows; at true scale the same prefix-min rides the
+    range-partition + offsets cascade distributed_prefix_sum uses)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast(DEC).alias("price"),
+        "p_size",
+    )
+    pg = p.groupBy("price").agg(F.min("p_size").alias("msize"))
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    pg2 = pg.withColumn("pmin_strict", F.min("msize").over(w))
+    joined = p.join(F.broadcast(pg2), "price")
+    dominated = (
+        F.col("pmin_strict").isNotNull()
+        & (F.col("pmin_strict") <= F.col("p_size"))
+    ) | (F.col("msize") < F.col("p_size"))
+    return joined.filter(~dominated).select(
+        "p_partkey", F.col("price").cast("double").alias("price"), "p_size"
+    )

