@@ -804,3 +804,84 @@ def q_hll_rolling_7d(spark, sf_dir):
         "exact_7d",
         "hll_7d",
     )
+
+
+_EWMA_W = [0.3, 0.21, 0.147, 0.1029, 0.07203, 0.050421, 0.0352947, 0.02470629, 0.017294403, 0.0121060821, 0.00847425747, 0.005931980229, 0.00415238616, 0.002906670312, 0.002034669219, 0.001424268453, 0.000996987917, 0.000697891542, 0.000488524079, 0.000341966856, 0.000239376799, 0.000167563759, 0.000117294631, 8.2106242e-05]  # alpha=0.3 decay, exact 12-dp literals shared with the oracle
+_EWMA_W_SQL = "[" + ", ".join(
+    f"CAST({w!r} AS DECIMAL(18,12))".format(w=w) for w in _EWMA_W
+) + "]"
+
+
+@query(
+    "events_hourly_ewma",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    w AS (SELECT {_EWMA_W_SQL} AS ws),
+    pairs AS (
+      SELECT a.event_type, a.h, a.x,
+             CAST(epoch(a.h) - epoch(b.h) AS BIGINT) // 3600 AS d, b.x AS xb
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type
+       AND b.h <= a.h AND b.h > a.h - INTERVAL 24 HOURS
+    ),
+    acc AS (
+      SELECT event_type, h, x,
+             sum(xb * ws[d + 1]) AS num, sum(ws[d + 1]) AS den
+      FROM pairs CROSS JOIN w
+      GROUP BY event_type, h, x
+    )
+    SELECT event_type, h, x,
+           round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+    FROM acc
+    """,
+)
+def q_events_ewma(spark, sf_dir):
+    '''Per-type exponentially weighted moving average of hourly event
+    counts (alpha=0.3, 24-hour support): decay weights are exact
+    decimal LITERALS shared between engine and oracle (the same
+    constants-as-literals discipline as the LSH planes), so numerator
+    and denominator sum exactly and only the final division is float.
+    The trailing window decomposes to a bounded self-join on the
+    hourly PRE-AGGREGATE (24x fanout of a table already thousands of
+    times smaller than the events), never a window over raw rows.'''
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    d = (
+        (F.unix_timestamp("a.h") - F.unix_timestamp("b.h")) / 3600
+    ).cast("int")
+    w_arr = F.array(*[F.lit(str(w)).cast("decimal(18,12)") for w in _EWMA_W])
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.h") <= F.col("a.h"))
+            & (F.col("b.h") > F.col("a.h") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.h").alias("h"),
+            F.col("a.x").alias("x"),
+            F.element_at(w_arr, d + 1).alias("w"),
+            F.col("b.x").alias("xb"),
+        )
+    )
+    acc = pairs.groupBy("event_type", "h", "x").agg(
+        F.sum(F.col("xb") * F.col("w")).alias("num"),
+        F.sum("w").alias("den"),
+    )
+    return acc.select(
+        "event_type",
+        "h",
+        "x",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("ewma"),
+    )

@@ -706,3 +706,62 @@ def q_item_cf_similar(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("part_a", "part_b", "n_ab", "cosine", "rnk")
     )
+
+
+@query(
+    "chi_square_type_by_weekday",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow, count(*) AS o
+      FROM events GROUP BY event_type, isodow(ts)
+    ),
+    rt AS (SELECT event_type, sum(o) AS r_tot FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, sum(o) AS c_tot FROM obs GROUP BY dow),
+    n AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.event_type, obs.dow, obs.o,
+             CAST(rt.r_tot AS DOUBLE) * ct.c_tot / n.n AS e
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    )
+    SELECT event_type, dow, o, round(e, 6) AS expected,
+           round((o - e) * (o - e) / e, 6) AS chi2_contrib
+    FROM cells
+    """,
+)
+def q_chi_square(spark, sf_dir):
+    """Chi-square test of independence (event type x ISO weekday):
+    observed counts, expected counts under independence, and per-cell
+    chi-square contributions — all exact-integer marginals with one
+    deterministic double division per cell, so the full contingency
+    analysis value-hash-checks. Three map-side-combining groupBys and
+    two broadcast-sized marginal joins; the statistic is the sum of
+    the emitted contributions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            (
+                F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+            ).alias("e"),
+        )
+    )
+    return cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.round("e", 6).alias("expected"),
+        F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6).alias(
+            "chi2_contrib"
+        ),
+    )
