@@ -603,3 +603,66 @@ def publish_audited(
         shutil.rmtree(path)
     _os.rename(staging, path)
     return results
+
+
+def commit_version(spark: SparkSession, table_dir: str, df: DataFrame) -> int:
+    """Versioned table commit (time travel on plain parquet): each
+    commit writes a new immutable ``v=<n>`` directory, then atomically
+    publishes it by rewriting a tiny ``_latest`` pointer file — the
+    Iceberg/Delta snapshot discipline without the table format. Old
+    versions stay readable until explicitly expired; a crashed writer
+    leaves at worst an unreferenced directory (the pointer flips only
+    after the data is fully written). Returns the new version number."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(table_dir, exist_ok=True)
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    new_v = max(versions, default=0) + 1
+    vdir = _os.path.join(table_dir, f"v={new_v}")
+    df.write.mode("overwrite").parquet(vdir)
+    pointer = _os.path.join(table_dir, "_latest")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"version": new_v}, f)
+    _os.replace(tmp, pointer)  # atomic on POSIX — the commit point
+    return new_v
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a versioned table AS OF ``version`` (default: the
+    ``_latest`` pointer). Reading an old version after newer commits
+    is exact time travel — snapshots are immutable."""
+    import json as _json
+    import os as _os
+
+    if version is None:
+        with open(_os.path.join(table_dir, "_latest")) as f:
+            version = int(_json.load(f)["version"])
+    return spark.read.parquet(_os.path.join(table_dir, f"v={version}"))
+
+
+def expire_versions(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` versions
+    (never the one ``_latest`` points to). Returns expired numbers."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    with open(_os.path.join(table_dir, "_latest")) as f:
+        latest = int(_json.load(f)["version"])
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    to_drop = [v for v in versions[:-keep_last] if v != latest]
+    for v in to_drop:
+        shutil.rmtree(_os.path.join(table_dir, f"v={v}"))
+    return to_drop

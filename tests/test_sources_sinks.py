@@ -719,3 +719,31 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     assert g == w and len(g) == batch.count()
     assert any(c is None for _, c in g)  # off-dim users survive (left)
     assert any(c is not None for _, c in g)
+
+
+def test_time_travel_versions_commit_read_expire(spark, tmp_path):
+    """Snapshot versioning on plain parquet: commits are immutable,
+    time travel reads exact old snapshots, the pointer flips
+    atomically, and expiry never drops the referenced version."""
+    from commercial_rfp_data_pipeline_spark.io import (
+        commit_version,
+        expire_versions,
+        read_version,
+    )
+
+    td = str(tmp_path / "versioned")
+    v1 = commit_version(spark, td, spark.range(0, 10))
+    v2 = commit_version(spark, td, spark.range(0, 20))
+    v3 = commit_version(spark, td, spark.range(0, 5))
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert read_version(spark, td).count() == 5          # latest
+    assert read_version(spark, td, 1).count() == 10      # time travel
+    assert read_version(spark, td, 2).count() == 20
+    dropped = expire_versions(td, keep_last=2)
+    assert dropped == [1]
+    assert read_version(spark, td).count() == 5
+    assert read_version(spark, td, 2).count() == 20      # kept
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_version(spark, td, 1).count()               # expired
