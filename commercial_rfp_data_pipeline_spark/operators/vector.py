@@ -883,3 +883,59 @@ def pq_adc_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def kcenter_coreset(
+    vectors: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "core",
+) -> "list[tuple[int, int, float | None]]":
+    """Greedy k-center / farthest-point coreset (Gonzalez): seed with
+    the md5-min vector, then k-1 rounds of 'add the point farthest
+    from the selected set' under exact-decimal squared-L2 — the
+    diverse-subset selection a training pipeline runs to pick
+    representative / hard examples. Returns [(round, id, dist)] where
+    dist is the selected point's distance to the prior set (the
+    coverage-radius sequence, non-increasing).
+
+    Scale shape: the selected set is <= k rows (broadcast as literal
+    expressions); each round is ONE corpus scan computing min-distance
+    to the set followed by TakeOrdered(1) — k scans total, nothing
+    quadratic. The per-round single-row collect is trainer state, the
+    same documented exception as the BPE trainer's argmax."""
+    arr = F.col(vec_col).cast("array<double>")
+    seeded = (
+        vectors.select(
+            id_col,
+            arr.alias("v"),
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))).alias(
+                "_h"
+            ),
+        )
+        .orderBy("_h", id_col)
+        .limit(1)
+        .select(id_col, "v")
+        .first()
+    )
+    selected = [(0, seeded[0], None)]
+    sel_vecs = [seeded[1]]
+    base = vectors.select(F.col(id_col).alias("id"), arr.alias("v"))
+    for rnd in range(1, k):
+        dists = [
+            _sq_l2(F.col("v"), F.array(*[F.lit(float(x)) for x in sv]))
+            for sv in sel_vecs
+        ]
+        mind = dists[0]
+        for d in dists[1:]:
+            mind = F.least(mind, d)
+        far = (
+            base.select("id", "v", mind.alias("md"))
+            .orderBy(F.col("md").desc(), F.col("id"))
+            .limit(1)
+            .first()
+        )
+        selected.append((rnd, far["id"], float(far["md"])))
+        sel_vecs.append(far["v"])
+    return selected

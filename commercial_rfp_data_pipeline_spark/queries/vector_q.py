@@ -932,3 +932,115 @@ def q_retrieval_eval(spark, sf_dir):
             ).alias("ndcg_at_5"),
         )
     )
+
+
+@query(
+    "embedding_standardize",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    comp AS (
+      SELECT vec_id, i.i AS idx, v[i.i] AS x
+      FROM e, (SELECT unnest(generate_series(1, {DIM})) AS i) i
+    ),
+    stats AS (
+      SELECT idx, round(avg(x), 6) AS mu,
+             round(stddev_pop(x), 6) AS sd
+      FROM comp GROUP BY idx
+    ),
+    z AS (
+      SELECT c.vec_id, c.idx,
+             round((c.x - s.mu) / CASE WHEN s.sd = 0 THEN 1 ELSE s.sd END, 6) AS z
+      FROM comp c JOIN stats s USING (idx)
+    )
+    SELECT vec_id, array_agg(z ORDER BY idx) AS z_vec FROM z GROUP BY vec_id
+    """,
+)
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus —
+    the feature-scaling pass before distance-based ops when dimensions
+    have uneven variance. One posexplode aggregation computes all 64
+    (mu, sigma) pairs (map-side combine), the tiny stats table
+    broadcasts back, zero-variance dims pass through unscaled.
+    stddev_pop over doubles agrees across engines at 6 dp on this
+    data; means/z-scores round identically."""
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    comp = v.select("vec_id", F.posexplode("embedding").alias("idx0", "x"))
+    comp = comp.select("vec_id", (F.col("idx0") + 1).alias("idx"), "x")
+    stats = comp.groupBy("idx").agg(
+        F.round(F.avg("x"), 6).alias("mu"),
+        F.round(F.stddev_pop("x"), 6).alias("sd"),
+    )
+    z = comp.join(F.broadcast(stats), "idx").select(
+        "vec_id",
+        "idx",
+        F.round(
+            (F.col("x") - F.col("mu"))
+            / F.when(F.col("sd") == 0, F.lit(1.0)).otherwise(F.col("sd")),
+            6,
+        ).alias("z"),
+    )
+    return z.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "z"))), lambda s: s["z"]
+        ).alias("z_vec")
+    )
+
+
+def _kcenter_cte(k: int = 6) -> tuple[str, str]:
+    """Unrolled greedy k-center rounds mirroring
+    operators.vector.kcenter_coreset: md5-min seed, per round min
+    exact-decimal squared-L2 to the selected set, argmax with
+    (dist DESC, vec_id) tiebreak."""
+    d = _pq_sqdist_sql("e.v", "s.v", DIM)
+    parts = [
+        """sel0 AS (
+      SELECT 0 AS rnd, vec_id, v, CAST(NULL AS DOUBLE) AS md FROM (
+        SELECT vec_id, v FROM e
+        ORDER BY md5('core:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+      )
+    )"""
+    ]
+    union = "SELECT rnd, vec_id, v, md FROM sel0"
+    for i in range(1, k):
+        parts.append(
+            f"""mind{i} AS (
+      SELECT e.vec_id, first(e.v) AS v, min({d}) AS mind
+      FROM e CROSS JOIN ({union}) s GROUP BY e.vec_id
+    ),
+    sel{i} AS (
+      SELECT {i} AS rnd, vec_id, v, CAST(mind AS DOUBLE) AS md
+      FROM mind{i} ORDER BY mind DESC, vec_id LIMIT 1
+    )"""
+        )
+        union += f" UNION ALL SELECT rnd, vec_id, v, md FROM sel{i}"
+    return ",\n    ".join(parts), union
+
+
+_KC_SQL, _KC_UNION = _kcenter_cte(6)
+
+
+@query(
+    "kcenter_coreset_selection",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_KC_SQL}
+    SELECT rnd AS sel_round, vec_id, md AS dist FROM ({_KC_UNION})
+    """,
+)
+def q_kcenter(spark, sf_dir):
+    """Greedy k-center coreset (Gonzalez farthest-point): 6 maximally
+    spread vectors — the diverse-subset selection a training pipeline
+    uses for representative sampling / hard-example mining. Each round
+    is one corpus scan (min exact-decimal distance to the <= k
+    broadcast-literal selected set) + TakeOrdered(1); the coverage
+    radius sequence comes back with the ids and is non-increasing by
+    construction."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        kcenter_coreset,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    sel = kcenter_coreset(v, k=6)
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d in sel], "sel_round int, vec_id long, dist double"
+    )

@@ -735,3 +735,28 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     }
     recall = len(adc & exact) / len(exact)
     assert recall >= 0.25, f"ADC recall collapsed: {recall}"
+
+
+def test_kcenter_radius_non_increasing_and_spread(spark):
+    """Gonzalez invariants on a known layout: the coverage-radius
+    sequence is non-increasing, the first pick after the seed is the
+    farthest point, and no vector is selected twice."""
+    from pyspark.sql import functions as F
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        kcenter_coreset,
+    )
+
+    # three tight clusters far apart on a line (1-D embedded in 4-D)
+    rows = []
+    for c, base in [(0, 0.0), (1, 100.0), (2, 200.0)]:
+        for j in range(5):
+            rows.append((c * 10 + j, [base + j * 0.1, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = kcenter_coreset(df, k=3)
+    assert len(sel) == 3
+    ids = [i for _, i, _ in sel]
+    assert len(set(ids)) == 3
+    dists = [d for _, _, d in sel if d is not None]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    # the 3 selections must cover all 3 clusters (one per cluster)
+    assert {i // 10 for i in ids} == {0, 1, 2}
