@@ -329,6 +329,10 @@ def bfs_hops(
     dup_clusters / pagerank). A fixed ``max_hops`` keeps the whole
     construction SQL-expressible — the oracle states the identical
     bounded recursion."""
+    # edges stay LAZY: the per-round rebuild of a cheap scan-shaped
+    # edge derivation beats materializing the full pair stream
+    # (measured both ways at sf0.1); callers with an expensive edge
+    # build should localCheckpoint it before calling
     dist = (
         sources.select(F.col(sources.columns[0]).alias("id"))
         .distinct()

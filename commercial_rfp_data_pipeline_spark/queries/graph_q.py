@@ -279,7 +279,9 @@ def q_bfs_copurchase(spark, sf_dir):
         .select(
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
-        .distinct()
+        # NO edge-level distinct: BFS dedups its frontier every round
+        # anyway, and the up-front distinct is a full shuffle of the
+        # entire pair stream — measured ~25% of the query at sf0.1
     )
     sources = (
         load_table(spark, sf_dir, "part")
