@@ -45,6 +45,12 @@ DEFAULT = {
     "training_data_pipeline": "documents",
     "fuzzy_name_pairs": "customer",
     "entity_resolution_customers": "customer",
+    "bfs_hops_copurchase": "lineitem",
+    "hits_hubs_authorities": "lineitem",
+    "pq_adc_topk": "embeddings",
+    "trigram_index_substring_search": "documents",
+    "bloom_semi_join_lineitem": "lineitem",
+    "merkle_bucket_diff": "orders",
 }
 
 
