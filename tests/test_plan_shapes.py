@@ -350,3 +350,42 @@ def test_q19_disjunction_pushes_per_side_implications(spark, sf_dir):
     assert "l_quantity,1.0" in p and "l_quantity,40.0" in p
     # part scan: brand equality disjunction pushed
     assert "EqualTo(p_brand,Brand#12)" in p
+
+
+def test_weighted_sample_compiles_to_take_ordered(spark, sf_dir):
+    """The A-ES top-k must be TakeOrderedAndProject (per-partition
+    partial top-k, only k rows to the driver) — not a global sort."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = plan(weighted_sample(docs, "n_chars", k=50))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_pq_adc_lut_broadcasts_and_stays_jvm(spark, sf_dir):
+    """The PQ serving join (codes x lookup table) must broadcast the
+    LUT — the corpus-side scan never shuffles for it — and the whole
+    distance path stays out of Python."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import pq_adc_topk
+
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    p = plan(pq_adc_topk(v, [0, 1, 2], dim=64))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "pythonUDF" not in p
+
+
+def test_chi_square_marginals_broadcast(spark, sf_dir):
+    """Both marginal joins and the grand-total cross join ride
+    broadcasts — the observed-counts table is the only shuffled
+    relation."""
+    from commercial_rfp_data_pipeline_spark.queries.stats_q import q_chi_square
+
+    p = plan(q_chi_square(spark, sf_dir))
+    assert p.count("BroadcastExchange") >= 3
+    assert "SortMergeJoin" not in p
