@@ -419,3 +419,45 @@ def hits(
     return h.unionByName(a).select(
         "role", "id", F.col("score").cast("double").alias("score")
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection: every round
+    each node adopts the most frequent label among its in-neighbors
+    (count DESC, label ASC tiebreak — deterministic, unlike classic
+    async LPA); nodes with no in-edges keep their label. Unlike
+    connected components (min-label fixpoint = reachability), LPA's
+    frequency vote splits dense regions from bridges, so a fixed small
+    ``n_iters`` is the standard stopping rule (sync LPA need not
+    converge — labels can oscillate).
+
+    Per round: one edges-labels join + two map-side-combining groupBys
+    ((node, lbl) counts, then per-node argmax) — the PageRank-superstep
+    cost envelope. Returns (id, community)."""
+    labels = nodes.select(F.col(id_col).alias("id")).withColumn(
+        "lbl", F.col("id")
+    )
+    for _ in range(n_iters):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", src), src)
+            .groupBy(F.col(dst).alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = neigh.groupBy("id").agg(
+            F.max_by(
+                "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("_neg"))
+            ).alias("new_lbl")
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

@@ -362,3 +362,71 @@ def q_hits(spark, sf_dir):
         F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return hits(edges, n_iters=3)
+
+
+@query(
+    "label_propagation_communities",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    l0 AS (SELECT p_partkey AS id, p_partkey AS lbl FROM part),
+    n1 AS (
+      SELECT e.dst AS id, l.lbl, count(*) AS c
+      FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.lbl
+    ),
+    b1 AS (
+      SELECT id, lbl FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        FROM n1
+      ) WHERE rn = 1
+    ),
+    l1 AS (SELECT l0.id, coalesce(b1.lbl, l0.lbl) AS lbl
+           FROM l0 LEFT JOIN b1 USING (id)),
+    n2 AS (
+      SELECT e.dst AS id, l.lbl, count(*) AS c
+      FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.lbl
+    ),
+    b2 AS (
+      SELECT id, lbl FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        FROM n2
+      ) WHERE rn = 1
+    ),
+    l2 AS (SELECT l1.id, coalesce(b2.lbl, l1.lbl) AS lbl
+           FROM l1 LEFT JOIN b2 USING (id)),
+    sizes AS (SELECT lbl, count(*) AS n FROM l2 GROUP BY lbl)
+    SELECT l2.id AS p_partkey, l2.lbl AS community, s.n AS community_size
+    FROM l2 JOIN sizes s ON s.lbl = l2.lbl
+    """,
+)
+def q_label_propagation(spark, sf_dir):
+    """Label-propagation communities over the co-purchase graph (2
+    synchronous rounds, deterministic frequency-vote tiebreak) — the
+    community structure CC cannot see: reachability merges everything
+    connected, LPA's majority vote keeps dense purchase clusters
+    apart. Same per-round cost envelope as a PageRank superstep."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id")
+    )
+    lp = label_propagation(nodes, edges, n_iters=2)
+    sizes = lp.groupBy("community").agg(F.count(F.lit(1)).alias("community_size"))
+    return lp.join(sizes, "community").select(
+        F.col("id").alias("p_partkey"), "community", "community_size"
+    )

@@ -252,3 +252,27 @@ def test_hits_bipartite_hub_authority_ordering(spark):
     assert max(auths, key=auths.get) == 10
     assert abs(sum(hubs.values()) - 1.0) < 1e-4
     assert abs(sum(auths.values()) - 1.0) < 1e-4
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: CC would merge them;
+    LPA's frequency vote keeps two communities. Isolated node keeps
+    its own label."""
+    from pyspark.sql import functions as F
+    from commercial_rfp_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    e = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10), (10, 4)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 99]], "id long"
+    )
+    out = {r.id: r.community for r in label_propagation(nodes, edges, 2).collect()}
+    left = {out[i] for i in (1, 2, 3)}
+    right = {out[i] for i in (11, 12, 13)}
+    assert left.isdisjoint(right), (left, right)
+    assert out[99] == 99  # isolated keeps own label
