@@ -125,7 +125,7 @@ def dup_clusters(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 64,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over near-dup
     pairs via iterative hash-min label propagation — every node ends
@@ -133,6 +133,13 @@ def dup_clusters(
     own id. The step a training-data dedup pipeline runs AFTER pair
     generation (minhash/simhash/embedding) to pick one survivor per
     duplicate cluster.
+
+    ``max_iter`` is a safety cap, not a cost: the loop exits on the
+    first converged round, and path-halving bounds rounds by
+    O(log diameter) — 64 covers any graph that fits in an exabyte.
+    (25 proved too low for sf0.1's fuzzy-name chains — consecutive
+    customer numbers are all lev-1 neighbors, so one component spans
+    thousands of nodes.)
 
     Shape at scale: edges and labels are (id, id) pairs only — no
     payloads move — and the iteration runs over the EDGE-INVOLVED
