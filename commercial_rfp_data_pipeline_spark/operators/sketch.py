@@ -255,3 +255,20 @@ def kmv_estimate(hs: Column, k: int = 10) -> Column:
     return F.when(F.size(hs) < k, F.size(hs).cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(TWO60) / F.element_at(hs, k).cast("double")
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimation from two CMS counter tables (the AMS/CM
+    inner-product estimator): |A join B on k| = sum_v fA(v)*fB(v) is
+    upper-bounded by min over hash rows j of sum_col nA*nB. This is
+    the statistic a cost-based optimizer needs BEFORE running a join —
+    computable from two d*w-row sketches that each cost one
+    map-side-combining groupBy to build and merge by addition across
+    partitions/days. Returns one row (cms_estimate)."""
+    j = a.select("j", "col", F.col("n").alias("na")).join(
+        b.select("j", "col", F.col("n").alias("nb")), ["j", "col"]
+    )
+    per_row = j.groupBy("j").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("ip")
+    )
+    return per_row.agg(F.min("ip").alias("cms_estimate"))

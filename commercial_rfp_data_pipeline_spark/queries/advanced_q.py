@@ -583,3 +583,64 @@ def q_kmv_set_ops(spark, sf_dir):
         F.round("jacc", 4).alias("jaccard"),
         F.round(F.col("jacc") * F.col("est_union"), 4).alias("est_intersection"),
     )
+
+
+@query(
+    "cms_selfjoin_size_estimate",
+    """
+    WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+    exact AS (
+      SELECT sum(c * c) AS exact_size FROM (
+        SELECT count(*) AS c FROM k GROUP BY v
+      )
+    ),
+    seeds AS (SELECT unnest(['cms0','cms1','cms2','cms3']) AS j),
+    counters AS (
+      SELECT j, substr(md5(j || ':' || v), 1, 2) AS col, count(*) AS n
+      FROM k CROSS JOIN seeds GROUP BY j, substr(md5(j || ':' || v), 1, 2)
+    ),
+    est AS (
+      SELECT min(ip) AS cms_estimate FROM (
+        SELECT j, sum(n * n) AS ip FROM counters GROUP BY j
+      )
+    )
+    SELECT exact_size, cms_estimate,
+           round(CAST(cms_estimate - exact_size AS DOUBLE) / exact_size, 6)
+             AS rel_overestimate
+    FROM exact CROSS JOIN est
+    """,
+)
+def q_cms_join_size(spark, sf_dir):
+    """Optimizer-statistics primitive: estimate the lineitem self-join
+    size on partkey (sum of squared key frequencies — the quantity
+    that predicts pair-generation blowup in every dedup/self-join
+    plan) from a 4x256 count-min sketch via the inner-product
+    estimator, next to the exact value. The sketch costs one bounded
+    groupBy however large the table; the estimate is a provable
+    overestimate with additive error <= N^2/w (CM inner-product
+    bound — rel_overestimate >= 0; the oracle value-checks both
+    numbers and the error, and widening w tightens it linearly)."""
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        cms_counters,
+        cms_inner_product,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("v")
+    )
+    exact = (
+        li.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_size"))
+    )
+    counters = cms_counters(li, "v")
+    est = cms_inner_product(counters, counters)
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "cms_estimate",
+        F.round(
+            (F.col("cms_estimate") - F.col("exact_size")).cast("double")
+            / F.col("exact_size"),
+            6,
+        ).alias("rel_overestimate"),
+    )
