@@ -765,3 +765,98 @@ def q_chi_square(spark, sf_dir):
             "chi2_contrib"
         ),
     )
+
+
+_SEL_LO, _SEL_HI = 77777.0, 222222.0  # range predicate under estimation
+
+
+@query(
+    "histogram_selectivity_estimate",
+    f"""
+    WITH rev AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+                 FROM orders),
+    rn AS (
+      SELECT p, row_number() OVER (ORDER BY p, o_orderkey) AS r FROM rev
+    ),
+    n AS (SELECT count(*) AS n FROM rev),
+    b AS (SELECT p, CAST((r - 1) * 10 // n + 1 AS INTEGER) AS bucket
+          FROM rn CROSS JOIN n),
+    hist AS (
+      SELECT bucket, count(*) AS n_rows,
+             CAST(min(p) AS DOUBLE) AS lo, CAST(max(p) AS DOUBLE) AS hi
+      FROM b GROUP BY bucket
+    ),
+    est AS (
+      SELECT sum(n_rows * CASE
+        WHEN hi < {_SEL_LO} OR lo > {_SEL_HI} THEN 0.0
+        WHEN hi = lo THEN 1.0
+        ELSE greatest(0.0,
+          (least(hi, {_SEL_HI}) - greatest(lo, {_SEL_LO})) / (hi - lo))
+      END) AS est_rows FROM hist
+    ),
+    exact AS (
+      SELECT count(*) AS exact_rows FROM rev
+      WHERE p >= {_SEL_LO} AND p <= {_SEL_HI}
+    )
+    SELECT exact_rows, round(est_rows, 2) AS est_rows,
+           round((est_rows - exact_rows) / exact_rows, 6) AS rel_err
+    FROM exact CROSS JOIN est
+    """,
+)
+def q_histogram_selectivity(spark, sf_dir):
+    """The second optimizer-statistics primitive: estimate the row
+    count of a range predicate from the equi-depth decile histogram
+    (uniform interpolation inside partially covered buckets) next to
+    the exact count. The histogram costs one distributed-prefix-sum
+    pass and is reusable across predicates; the estimator reads 10
+    rows. Exact arithmetic except one deterministic division per
+    bucket — exact, estimate, and relative error all value-hash."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    ranked = distributed_prefix_sum(
+        rev, values={"rn": F.lit(1)}, order_by=[F.col("p"), F.col("o_orderkey")]
+    )
+    n = rev.agg(F.count(F.lit(1)).alias("n"))
+    hist = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "p",
+            (((F.col("rn_incl") - 1) * 10 / F.col("n")).cast("long") + 1)
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+        )
+    )
+    frac = (
+        F.when((F.col("hi") < _SEL_LO) | (F.col("lo") > _SEL_HI), F.lit(0.0))
+        .when(F.col("hi") == F.col("lo"), F.lit(1.0))
+        .otherwise(
+            F.greatest(
+                F.lit(0.0),
+                (F.least(F.col("hi"), F.lit(_SEL_HI)) - F.greatest(F.col("lo"), F.lit(_SEL_LO)))
+                / (F.col("hi") - F.col("lo")),
+            )
+        )
+    )
+    est = hist.agg(F.sum(F.col("n_rows") * frac).alias("est_rows"))
+    exact = rev.filter(
+        (F.col("p") >= _SEL_LO) & (F.col("p") <= _SEL_HI)
+    ).agg(F.count(F.lit(1)).alias("exact_rows"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_rows",
+        F.round("est_rows", 2).alias("est_rows"),
+        F.round(
+            (F.col("est_rows") - F.col("exact_rows")) / F.col("exact_rows"), 6
+        ).alias("rel_err"),
+    )
