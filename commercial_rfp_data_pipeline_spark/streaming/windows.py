@@ -89,7 +89,7 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
 
 
 def stream_click_pairs(
-    a: DataFrame, b: DataFrame, max_gap_s: int = 3600
+    a: DataFrame, b: DataFrame, max_gap_s: int = 3600, how: str = "inner"
 ) -> DataFrame:
     """Watermarked stream-stream interval self-join: pairs of clicks by
     the same user within ``max_gap_s`` — the streaming mirror of the
@@ -116,12 +116,17 @@ def stream_click_pairs(
         )
         .withWatermark("ts_b", "2 hours")
     )
+    # how='left_outer' emits unmatched left clicks with null partner
+    # columns ONCE the watermark proves no match can still arrive —
+    # outer results are inherently watermark-delayed, which is why the
+    # finite-replay parity test compares against the batch left join
     joined = left.join(
         right,
         F.expr(
             f"""user_id = user_id_b AND id_a < id_b
                 AND ts_b >= ts_a AND ts_b <= ts_a + interval {max_gap_s} seconds"""
         ),
+        how,
     )
     return joined.select(
         "user_id",

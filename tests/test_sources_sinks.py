@@ -747,3 +747,56 @@ def test_time_travel_versions_commit_read_expire(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_version(spark, td, 1).count()               # expired
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join == the batch left
+    join on finite replay: matched pairs agree AND clicks with no
+    in-window partner surface exactly once with null partner columns
+    (the watermark-gated outer emission)."""
+    from pyspark.sql import functions as F
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_completion,
+        stream_click_pairs,
+    )
+
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    got_rows = run_to_completion(
+        stream_click_pairs(s1, s2, how="left_outer"), "t_ss_outer", mode="append"
+    ).collect()
+    got = {(r.user_id, r.id_a, r.id_b) for r in got_rows}
+
+    ev = load_table(spark, sf_dir, "events")
+    # batch mirror: same projection + join condition, plain left join
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    want_rows = left.join(
+        right,
+        F.expr(
+            "user_id = user_id_b AND id_a < id_b "
+            "AND ts_b >= ts_a AND ts_b <= ts_a + interval 3600 seconds"
+        ),
+        "left_outer",
+    ).select("user_id", "id_a", "id_b")
+    want = {(r.user_id, r.id_a, r.id_b) for r in want_rows.collect()}
+    got_matched = {t for t in got if t[2] is not None}
+    want_matched = {t for t in want if t[2] is not None}
+    assert got_matched == want_matched  # inner results identical
+    got_null = {t for t in got if t[2] is None}
+    want_null = {t for t in want if t[2] is None}
+    # outer emissions are watermark-gated: a left row is null-extended
+    # only once the watermark PROVES no match can arrive, and on finite
+    # replay the watermark never passes the stream's tail — so the
+    # streamed unmatched set is a subset of the batch one, never a
+    # superset, and must be substantial
+    assert got_null <= want_null
+    assert len(got_null) > 0.5 * len(want_null), (len(got_null), len(want_null))
