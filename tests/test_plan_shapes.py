@@ -389,3 +389,26 @@ def test_chi_square_marginals_broadcast(spark, sf_dir):
     p = plan(q_chi_square(spark, sf_dir))
     assert p.count("BroadcastExchange") >= 3
     assert "SortMergeJoin" not in p
+
+
+def test_bucketed_groupby_has_no_exchange(spark, sf_dir):
+    """Bucketing pays off for AGGREGATION too, not just joins: a
+    groupBy on the bucket keys of a bucketed table must plan with
+    ZERO Exchange — the write-once shuffle is amortized over every
+    recurring aggregate, the same way the co-located join test pins
+    it for joins."""
+    from commercial_rfp_data_pipeline_spark.io import save_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    save_bucketed(
+        orders.select("o_custkey", "o_totalprice"),
+        "orders_by_cust_agg",
+        keys=["o_custkey"],
+    )
+    agg = (
+        spark.table("orders_by_cust_agg")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    p = plan(agg)
+    assert "Exchange" not in p, p
