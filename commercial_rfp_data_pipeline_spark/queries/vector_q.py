@@ -756,7 +756,7 @@ def _pq_cte(m_sub: int = 4, k_codes: int = 8, sub: int = 16) -> str:
         FROM sv
       ) WHERE rn <= {k_codes}
     ),
-    assign1 AS (
+    pq_assign1 AS (
       SELECT m, code_id, sv FROM (
         SELECT s.vec_id, s.m, s.sv, c.code_id, {d_sc} AS d,
                row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -764,16 +764,16 @@ def _pq_cte(m_sub: int = 4, k_codes: int = 8, sub: int = 16) -> str:
         FROM sv s JOIN pqinit c USING (m)
       ) WHERE rn = 1
     ),
-    means1 AS (
+    pq_means1 AS (
       SELECT m, code_id, i.i AS ci, round(avg(sv[i.i]), 6) AS mu
-      FROM assign1, (SELECT unnest(generate_series(1, {sub})) AS i) i
+      FROM pq_assign1, (SELECT unnest(generate_series(1, {sub})) AS i) i
       GROUP BY m, code_id, i.i
     ),
-    agg1 AS (SELECT m, code_id, array_agg(mu ORDER BY ci) AS code_vec
-             FROM means1 GROUP BY m, code_id),
+    pq_agg1 AS (SELECT m, code_id, array_agg(mu ORDER BY ci) AS code_vec
+             FROM pq_means1 GROUP BY m, code_id),
     books AS (
       SELECT i.m, i.code_id, coalesce(a.code_vec, i.code_vec) AS code_vec
-      FROM pqinit i LEFT JOIN agg1 a USING (m, code_id)
+      FROM pqinit i LEFT JOIN pq_agg1 a USING (m, code_id)
     ),
     codes AS (
       SELECT vec_id, m, code_id AS code FROM (
@@ -1043,4 +1043,127 @@ def q_kcenter(spark, sf_dir):
     sel = kcenter_coreset(v, k=6)
     return spark.createDataFrame(
         [(r, i, d) for r, i, d in sel], "sel_round int, vec_id long, dist double"
+    )
+
+
+@query(
+    "ivfpq_search_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_KMEANS_SQL},
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cent_vec), 6) DESC, c.cent_id) AS rn
+        FROM e CROSS JOIN {_KM_FINAL} c
+      ) WHERE rn = 1
+    ),
+    qids AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id IN (0, 1, 2)),
+    probes AS (
+      SELECT q_id, cent_id FROM (
+        SELECT q.q_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.q_vec, c.cent_vec), 6) DESC, c.cent_id) AS rn
+        FROM qids q CROSS JOIN {_KM_FINAL} c
+      ) WHERE rn <= 2
+    ),
+    {_pq_cte()},
+    cand AS (
+      SELECT p.q_id, a.vec_id
+      FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+      WHERE a.vec_id <> p.q_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.vec_id, sum(l.d) AS adist_dec
+      FROM cand c
+      JOIN codes cd ON cd.vec_id = c.vec_id
+      JOIN lut l ON l.q_id = c.q_id AND l.m = cd.m AND l.code = cd.code
+      GROUP BY c.q_id, c.vec_id
+    )
+    SELECT q_id, vec_id, CAST(adist_dec AS DOUBLE) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY adist_dec, vec_id) AS rnk FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def q_ivfpq(spark, sf_dir):
+    """The full FAISS IVF-PQ serving path, composed from the two
+    trained halves: the Lloyd coarse quantizer prunes each query to
+    its 2 nearest cells' members, and asymmetric PQ distance ranks
+    ONLY those candidates via the broadcast lookup table — the scan
+    touches nprobe/n_centroids of the corpus and reads 4 bytes per
+    candidate instead of 256. Every stage (both trainings, both
+    assignments, the probe, the ADC ranking) is deterministic, so the
+    composed index is oracle-checked end to end."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        _sq_l2,
+        ivf_assign,
+        ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+        pq_subvectors,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    cents = pin(ivf_centroids(v, n_centroids=16), key="ivfpq_cents")
+    asg = ivf_assign(v, cents=cents).select("vec_id", "cent_id")
+    books = pin(pq_codebooks(v, dim=DIM), key="ivfpq_books")
+    codes = pq_encode(v, books, dim=DIM)
+    qv = v.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    from pyspark.sql.functions import broadcast
+
+    qn = qv.crossJoin(broadcast(cents))
+    sim = F.round(
+        F.aggregate(
+            F.zip_with("q_vec", "cent_vec", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        / (
+            F.sqrt(F.aggregate(F.transform("q_vec", lambda x: x * x), F.lit(0.0), lambda a, t: a + t))
+            * F.sqrt(F.aggregate(F.transform("cent_vec", lambda x: x * x), F.lit(0.0), lambda a, t: a + t))
+        ),
+        6,
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(
+        F.col("_sim").desc(), F.col("cent_id")
+    )
+    probes = (
+        qn.select("q_id", "cent_id", sim.alias("_sim"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "cent_id")
+    )
+    qsv = pq_subvectors(
+        v.filter(F.col("vec_id").isin([0, 1, 2])), DIM
+    ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))
+    lut = qsv.join(broadcast(books), "m").select(
+        "q_id", "m", F.col("code_id").alias("code"),
+        _sq_l2(F.col("qsv"), F.col("code_vec")).alias("d"),
+    )
+    cand = (
+        asg.join(broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(broadcast(lut), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adist_dec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist_dec"), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("adist_dec").cast("double").alias("adist"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )
