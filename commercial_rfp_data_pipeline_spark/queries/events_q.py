@@ -885,3 +885,84 @@ def q_events_ewma(spark, sf_dir):
             F.col("num").cast("double") / F.col("den").cast("double"), 6
         ).alias("ewma"),
     )
+
+
+@query(
+    "session_pattern_match",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS i,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, i,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    seqs AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             string_agg(i, '' ORDER BY ts, event_id) AS seq
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, n_events, seq,
+           regexp_matches(seq, 'v.*c.*p') AS funnel_matched
+    FROM seqs
+    """,
+)
+def q_session_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern detection: sessionize,
+    collapse each session to its ordered event-initial string, and
+    regex-match the view->click->purchase funnel pattern against it.
+    Row-pattern matching without a dedicated operator: the sequence
+    string is a per-session aggregate (bounded by session length), the
+    regex is a narrow map, and the whole construction shares the one
+    user_id exchange the sessionizer already pays."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("i"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w2).cast("bigint")
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "i"))),
+                lambda s: s["i"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "seq",
+        F.col("seq").rlike("v.*c.*p").alias("funnel_matched"),
+    )
