@@ -590,6 +590,65 @@ def quantize_int8(
     )
 
 
+def quantize_binary(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """1-bit sign quantization packed into 64-bit words: bit i of word
+    w is 1 iff component (w*64 + i) > 0 — the 32x memory cut below
+    int8 (a 10^10 x 768-dim float32 corpus is ~30 TB; sign bits fit it
+    in ~1 TB, RAM-resident on a modest cluster) and the coarse stage of
+    the binary-quantization serving pattern: Hamming distance over the
+    packed words via ``bit_count(a XOR b)`` — one fused-codegen integer
+    op per 64 dims, no float math — shortlists candidates that a float
+    rescore then ranks exactly.
+
+    Packing is pure bitwise (shiftleft + OR inside an aggregate HOF),
+    so ANSI mode cannot overflow-abort even when bit 63 sets the sign.
+    Narrow map, no shuffle, exact arithmetic -> oracle-checkable
+    (the oracle states the same bits as sign-mismatch counts over the
+    unpacked floats).
+
+    Output: (id, bits array<long> of ceil(d/64) words, n_dims)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("_v"))
+    n_words = F.ceil(F.size("_v") / F.lit(64.0)).cast("int")
+    bits = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.sequence(
+                w * 64, F.least(w * 64 + 63, F.size("_v") - 1)
+            ),
+            F.lit(0).cast("long"),
+            # the PySpark shiftleft wrapper insists on a literal shift
+            # amount; call the SQL function directly — Catalyst's
+            # ShiftLeft is (expr, expr) and takes the lambda variable
+            lambda acc, i: acc.bitwiseOR(
+                F.call_function(
+                    "shiftleft",
+                    F.when(F.element_at("_v", i + 1) > 0, F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long"),
+                    (i - w * 64).cast("int"),
+                )
+            ),
+        ),
+    )
+    return base.select(
+        F.col(id_col), bits.alias("bits"), F.size("_v").alias("n_dims")
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length packed-bit word
+    arrays: sum of bit_count(xor) per word — stays integer, stays in
+    whole-stage codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("int")
+
+
 def pca_top_component(
     e: DataFrame,
     vec_col: str = "embedding",

@@ -144,6 +144,45 @@ def q_json_extract(spark, sf_dir):
 
 
 @query(
+    "events_variant_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_extract(spark, sf_dir):
+    """The VARIANT-native semi-structured path events_json_extract's
+    docstring promises: ``parse_json`` builds Spark 4's binary VARIANT
+    encoding once per row, ``try_variant_get`` does typed extraction
+    (malformed rows → NULL, never a job abort), then a plain relational
+    aggregate over the extracted column. Against DuckDB's JSON
+    extraction as the oracle — two engines, two storage encodings, one
+    answer.
+
+    Scale: this is the shape that replaces regexp/get_json_object at
+    100 TB — VARIANT parses the document ONCE into a shredded binary
+    form; every subsequent path access is an O(log fields) binary
+    lookup, not a re-parse, and the whole expression stays inside
+    whole-stage codegen. The aggregate itself is one map-side-combined
+    groupBy on a low-cardinality key."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    projected = e.select("event_type", k.alias("k"))
+    return projected.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count_distinct("k").alias("n_distinct_k"),
+    )
+
+
+@query(
     "events_type_value_stats",
     """
     SELECT event_type,

@@ -502,6 +502,58 @@ def q_unigram_lm(spark, sf_dir):
     return unigram_lm_score(docs)
 
 
+@query(
+    "bigram_lm_perplexity",
+    f"""
+    WITH wl AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), t -> length(t) > 0) AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+            FROM wl)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT w1 AS t FROM bg UNION ALL SELECT w2 AS t FROM bg)
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             ln(coalesce(ctx.c1, 0) + 0.5 * vocab.v)
+               - ln(coalesce(big.c12, 0) + 0.5) AS nll
+      FROM bg
+      LEFT JOIN big USING (w1, w2)
+      LEFT JOIN ctx USING (w1)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(nll), 6) AS avg_nll,
+           round(exp(avg(nll)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm(spark, sf_dir):
+    """Bigram LM perplexity — the conditional-probability upgrade of
+    unigram_lm_quality and the oracle-exact skeleton of the CCNet/KenLM
+    perplexity filter: add-half-smoothed p(w2|w1) trained on the corpus
+    itself, per-doc mean negative log-likelihood + perplexity.
+    Repetitive-garbage and wrong-language text score high even when
+    every individual token is common — the transition signal the
+    unigram model can't see. Two training groupBys + two scoring joins
+    + one per-doc average; exact arithmetic both sides."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        bigram_lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)
+
+
 def _quality_cte() -> str:
     # shared with text_q's survivor-selection metric — single source
     from commercial_rfp_data_pipeline_spark.queries.text_q import _QUALITY_CTE

@@ -674,6 +674,119 @@ def q_int8_rescore(spark, sf_dir):
     )
 
 
+@query(
+    "binary_hamming_rescore_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    qry AS (SELECT vec_id AS q_id, v AS qv FROM e
+            WHERE vec_id IN {_RESCORE_QIDS!r}),
+    coarse AS (
+      SELECT qry.q_id, e.vec_id,
+             CAST(len(list_filter(generate_series(1, len(e.v)),
+                  i -> (e.v[i] > 0) <> (qry.qv[i] > 0))) AS INTEGER) AS hamming
+      FROM e, qry WHERE e.vec_id <> qry.q_id
+    ),
+    short AS (
+      SELECT q_id, vec_id, hamming FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY hamming, vec_id) AS rnh
+        FROM coarse
+      ) WHERE rnh <= {_SHORTLIST}
+    ),
+    exact AS (
+      SELECT sh.q_id, sh.vec_id, sh.hamming,
+             round(list_dot_product(ce.v, qe.v)
+                   / (sqrt(list_dot_product(ce.v, ce.v))
+                      * sqrt(list_dot_product(qe.v, qe.v))), 6) AS sim
+      FROM short sh
+      JOIN e ce ON ce.vec_id = sh.vec_id
+      JOIN e qe ON qe.vec_id = sh.q_id
+    )
+    SELECT q_id, vec_id, hamming, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, vec_id) AS rnk
+      FROM exact
+    ) WHERE rnk <= 5
+    """,
+)
+def q_binary_hamming_rescore(spark, sf_dir):
+    """The 32x-compressed tier of the quantized ANN serving family
+    (int8_shortlist_rescore_topk is the 4x tier): sign bits packed into
+    64-bit words, coarse shortlist by Hamming distance — ONE
+    bit_count(xor) integer op per 64 dims against the bit index that
+    fits in RAM at 10^10 vectors — then exact float rescore of only the
+    top-{_SHORTLIST} candidates per query, final top-5 by true cosine.
+    Packing is pure bitwise so the whole path is exact arithmetic: the
+    oracle states the identical Hamming counts as sign-mismatch counts
+    over the unpacked floats, and shortlist membership, distances, and
+    rescored order all value-check.
+
+    Scale: the bit index is built once (narrow map) and pinned; the
+    coarse stage broadcasts the 3 query bit-vectors against it; the
+    rescore touches {_SHORTLIST} float rows per query by id — the float
+    corpus is never scanned at serving time."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        _dot,
+        hamming_distance,
+        quantize_binary,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
+    packed = pin(quantize_binary(ev, vec_col="v"))
+    qry = packed.filter(F.col("vec_id").isin(*_RESCORE_QIDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("bits").alias("qbits")
+    )
+    coarse = (
+        packed.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            hamming_distance(F.col("bits"), F.col("qbits")).alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    short = (
+        coarse.withColumn("rnh", F.row_number().over(wh))
+        .filter(F.col("rnh") <= _SHORTLIST)
+        .select("q_id", "vec_id", "hamming")
+    )
+    exact = (
+        short.join(ev, "vec_id")
+        .join(
+            F.broadcast(
+                ev.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv_f"))
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            F.round(
+                _dot(F.col("v"), F.col("qv_f"))
+                / (
+                    F.sqrt(_dot(F.col("v"), F.col("v")))
+                    * F.sqrt(_dot(F.col("qv_f"), F.col("qv_f")))
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        exact.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "hamming", "sim", "rnk")
+    )
+
+
 def _pca_cte(n_iter: int = 3) -> str:
     """Unrolled power-iteration CTEs mirroring
     operators.vector.pca_top_component's rounded trajectory."""

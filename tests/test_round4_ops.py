@@ -774,3 +774,88 @@ def test_skyline_known_points(spark):
     ) | (F.col("msize") < F.col("p_size"))
     got = sorted(r.p_partkey for r in joined.filter(~dominated).collect())
     assert got == [2, 3, 4, 5]
+
+
+def test_quantize_binary_pack_and_hamming_match_python(spark):
+    """Packed sign bits equal a driver-side Python packing for known
+    vectors (incl. a 70-dim vector spanning two words and a bit-63
+    sign-setting case), and hamming_distance(a, b) equals the
+    sign-mismatch count over the raw floats."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        hamming_distance,
+        quantize_binary,
+    )
+
+    vecs = {
+        1: [1.0, -1.0, 0.0, 2.5] + [0.0] * 60,          # bits 0 and 3? no: >0 at 0,3
+        2: [-1.0] * 63 + [3.0],                          # only bit 63 set -> negative long
+        3: [1.0] * 70,                                   # spans two words
+        4: [0.5 if i % 3 == 0 else -0.5 for i in range(70)],
+    }
+
+    def py_pack(v):
+        words = []
+        for w in range((len(v) + 63) // 64):
+            acc = 0
+            for i in range(w * 64, min(w * 64 + 64, len(v))):
+                if v[i] > 0:
+                    acc |= 1 << (i - w * 64)
+            # to signed 64-bit
+            if acc >= 1 << 63:
+                acc -= 1 << 64
+            words.append(acc)
+        return words
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: list(r.bits)
+        for r in quantize_binary(df).collect()
+    }
+    for k, v in vecs.items():
+        assert got[k] == py_pack(v), f"vec {k}: {got[k]} != {py_pack(v)}"
+    # bit-63 word really is negative (sign bit set without ANSI abort)
+    assert got[2][0] < 0
+
+    same_len = {k: v for k, v in vecs.items() if len(v) == 70}
+    packed = quantize_binary(
+        df.filter(F.col("vec_id").isin(*same_len))
+    )
+    pairs = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            hamming_distance(F.col("a.bits"), F.col("b.bits")).alias("h"),
+        )
+    )
+    for r in pairs.collect():
+        va, vb = vecs[r.ia], vecs[r.ib]
+        expect = sum((x > 0) != (y > 0) for x, y in zip(va, vb))
+        assert r.h == expect
+
+
+def test_bigram_lm_sees_transitions_unigram_misses(spark):
+    """Two docs with IDENTICAL unigram content but different word
+    order: the one violating the corpus's dominant transitions gets a
+    strictly higher bigram NLL, while the unigram model scores both
+    identically — the discriminating power the bigram signal adds."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        bigram_lm_score,
+        unigram_lm_score,
+    )
+
+    natural = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"
+    rows = [(i, natural) for i in range(10)] + [(100, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r.doc_id: r.avg_logprob for r in unigram_lm_score(df).collect()}
+    assert uni[0] == uni[100]  # unigram can't tell them apart
+
+    bi = {r.doc_id: r.avg_nll for r in bigram_lm_score(df).collect()}
+    assert bi[100] > bi[0]     # bigram can
+    # natural docs all score identically (deterministic, order-free)
+    assert len({bi[i] for i in range(10)}) == 1
