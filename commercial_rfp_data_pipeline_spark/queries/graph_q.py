@@ -430,3 +430,51 @@ def q_label_propagation(spark, sf_dir):
     return lp.join(sizes, "community").select(
         F.col("id").alias("p_partkey"), "community", "community_size"
     )
+
+
+_BOM_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS child,
+             CAST(floor(p_partkey / 10.0) AS BIGINT) AS parent
+      FROM part
+      WHERE p_partkey >= 10
+    ),
+    bom(root, id, lvl) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+      UNION ALL
+      SELECT b.root, e.child, b.lvl + 1
+      FROM bom b JOIN edges e ON e.parent = b.id
+    )
+    SELECT b.root, count(*) AS n_parts,
+           CAST(sum(CAST(p.p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS subtree_value,
+           CAST(max(b.lvl) AS INTEGER) AS depth
+    FROM bom b JOIN part p ON p.p_partkey = b.id
+    GROUP BY b.root
+"""
+
+
+@query("bom_rollup_recursive_cte", _BOM_SQL)
+def q_bom_rollup_recursive(spark, sf_dir):
+    """Bill-of-materials subtree rollup via Spark 4's NATIVE recursive
+    CTE (``WITH RECURSIVE``) — the iterative-closure surface the
+    engine's manual loops (dup_clusters, bfs_hops, pagerank) hand-roll,
+    here declared once and executed inside Catalyst's UnionLoop
+    operator, with the IDENTICAL SQL text running on the oracle. The
+    part hierarchy is derived (parent = partkey/10 — a forest rooted at
+    the single-digit keys), and the rollup aggregates each root's whole
+    subtree: descendant count, summed retail value, max depth.
+
+    Scale: each recursion level is ONE equi-join of the frontier to the
+    edge table (shuffle on parent) — the same per-superstep cost
+    envelope as the hand-rolled loops, but the planner owns the loop:
+    depth is bounded by the hierarchy (log10 keys ≈ 5-6 levels, far
+    under the 100-level guard), the anchor and step are planned as one
+    statement, and no driver round-trips happen between levels. The
+    hand-rolled loops remain the right tool when a step needs
+    aggregation or distinct (UNION ALL is the only step shape recursive
+    CTEs support today); this query pins the native path for the
+    tree-walk class that fits it."""
+    for t in ("part",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_BOM_SQL)

@@ -259,3 +259,50 @@ def q_hash_dispatch_sha1(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", hash_hex(F.col("text"), "sha1").alias("sha1_hex"))
+
+
+@query(
+    "sql_udf_scalar_surface",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(CAST(text AS VARCHAR), '\s+', ' ', 'g'))
+             AS text_norm,
+           'RFP_Content_' || md5(substring(
+               regexp_replace(CAST(text AS VARCHAR), '\s+', '', 'g'), 1, 120))
+             AS content_key,
+           CASE
+             WHEN text IS NULL THEN NULL
+             WHEN length(trim(regexp_replace(CAST(text AS VARCHAR),
+                                             '\s+', ' ', 'g'))) = 0 THEN 0
+             ELSE len(string_split(lower(trim(regexp_replace(
+                    CAST(text AS VARCHAR), '\s+', ' ', 'g'))), ' '))
+           END AS n_tokens
+    FROM documents
+    """,
+)
+def q_sql_udf_scalar_surface(spark, sf_dir):
+    """The scalar surface exercised through SQL UDFs (Spark 4
+    ``CREATE FUNCTION ... RETURNS``, `functions/sql_udfs.py`): the
+    P2 whitespace-normalize, the P4 strip-then-truncate content key,
+    and the token counter, each called BY NAME from a plain
+    ``spark.sql`` statement — the dialect-native form of the surface
+    the reference buried in pandas lambdas. Catalyst inlines each UDF
+    body at plan time, so the physical plan is the identical
+    whole-stage-codegen projection the DataFrame helpers produce (a
+    plan test asserts no BatchEvalPython appears); the oracle states
+    the same formulas inline."""
+    from commercial_rfp_data_pipeline_spark.functions.sql_udfs import (
+        register_sql_udfs,
+    )
+
+    register_sql_udfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               rfp_norm_ws(text) AS text_norm,
+               rfp_content_key(text) AS content_key,
+               rfp_token_count(text) AS n_tokens
+        FROM documents
+        """
+    )

@@ -412,3 +412,57 @@ def test_bucketed_groupby_has_no_exchange(spark, sf_dir):
     )
     p = plan(agg)
     assert "Exchange" not in p, p
+
+
+def test_sql_udfs_inline_to_codegen_no_python(spark, sf_dir):
+    """SQL UDFs (functions/sql_udfs.py) must inline at plan time: the
+    physical plan for a projection through rfp_norm_ws/rfp_content_key/
+    rfp_token_count contains NO Python evaluation operator and stays in
+    whole-stage codegen — calling the scalar surface by name from SQL
+    costs the same as the DataFrame expression form."""
+    from commercial_rfp_data_pipeline_spark.functions.sql_udfs import (
+        register_sql_udfs,
+    )
+
+    register_sql_udfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    df = spark.sql(
+        "SELECT doc_id, rfp_norm_ws(text) AS t, rfp_content_key(text) AS k, "
+        "rfp_token_count(text) AS n FROM documents"
+    )
+    p = plan(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+    assert "*(1) Project" in p
+
+
+def test_sql_udf_multi_date_matches_dataframe_helper(spark):
+    """rfp_multi_date (SQL UDF) and scalar.multi_format_to_date
+    (DataFrame expression) agree on every branch: each format, the
+    ambiguous '03-04-2025' precedence case, and unparseable -> NULL."""
+    from commercial_rfp_data_pipeline_spark.functions.scalar import (
+        multi_format_to_date,
+    )
+    from commercial_rfp_data_pipeline_spark.functions.sql_udfs import (
+        register_sql_udfs,
+    )
+
+    register_sql_udfs(spark)
+    samples = [
+        "03/04/2025",    # MM/dd/yyyy -> March 4
+        "2025-03-04",    # ISO
+        "03-04-2025",    # ambiguous: dd-MM-yyyy arm -> April 3
+        "31-12-1999",
+        "not a date",
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    df.createOrReplaceTempView("t_dates")
+    via_udf = [
+        r.d for r in spark.sql("SELECT rfp_multi_date(s) AS d FROM t_dates").collect()
+    ]
+    via_df = [r.d for r in df.select(multi_format_to_date("s").alias("d")).collect()]
+    assert via_udf == via_df
+    assert str(via_udf[0]) == "2025-03-04"
+    assert str(via_udf[2]) == "2025-04-03"
+    assert via_udf[4] is None and via_udf[5] is None

@@ -800,3 +800,40 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir):
     # superset, and must be substantial
     assert got_null <= want_null
     assert len(got_null) > 0.5 * len(want_null), (len(got_null), len(want_null))
+
+
+def test_rest_pages_python_datasource(spark):
+    """S5 as a first-class Spark 4 Python Data Source: registers under
+    format('rest_pages'), plans one input partition per shard, each
+    task walks its own cursor chain, and the union over shards is
+    exactly the full item set (no dupes, no gaps) with deterministic
+    md5-derived attributes."""
+    import hashlib
+
+    from commercial_rfp_data_pipeline_spark.sources.rest_datasource import (
+        RestPagesDataSource,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("rest_pages")
+        .option("n_shards", "5")
+        .option("n_items", "103")   # deliberately not divisible
+        .option("page_size", "7")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert sorted(r.item_id for r in rows) == list(range(103))
+    by_id = {r.item_id: r for r in rows}
+    for i in (0, 42, 102):
+        assert by_id[i].shard_id == i % 5
+        assert (
+            by_id[i].name
+            == "item_" + hashlib.md5(f"rest:{i}".encode()).hexdigest()[:12]
+        )
+    # the scan composes with the relational plan like any other source
+    agg = df.groupBy("shard_id").count().collect()
+    assert {r.shard_id: r["count"] for r in agg} == {
+        s: len([i for i in range(103) if i % 5 == s]) for s in range(5)
+    }
