@@ -218,3 +218,72 @@ def q_duplicate_examples(spark, sf_dir):
     )
     offenders = duplicate_audit(o, ["o_custkey", "odate"])
     return offenders.orderBy(F.col("n").desc(), "o_custkey", "odate").limit(10)
+
+
+@query(
+    "incremental_corpus_dedup",
+    f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5({_DRAFT_NORM}) AS fp
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    inc AS (
+      SELECT doc_id, md5({_DRAFT_NORM}) AS fp
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    flagged AS (
+      SELECT i.doc_id, i.fp,
+             c.fp IS NOT NULL AS in_corpus,
+             row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id) AS rn
+      FROM inc i LEFT JOIN corpus c ON c.fp = i.fp
+    )
+    SELECT doc_id, fp,
+           CASE WHEN in_corpus THEN 'dup_of_corpus'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM flagged
+    """,
+)
+def q_incremental_corpus_dedup(spark, sf_dir):
+    """INCREMENTAL ingest dedup — the operation a continuously-crawled
+    corpus runs on every arriving batch: flag each incoming document as
+    'dup_of_corpus' (content fingerprint already in the standing
+    corpus), 'dup_in_batch' (an earlier document in the same batch has
+    the same content), or 'new' (safe to append). Corpus membership is
+    one fingerprint semi/left join; within-batch dedup is keep-first by
+    deterministic ordinal — together the full admission decision,
+    without ever re-deduplicating the standing corpus.
+
+    Scale: the corpus side reduces to a DISTINCT fp column (at 10^10
+    docs that's the fingerprint index you maintain anyway, bucketed by
+    fp so this join is Exchange-free against it); the batch side
+    shuffles once on fp for both the join and the keep-first window.
+    Appending `status='new'` rows and their fps to the standing tables
+    keeps the next batch's check identical — the loop is O(batch), not
+    O(corpus)."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import fingerprint
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_fps = (
+        fingerprint(docs.filter(F.col("doc_id") % 5 != 0))
+        .select("fp")
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    inc = fingerprint(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", "fp"
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        inc.join(corpus_fps, "fp", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -753,3 +753,34 @@ def q_skyline(spark, sf_dir):
     return joined.filter(~dominated).select(
         "p_partkey", F.col("price").cast("double").alias("price"), "p_size"
     )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_custkey,
+           CAST(CAST(t.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) t
+"""
+
+
+@query("lateral_topn_per_nation", _LATERAL_SQL)
+def q_lateral_topn(spark, sf_dir):
+    """Top-3 customers by account balance per nation, stated as a
+    correlated LATERAL subquery — the SQL-standard form of
+    top-n-per-group — submitted through the SQL front door with the
+    IDENTICAL text running on the oracle. Catalyst decorrelates the
+    LATERAL into the same window/rank shape the DataFrame form of this
+    query family plans (topk_orders_per_customer), so accepting the
+    standard syntax costs nothing: a per-group ORDER BY...LIMIT never
+    executes as n_nations separate scans.
+
+    Scale: decorrelation means ONE shuffle of customers on nationkey
+    with the rank evaluated group-locally (AQE's window-group-limit
+    pushes the top-3 truncation map-side), then a broadcast join to the
+    25-row nation dim."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)

@@ -32,7 +32,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 DEFAULT_SCHEMA = "item_id bigint, shard_id int, name string, size_bytes bigint"
 
@@ -99,6 +104,66 @@ class RestPagesReader(DataSourceReader):
                 return
 
 
+class RestPagesStreamReader(DataSourceStreamReader):
+    """The INCREMENTAL form: a listing API polled as a Structured
+    Streaming source. Offsets are item positions in the feed's stable
+    order ({"pos": k}); each micro-batch covers [start, end) and
+    ``partitions`` shards that range so executors fetch concurrently.
+    ``read`` regenerates rows deterministically from the partition
+    spec alone — exactly the property a replayable production feed
+    needs (offset ranges must be re-fetchable for recovery; the
+    checkpointed offset log makes delivery exactly-once downstream of
+    a foreachBatch upsert sink, streaming/sinks.py).
+
+    The feed advances ``batch_items`` per poll up to ``n_items`` — a
+    deterministic stand-in for "new files appeared in the listing"
+    that lets tests drain the stream to a known final state."""
+
+    def __init__(self, options: dict):
+        self.n_shards = int(options.get("n_shards", "4"))
+        self.n_items = int(options.get("n_items", "100"))
+        self.batch_items = int(options.get("batch_items", "25"))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        if not hasattr(self, "_seen"):
+            self._seen = 0
+        self._seen = min(self._seen + self.batch_items, self.n_items)
+        return {"pos": self._seen}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["pos"], end["pos"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        # contiguous slices, one per shard, covering [lo, hi)
+        step = max(1, (hi - lo + self.n_shards - 1) // self.n_shards)
+        return [
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition) -> Iterator[tuple]:
+        for i in range(partition.lo, partition.hi):
+            yield (
+                i,
+                i % self.n_shards,
+                "item_" + hashlib.md5(f"rest:{i}".encode()).hexdigest()[:12],
+                int(hashlib.md5(f"size:{i}".encode()).hexdigest()[:6], 16),
+            )
+
+    def commit(self, end: dict) -> None:
+        # a production source would ack/forget server-side cursors here
+        pass
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
 class RestPagesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -109,3 +174,6 @@ class RestPagesDataSource(DataSource):
 
     def reader(self, schema) -> RestPagesReader:
         return RestPagesReader(self.options)
+
+    def streamReader(self, schema) -> RestPagesStreamReader:
+        return RestPagesStreamReader(self.options)

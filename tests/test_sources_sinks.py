@@ -837,3 +837,42 @@ def test_rest_pages_python_datasource(spark):
     assert {r.shard_id: r["count"] for r in agg} == {
         s: len([i for i in range(103) if i % 5 == s]) for s in range(5)
     }
+
+
+def test_rest_pages_streaming_source_drains_feed_exactly_once(spark):
+    """The streaming form of the REST source: offsets advance as the
+    feed grows, each micro-batch is range-sharded across executor
+    partitions, and draining the stream yields every item exactly once
+    with values identical to the batch reader's."""
+    from commercial_rfp_data_pipeline_spark.sources.rest_datasource import (
+        RestPagesDataSource,
+    )
+
+    spark.dataSource.register(RestPagesDataSource)
+    stream = (
+        spark.readStream.format("rest_pages")
+        .option("n_shards", "4")
+        .option("n_items", "60")
+        .option("batch_items", "25")   # 3 polls: 25, 50, 60
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rest_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t_rest_stream").collect()
+    assert sorted(r.item_id for r in rows) == list(range(60))
+    # values match the batch reader byte-for-byte
+    batch = (
+        spark.read.format("rest_pages")
+        .option("n_shards", "4")
+        .option("n_items", "60")
+        .load()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch.collect()))
