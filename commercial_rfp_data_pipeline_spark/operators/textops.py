@@ -1461,6 +1461,120 @@ def bpe_train(
     )
 
 
+def bpe_encode_words(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges (same loop as :func:`bpe_train`)
+    and APPLY them — the tokenizer's serving half: returns the
+    unique-word table with its final segmentation, (word, seq,
+    n_tokens, wn). Encoding a 100-TB corpus then costs ONE equi-join
+    of the exploded token stream to this table (AQE broadcasts it while
+    the vocab is small) — the segmentation fixpoint runs once per
+    UNIQUE word, never once per occurrence, which is the entire
+    distributed-BPE trick.
+
+    Same trainer-state discipline as bpe_train: per round one
+    weighted pair-count groupBy + a single-row driver argmax + a
+    narrow regexp merge pass; rounds are pin_eager'd so round k+1
+    reads a materialized segmentation."""
+    from commercial_rfp_data_pipeline_spark.io import pin_eager
+
+    wf = (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word").rlike(BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    seqs = wf.select(
+        "word",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+        "wn",
+    )
+    for r in range(1, n_merges + 1):
+        seqs = pin_eager(seqs, key=f"bpe_enc_round_{r}")
+        toks = seqs.select(F.split("seq", " ").alias("t"), "wn")
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("pair"),
+            "wn",
+        )
+        counts = pairs.groupBy("pair").agg(F.sum("wn").alias("n"))
+        best = counts.orderBy(F.col("n").desc(), "pair").first()
+        if best is None:
+            break
+        a, b = best.pair.split(" ")
+        pat = f"'( |^){a} {b}( |$)'"
+        repl = f"'$1{a}{b}$2'"
+        seqs = seqs.select(
+            "word",
+            F.expr(_bpe_merge_expr("seq", pat, repl, "spark")).alias("seq"),
+            "wn",
+        )
+    return seqs.select(
+        "word", "seq", F.size(F.split("seq", " ")).alias("n_tokens"), "wn"
+    )
+
+
+def bpe_encode_oracle_sql(norm_sql: str, n_merges: int = 3) -> str:
+    """DuckDB oracle for the encode path: the bpe_train_oracle_sql CTE
+    chain with the word column carried through every segmentation
+    round, finished by the token-stream join + per-doc aggregate."""
+    ctes = [
+        f"""wf AS (
+          SELECT word, count(*) AS wn FROM (
+            SELECT unnest(string_split({norm_sql}, ' ')) AS word FROM documents
+          ) WHERE regexp_full_match(word, '[a-z0-9]{{2,}}')
+          GROUP BY word
+        )""",
+        "seq0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq, wn FROM wf)",
+    ]
+    for r in range(1, n_merges + 1):
+        p = f"seq{r - 1}"
+        ctes.append(
+            f"""pc{r} AS (
+              SELECT t[i] || ' ' || t[i + 1] AS pair, sum(wn) AS n
+              FROM (SELECT t, wn, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM (SELECT string_split(seq, ' ') AS t, wn FROM {p}))
+              GROUP BY 1
+            )""")
+        ctes.append(
+            f"best{r} AS (SELECT pair, n FROM pc{r} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        merge_expr = _bpe_merge_expr(
+            "seq",
+            "'( |^)' || pair || '( |$)'",
+            "'\\1' || replace(pair, ' ', '') || '\\2'",
+            "duckdb",
+        )
+        ctes.append(
+            f"seq{r} AS (SELECT word, {merge_expr} AS seq, wn FROM {p} CROSS JOIN best{r})"
+        )
+    ctes.append(
+        f"tok AS (SELECT word, len(string_split(seq, ' ')) AS n_tok FROM seq{n_merges})"
+    )
+    ctes.append(
+        f"""dw AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split({norm_sql}, ' ')) AS word
+            FROM documents
+          ) WHERE regexp_full_match(word, '[a-z0-9]{{2,}}')
+        )"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN tok USING (word)
+    GROUP BY doc_id"""
+    )
+
+
 def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 3) -> str:
     """DuckDB oracle for :func:`bpe_train`: the rounds unroll into
     chained CTEs; each round's winning pair is a scalar-subquery CTE

@@ -865,6 +865,7 @@ def q_contrastive_negatives(spark, sf_dir):
 
 
 from commercial_rfp_data_pipeline_spark.operators.textops import (
+    bpe_encode_oracle_sql,
     bpe_train,
     bpe_train_oracle_sql,
 )
@@ -1155,4 +1156,34 @@ def q_trigram_search(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return trigram_substring_search(docs, "batch value").select(
         "doc_id", "lang", "n_chars"
+    )
+
+
+@query("bpe_encode_corpus", bpe_encode_oracle_sql(_NORM, n_merges=3))
+def q_bpe_encode(spark, sf_dir):
+    """The tokenizer's SERVING half: apply the 3 trained BPE merges to
+    the corpus and count post-merge tokens per document. The
+    segmentation fixpoint runs once per UNIQUE word
+    (operators/textops.py:bpe_encode_words); the corpus encode is one
+    equi-join of the exploded token stream to that table plus a
+    per-doc aggregate — occurrences never re-segment. Value-checked
+    end to end: the oracle re-derives the same merges and the same
+    per-word segmentations in unrolled CTEs."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        bpe_encode_words,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = bpe_encode_words(docs, n_merges=3).select("word", "n_tokens")
+    dw = docs.select(
+        "doc_id", F.explode(words("text")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]{2,}$"))
+    return (
+        dw.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
     )

@@ -859,3 +859,21 @@ def test_bigram_lm_sees_transitions_unigram_misses(spark):
     assert bi[100] > bi[0]     # bigram can
     # natural docs all score identically (deterministic, order-free)
     assert len({bi[i] for i in range(10)}) == 1
+
+
+def test_bpe_encode_applies_trained_merges(spark):
+    """Hand-traced train+apply on a 2-doc corpus: with words the(x3)
+    cat(x2), round 1 merges 'h e' (count 3, lexicographic tiebreak over
+    't h'), round 2 merges 't he' -> 'the'; encoding then costs 1 token
+    per 'the' and 3 per 'cat', and the corpus join aggregates per
+    doc."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        bpe_encode_words,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, "the the cat")], "doc_id long, text string"
+    )
+    enc = {r.word: (r.seq, r.n_tokens) for r in bpe_encode_words(df, n_merges=2).collect()}
+    assert enc["the"] == ("the", 1)
+    assert enc["cat"] == ("c a t", 3)
