@@ -877,3 +877,25 @@ def test_bpe_encode_applies_trained_merges(spark):
     enc = {r.word: (r.seq, r.n_tokens) for r in bpe_encode_words(df, n_merges=2).collect()}
     assert enc["the"] == ("the", 1)
     assert enc["cat"] == ("c a t", 3)
+
+
+def test_dup_clusters_batched_probe_same_labels(spark):
+    """The batched fixpoint probe (check_every > 1) must produce the
+    IDENTICAL labeling as per-round probing — labels only decrease, so
+    an unchanged sum across the window proves every intervening round
+    was a no-op. Chain graph forces multi-round convergence."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    want = {i: 0 for i in range(n)}
+    for ce in (1, 2, 3):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dup_clusters(nodes, chain, check_every=ce).collect()
+        }
+        assert got == want, f"check_every={ce}"
+        assert dup_clusters.last_rounds <= 12  # O(log n), not O(n)
