@@ -131,3 +131,47 @@ class PandasBatchEmbedder:
                 )
 
         return df.mapInPandas(run, schema=f"{id_col} string, embedding array<double>")
+
+
+def crossencoder_rerank(
+    pairs: DataFrame,
+    q_col: str = "q_id",
+    d_col: str = "vec_id",
+    score_fn=None,
+) -> DataFrame:
+    """The RERANK seam of two-stage retrieval serving: a cross-encoder
+    scores each (query, candidate) pair jointly — strictly better
+    relevance than the bi-encoder cosine that built the shortlist, and
+    affordable precisely BECAUSE it only ever sees the shortlist
+    (k·n_queries rows, never the corpus). Batches of pairs flow through
+    ``mapInPandas``; production swaps ``score_fn`` for the model
+    forward pass over the Arrow batch (the batch shape IS the
+    contract — same policy as the embedder seam above and the
+    multimodal decoders).
+
+    Default ``score_fn`` is the documented deterministic fake:
+    score = int(md5('ce:q:d')[:6], 16) / 16^6 ∈ [0,1) — exact
+    arithmetic (the divisor is a power of two), so the whole rerank
+    pipeline stays value-checkable end to end.
+
+    Appends ``ce_score`` (double) to the input columns."""
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields)
+
+    def run(batches):
+        import hashlib
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            if score_fn is not None:
+                pdf["ce_score"] = score_fn(pdf)
+            else:
+                pdf["ce_score"] = [
+                    int(
+                        hashlib.md5(f"ce:{q}:{d}".encode()).hexdigest()[:6], 16
+                    )
+                    / 16**6
+                    for q, d in zip(pdf[q_col], pdf[d_col])
+                ]
+            yield pdf
+
+    return pairs.mapInPandas(run, schema=f"{in_schema}, ce_score double")

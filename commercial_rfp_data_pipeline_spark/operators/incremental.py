@@ -118,3 +118,34 @@ def merkle_diff(
         )
         .filter(F.col("change").isNotNull())
     )
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    upsert_op: str = "U",
+    delete_op: str = "D",
+) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: apply a keyed
+    changeset of upserts (insert-or-update, full-row payload) and
+    deletes to a snapshot, producing the next snapshot — the lakehouse
+    write primitive (Delta/Iceberg MERGE) expressed as its relational
+    core. WHEN MATCHED AND op = delete THEN DELETE / WHEN MATCHED THEN
+    UPDATE / WHEN NOT MATCHED AND op = upsert THEN INSERT, with
+    upsert-wins-over-base on key collision.
+
+    A duplicate key WITHIN the changeset is caller error (real MERGE
+    raises on multiple matches); this keeps last-write-wins out of the
+    operator and the semantics deterministic.
+
+    Scale: ONE left-anti join of the base against the changeset keys
+    (shuffle on key; bucket both sides by key — io.save_bucketed — and
+    it runs Exchange-free) plus a union with the upsert payloads; cost
+    is O(base + changes) with no wide aggregation. This is exactly the
+    shape a transaction log compacts to on read, minus the log."""
+    tombstones = changes.select(*keys).distinct()
+    upserts = changes.filter(F.col(op_col) == upsert_op).drop(op_col)
+    kept = base.join(tombstones, keys, "left_anti")
+    return kept.unionByName(upserts)

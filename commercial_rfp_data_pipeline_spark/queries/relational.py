@@ -784,3 +784,75 @@ def q_lateral_topn(spark, sf_dir):
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "merge_apply_changeset",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    changes AS (
+      SELECT o_orderkey, 'D' AS op,
+             CAST(NULL AS VARCHAR) AS o_orderstatus,
+             CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM base WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 'U' AS op, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    ),
+    kept AS (
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM changes c
+                        WHERE c.o_orderkey = b.o_orderkey)
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+    FROM kept
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+    FROM changes WHERE op = 'U'
+    """,
+)
+def q_merge_apply(spark, sf_dir):
+    """MERGE INTO applied as a batch operator
+    (operators/incremental.py:merge_apply): a derived changeset —
+    deletes for every 7th base key, upserts for every post-1997 order —
+    lands on the pre-1997 snapshot and produces the next snapshot in
+    one anti-join + union. Completes the lakehouse write family next to
+    cdc_diff_snapshots (its inverse: diff re-derives this changeset),
+    snapshot time travel, and the exactly-once streaming upsert sink."""
+    from commercial_rfp_data_pipeline_spark.operators.incremental import (
+        merge_apply,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+    ).select(cols)
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    upserts = o.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    merged = merge_apply(
+        base, deletes.unionByName(upserts), keys=["o_orderkey"]
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
+    )

@@ -1280,3 +1280,103 @@ def q_ivfpq(spark, sf_dir):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+_CE_HEX = "0123456789abcdef"
+
+
+def _ce_score_sql(q: str, d: str) -> str:
+    """DuckDB restatement of the deterministic fake cross-encoder:
+    int(md5('ce:q:d')[:6], 16) / 16^6, hex-decoded char by char."""
+    h = f"md5('ce:' || CAST({q} AS VARCHAR) || ':' || CAST({d} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('{_CE_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({terms}) / 16777216.0)"
+
+
+@query(
+    "crossencoder_rerank_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    qv AS (SELECT vec_id AS q_id, v AS q_vec FROM e
+           WHERE vec_id IN {_RESCORE_QIDS!r}),
+    sims AS (
+      SELECT qv.q_id, e.vec_id,
+             round(list_cosine_similarity(e.v, qv.q_vec), 6) AS sim
+      FROM e JOIN qv ON e.vec_id <> qv.q_id
+    ),
+    short AS (
+      SELECT q_id, vec_id, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY sim DESC, vec_id) AS rns
+        FROM sims
+      ) WHERE rns <= 20
+    ),
+    rescored AS (
+      SELECT q_id, vec_id, sim,
+             round({_ce_score_sql('q_id', 'vec_id')}, 6) AS ce_score,
+             round(0.5 * sim + 0.5 * {_ce_score_sql('q_id', 'vec_id')}, 6)
+               AS final_score
+      FROM short
+    )
+    SELECT q_id, vec_id, sim, ce_score, final_score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY final_score DESC, vec_id) AS rnk
+      FROM rescored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_crossencoder_rerank(spark, sf_dir):
+    """Two-stage retrieval SERVING: bi-encoder shortlist (exact cosine
+    top-20 per query — in production the ANN index) followed by a
+    cross-encoder rerank of ONLY the shortlist through the mapInPandas
+    model seam (operators/embedder.py:crossencoder_rerank), final
+    ordering by the blended score. The standard retrieve-then-rerank
+    architecture every production semantic-search stack runs; the
+    deterministic fake scorer keeps the whole two-stage path
+    value-checked (shortlist membership, both scores, final order).
+
+    Scale: stage 1 is the ANN problem solved elsewhere (ivf/lsh/
+    hamming tiers); stage 2 touches k·n_queries rows — the expensive
+    model runs on 60 pairs here, never the corpus."""
+    from commercial_rfp_data_pipeline_spark.operators.embedder import (
+        crossencoder_rerank,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).filter(_dot(F.col("v"), F.col("v")) > 0)
+    qv = ev.filter(F.col("vec_id").isin(*_RESCORE_QIDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    short = knn_exact(
+        ev, qv, k=20, vec_col="v", q_vec_col="q_vec"
+    ).select("q_id", "vec_id", "sim")
+    ce = crossencoder_rerank(short)
+    rescored = ce.select(
+        "q_id",
+        "vec_id",
+        "sim",
+        F.round("ce_score", 6).alias("ce_score"),
+        F.round(0.5 * F.col("sim") + 0.5 * F.col("ce_score"), 6).alias(
+            "final_score"
+        ),
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("final_score").desc(), "vec_id"
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", "sim", "ce_score", "final_score", "rnk")
+    )
