@@ -1005,3 +1005,191 @@ def q_session_pattern(spark, sf_dir):
         "seq",
         F.col("seq").rlike("v.*c.*p").alias("funnel_matched"),
     )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def q_cumulative_distinct_users(spark, sf_dir):
+    """Cumulative distinct users by day — the growth curve. A naive
+    count(DISTINCT) per growing window is O(days x users) re-scans;
+    the first-occurrence decomposition is the scale shape: one
+    groupBy(user) min(ts) pass, one daily count, one running sum over
+    the tiny per-day table. Exactly how a 100-TB events store computes
+    'users to date' without ever holding a distinct set."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@query(
+    "events_seasonal_baseline_outliers",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value,
+             CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod
+      FROM events
+    ),
+    season AS (
+      SELECT dow, hod,
+             round(avg(CAST(value AS DECIMAL(18,6))), 6) AS mu,
+             round(stddev_samp(CAST(value AS DECIMAL(18,6))), 6) AS sigma,
+             count(*) AS n
+      FROM base GROUP BY dow, hod
+    )
+    SELECT b.event_id, b.dow, b.hod,
+           CAST(CAST(b.value AS DECIMAL(18,6)) AS DOUBLE) AS value,
+           s.mu, s.sigma,
+           round(CAST(b.value AS DECIMAL(18,6)) - s.mu, 6) AS residual
+    FROM base b JOIN season s ON s.dow = b.dow AND s.hod = b.hod
+    WHERE s.sigma > 0
+      AND abs(CAST(b.value AS DECIMAL(18,6)) - s.mu) > 3 * s.sigma
+    """,
+)
+def q_seasonal_baseline_outliers(spark, sf_dir):
+    """Seasonality-aware anomaly detection: build the (day-of-week x
+    hour-of-day) baseline profile — the weekly seasonal fingerprint of
+    the metric — and flag events more than 3 sigma from THEIR slot's
+    mean. The plain hourly z-score (events_hourly_anomaly_zscores)
+    flags every Friday peak as anomalous; deseasonalizing first is
+    what production monitoring actually does.
+
+    Scale: the profile is one groupBy over a 168-row key (map-side
+    combined); scoring is a broadcast join of that tiny profile back
+    to the stream — no second shuffle of the events. DECIMAL
+    accumulation keeps mean/stddev order-independent for the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    base = e.select(
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.dayofweek("ts").alias("dow_spark"),
+        F.hour("ts").alias("hod"),
+    ).withColumn(
+        # Spark dayofweek: Sunday=1..Saturday=7; DuckDB dow: Sunday=0
+        "dow",
+        (F.col("dow_spark") - 1).cast("int"),
+    )
+    season = base.groupBy("dow", "hod").agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_samp("v"), 6).alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    scored = base.join(F.broadcast(season), ["dow", "hod"])
+    return scored.filter(
+        (F.col("sigma") > 0)
+        & (F.abs(F.col("v") - F.col("mu")) > 3 * F.col("sigma"))
+    ).select(
+        "event_id",
+        "dow",
+        "hod",
+        F.col("v").cast("double").alias("value"),
+        F.col("mu").cast("double").alias("mu"),
+        F.col("sigma").cast("double").alias("sigma"),
+        F.round(F.col("v") - F.col("mu"), 6).cast("double").alias("residual"),
+    )
+
+
+@query(
+    "events_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s,
+             ts + INTERVAL 30 MINUTE AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s <= max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS is_start
+      FROM iv
+    ),
+    grouped AS (
+      SELECT user_id, s, e,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, grp, min(s) AS span_start, max(e) AS span_end
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           count(*) AS n_spans,
+           CAST(sum(CAST(floor(epoch(span_end)) AS BIGINT)
+                    - CAST(floor(epoch(span_start)) AS BIGINT)) AS BIGINT)
+             AS covered_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_coverage(spark, sf_dir):
+    """Interval-union coverage (gaps-and-islands): each event opens a
+    30-minute activity window; overlapping windows per user merge into
+    spans, and the answer is each user's span count and total covered
+    seconds — 'how long was the user actually active', immune to
+    double-counting overlaps. The classic island detection: a window
+    max over prior ends marks span starts, a running sum of the marks
+    numbers the islands, one groupBy collapses them.
+
+    Scale: ONE shuffle on user_id serves both window passes and the
+    final aggregate (same partitioning reused); nothing quadratic in
+    events-per-user."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_start",
+        F.when(F.col("s") <= F.max("e").over(w_prev), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    grouped = marked.withColumn("grp", F.sum("is_start").over(w_run))
+    merged = grouped.groupBy("user_id", "grp").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(
+            F.unix_timestamp("span_end") - F.unix_timestamp("span_start")
+        ).alias("covered_seconds"),
+    )

@@ -860,3 +860,77 @@ def q_histogram_selectivity(spark, sf_dir):
             (F.col("est_rows") - F.col("exact_rows")) / F.col("exact_rows"), 6
         ).alias("rel_err"),
     )
+
+
+@query(
+    "target_encoding_oof",
+    """
+    WITH labeled AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS segment,
+             CAST(o.o_orderkey % 5 AS INTEGER) AS fold,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per_fold AS (
+      SELECT segment, fold, sum(y) AS s, count(*) AS n
+      FROM labeled GROUP BY segment, fold
+    ),
+    totals AS (
+      SELECT segment, sum(s) AS s_all, sum(n) AS n_all
+      FROM per_fold GROUP BY segment
+    )
+    SELECT l.o_orderkey, l.segment, l.fold,
+           round((t.s_all - p.s) / (t.n_all - p.n), 6) AS te
+    FROM labeled l
+    JOIN per_fold p ON p.segment = l.segment AND p.fold = l.fold
+    JOIN totals t ON t.segment = l.segment
+    WHERE t.n_all > p.n
+    """,
+)
+def q_target_encoding_oof(spark, sf_dir):
+    """Out-of-fold target encoding — the leakage-safe form of the most
+    effective categorical feature in tabular ML: each row's segment is
+    encoded as the mean target over the OTHER K-1 folds, so a row
+    never sees its own label. Stated as exact arithmetic:
+    te = (sum_all - sum_fold) / (n_all - n_fold) over DECIMAL sums —
+    no per-fold re-scan, no subtraction drift, fully value-checked.
+
+    Scale: two map-side-combined groupBys over (segment, fold) — a
+    25-row table — then the encodings broadcast back onto the labeled
+    stream; at 100 TB the label table shuffles once for the
+    customer join and never again."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    labeled = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == c["c_custkey"])
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("o_orderkey") % 5).cast("int").alias("fold"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        )
+    )
+    per_fold = labeled.groupBy("segment", "fold").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    totals = per_fold.groupBy("segment").agg(
+        F.sum("s").alias("s_all"), F.sum("n").alias("n_all")
+    )
+    enc = (
+        per_fold.join(totals, "segment")
+        .filter(F.col("n_all") > F.col("n"))
+        .select(
+            "segment",
+            "fold",
+            F.round(
+                (F.col("s_all") - F.col("s")) / (F.col("n_all") - F.col("n")),
+                6,
+            )
+            .cast("double")
+            .alias("te"),
+        )
+    )
+    return labeled.join(F.broadcast(enc), ["segment", "fold"]).select(
+        "o_orderkey", "segment", "fold", "te"
+    )
