@@ -1193,3 +1193,60 @@ def q_interval_coverage(spark, sf_dir):
             F.unix_timestamp("span_end") - F.unix_timestamp("span_start")
         ).alias("covered_seconds"),
     )
+
+
+@query(
+    "events_rollup_cascade",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', h) AS DATE) AS d, event_type,
+             sum(n) AS n, sum(v) AS v
+      FROM hourly GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', d) AS DATE) AS w, event_type,
+             sum(n) AS n, sum(v) AS v
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT w AS week_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(v AS DOUBLE) AS total_value
+    FROM weekly
+    """,
+)
+def q_rollup_cascade(spark, sf_dir):
+    """The continuous-aggregate CASCADE (hypertable rollup discipline):
+    weekly totals computed FROM daily totals computed FROM hourly
+    totals — never from raw events. Each level re-aggregates the level
+    below (sum of sums; counts and DECIMAL sums are mergeable), which
+    is what makes a materialized rollup hierarchy maintainable at
+    100 TB: the hourly table absorbs the raw stream once (the
+    exactly-once streaming sink writes it incrementally), and every
+    coarser level reads only the level below — a 24x, then 7x row
+    reduction per step. Value-checked against the same three-level
+    cascade in the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("v"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").cast("date").alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", "d").cast("date").alias("week_start"),
+        "event_type",
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    return weekly.select(
+        "week_start",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("v").cast("double").alias("total_value"),
+    )

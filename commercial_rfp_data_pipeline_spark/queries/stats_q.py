@@ -934,3 +934,54 @@ def q_target_encoding_oof(spark, sf_dir):
     return labeled.join(F.broadcast(enc), ["segment", "fold"]).select(
         "o_orderkey", "segment", "fold", "te"
     )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    WITH quasi AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS INTEGER)
+               AS balance_band,
+             c_mktsegment
+      FROM customer
+    ),
+    groups AS (
+      SELECT c_nationkey, balance_band, c_mktsegment,
+             count(*) AS group_size
+      FROM quasi GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, balance_band, c_mktsegment, group_size,
+           group_size < 5 AS violates_k5
+    FROM groups
+    """,
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    banded balance, segment): every equivalence class's size, flagged
+    when below k=5 — the groups a privacy-preserving release must
+    suppress or generalize because their members are re-identifiable.
+    The compliance gate a dataset-release pipeline runs next to PII
+    redaction (pii_redaction) before data leaves the boundary.
+
+    Scale: ONE groupBy on the quasi-identifier tuple with map-side
+    combine; the audit output is one row per equivalence class, not
+    per record — tiny regardless of corpus size."""
+    c = load_table(spark, sf_dir, "customer")
+    quasi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000)
+        .cast("int")
+        .alias("balance_band"),
+        "c_mktsegment",
+    )
+    groups = quasi.groupBy(
+        "c_nationkey", "balance_band", "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.select(
+        "c_nationkey",
+        "balance_band",
+        "c_mktsegment",
+        "group_size",
+        (F.col("group_size") < 5).alias("violates_k5"),
+    )
