@@ -1250,3 +1250,50 @@ def q_rollup_cascade(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("v").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS cur_type, next_type, count(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (SELECT cur_type, sum(n) AS total FROM trans GROUP BY cur_type)
+    SELECT t.cur_type, t.next_type, t.n,
+           round(t.n / CAST(tt.total AS DOUBLE), 6) AS p
+    FROM trans t JOIN totals tt ON tt.cur_type = t.cur_type
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current) — the user-journey model
+    behind next-action prediction and funnel-drop analysis, and the
+    transition-level counterpart of session pattern matching. Exact
+    arithmetic: integer transition counts, one division at the end.
+
+    Scale: one user_id shuffle for the lead() window; the transition
+    matrix itself is |types|^2 rows — map-side combined and tiny
+    forever."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("cur_type"), "next_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("cur_type").agg(F.sum("n").alias("total"))
+    return trans.join(totals, "cur_type").select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("p"),
+    )

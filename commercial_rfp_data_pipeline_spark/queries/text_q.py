@@ -1187,3 +1187,91 @@ def q_bpe_encode(spark, sf_dir):
             F.sum("n_tokens").alias("n_bpe_tokens"),
         )
     )
+
+
+@query(
+    "minhash_band_eval",
+    f"""
+    WITH {_SHINGLES_CTE.strip()},
+    freq AS (SELECT sh AS fsh, count(*) AS df FROM sh GROUP BY sh),
+    sh2 AS (SELECT doc_id, sh FROM sh JOIN freq ON sh = fsh WHERE df <= 100),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts na ON na.doc_id = doc_a
+      JOIN counts nb ON nb.doc_id = doc_b
+      WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) >= 0.2
+    ),
+    hashed AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+    ),
+    minh AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_val
+      FROM minh GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    tp AS (SELECT count(*) AS n FROM cand JOIN truth USING (doc_a, doc_b)),
+    nc AS (SELECT count(*) AS n FROM cand),
+    nt AS (SELECT count(*) AS n FROM truth)
+    SELECT nc.n AS n_candidates, nt.n AS n_true, tp.n AS n_tp,
+           round(tp.n / CAST(nc.n AS DOUBLE), 6) AS precision,
+           round(tp.n / CAST(nt.n AS DOUBLE), 6) AS recall
+    FROM nc, nt, tp
+    """,
+)
+def q_minhash_band_eval(spark, sf_dir):
+    """Candidate-generation EVALUATION: precision/recall of the
+    MinHash(8)x(4 bands) candidate pairs against ground-truth 3-gram
+    Jaccard >= 0.2 (the same df-capped truth `ngram_jaccard_pairs`
+    emits) — the measurement a dedup pipeline runs before trusting a
+    banding config at corpus scale, where exact Jaccard on all pairs is
+    unaffordable but a sampled audit is mandatory. One candidate⨝truth
+    semi-count; all three counts exact integers, ratios exact-rounded.
+
+    Scale: both pair sets are the bounded candidate streams their own
+    queries bound (postings df-cap / band-bucket fanout); the eval adds
+    one equi-join on the pair key and three one-row aggregates."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        jaccard_pairs,
+        minhash_bands,
+        minhash_candidate_pairs,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = shingles(docs, parallelism=par)
+    truth = jaccard_pairs(sh, threshold=0.2, max_doc_freq=100).select(
+        "doc_a", "doc_b"
+    )
+    cand = minhash_candidate_pairs(minhash_bands(sh))
+    tp = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        nc.crossJoin(nt)
+        .crossJoin(tp)
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_tp",
+            F.round(F.col("n_tp") / F.col("n_candidates"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("n_tp") / F.col("n_true"), 6).alias("recall"),
+        )
+    )
