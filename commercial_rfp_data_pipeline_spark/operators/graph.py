@@ -461,3 +461,47 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("id", F.col("lbl").alias("community"))
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Bounded Bellman-Ford single/multi-source shortest paths: after
+    ``rounds`` relaxation supersteps, (id, dist) holds the exact
+    minimum-weight path distance over paths of <= rounds edges — the
+    WEIGHTED sibling of bfs_hops (which counts hops). Unreachable-in-k
+    nodes are absent, matching the BFS contract.
+
+    Each superstep is the min-plus product of the distance vector with
+    the edge matrix: ONE state⨝edges join (shuffle on src) + ONE
+    groupBy(id) min with map-side combine — identical cost envelope to
+    a PageRank superstep, and the same fixed-round discipline keeps it
+    oracle-expressible as unrolled CTEs (integer weights -> exact
+    arithmetic, no float drift). State is lazily checkpointed per round
+    so round k+1 reads a materialized table."""
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relax = (
+            dist.join(edges, dist["id"] == edges[src])
+            .select(
+                F.col(dst).alias("id"),
+                (F.col("dist") + F.col(w)).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -478,3 +478,63 @@ def q_bom_rollup_recursive(spark, sf_dir):
     for t in ("part",):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_BOM_SQL)
+
+
+def _sssp_oracle(rounds: int = 3) -> str:
+    ctes = [
+        """swe AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+                 1 + (a.l_partkey + b.l_partkey) % 5 AS w
+          FROM lineitem a
+          JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        )""",
+        "d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM (VALUES (1), (2), (3)) s(id))",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"d{r - 1}"
+        ctes.append(
+            f"""d{r} AS (
+              SELECT id, min(dist) AS dist FROM (
+                SELECT id, dist FROM {p}
+                UNION ALL
+                SELECT e.dst AS id, {p}.dist + e.w AS dist
+                FROM {p} JOIN swe e ON e.src = {p}.id
+              ) GROUP BY id
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS p_partkey, dist FROM d{rounds}"
+    )
+
+
+@query("sssp_weighted_bounded", _sssp_oracle(3))
+def q_sssp_weighted(spark, sf_dir):
+    """Bounded Bellman-Ford over the co-purchase graph with
+    deterministic integer edge weights (1 + (src+dst) % 5): exact
+    shortest-path distance within 3 relaxation rounds from seed parts
+    {{1,2,3}} — the weighted sibling of bfs_hops_copurchase. Min-plus
+    supersteps, unrolled-CTE oracle, integer arithmetic throughout."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import sssp_bounded
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "w", (1 + (F.col("src") + F.col("dst")) % 5).cast("long")
+        )
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    out = sssp_bounded(edges, seeds, rounds=3)
+    return out.select(F.col("id").alias("p_partkey"), "dist")

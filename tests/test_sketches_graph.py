@@ -276,3 +276,24 @@ def test_label_propagation_separates_two_cliques(spark):
     right = {out[i] for i in (11, 12, 13)}
     assert left.isdisjoint(right), (left, right)
     assert out[99] == 99  # isolated keeps own label
+
+
+def test_sssp_bounded_chain_and_shortcut(spark):
+    """Hand-checked: chain 1-2-3-4 with weights, plus a heavier direct
+    shortcut 1->4; within 3 rounds the light 3-edge path (sum 3) beats
+    the heavy 1-edge shortcut (10). A node 5 edges away is absent."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 1), (2, 3, 1), (3, 4, 1),     # light chain
+            (1, 4, 10),                           # heavy shortcut
+            (4, 5, 1), (5, 6, 1), (6, 7, 1),      # beyond the bound
+        ],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.dist for r in sssp_bounded(edges, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 11, 6: 12}
+    # 7 needs 6 hops on the light path, >3 via any path -> absent
+    assert 7 not in got
