@@ -36,7 +36,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 DEFAULT_SCHEMA = "item_id bigint, shard_id int, name string, size_bytes bigint"
@@ -177,3 +179,75 @@ class RestPagesDataSource(DataSource):
 
     def streamReader(self, schema) -> RestPagesStreamReader:
         return RestPagesStreamReader(self.options)
+
+
+class _UploadCommit(WriterCommitMessage):
+    def __init__(self, n_rows: int, names: list[str]):
+        self.n_rows = n_rows
+        self.names = names
+
+
+class RestUploadWriter(DataSourceWriter):
+    """K7's first-class form: each executor task PUTs its partition's
+    documents and returns a commit message naming what it uploaded; the
+    driver's ``commit`` sees every message only if EVERY task
+    succeeded — the all-or-nothing visibility point a job-level
+    manifest write hangs off (abort() is the compensation hook).
+    Self-contained: the default transport writes ``<name>`` → bytes
+    under the ``path`` option (the local-FS stand-in for the HTTP PUT,
+    same seam as documents.upload_documents); a production subclass
+    overrides ``put``."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path", "/tmp/rest_upload")
+        self.name_col = options.get("name_col", "filename")
+        self.payload_col = options.get("payload_col", "payload")
+
+    def put(self, name: str, payload: bytes) -> None:
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, name), "wb") as f:
+            f.write(payload)
+
+    def write(self, iterator):
+        n, names = 0, []
+        for row in iterator:
+            name = row[self.name_col]
+            payload = row[self.payload_col]
+            self.put(
+                name,
+                payload if isinstance(payload, (bytes, bytearray)) else str(payload).encode(),
+            )
+            n += 1
+            names.append(name)
+        return _UploadCommit(n, names)
+
+    def commit(self, messages):
+        # all tasks succeeded; write the job-level manifest atomically
+        import json
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        manifest = {
+            "n_rows": sum(m.n_rows for m in messages),
+            "files": sorted(x for m in messages for x in m.names),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        # compensation hook: a production transport deletes the
+        # partial uploads named in the surviving commit messages
+        pass
+
+
+class RestUploadDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rest_upload"
+
+    def writer(self, schema, overwrite: bool) -> RestUploadWriter:
+        return RestUploadWriter(self.options)

@@ -876,3 +876,38 @@ def test_rest_pages_streaming_source_drains_feed_exactly_once(spark):
         .load()
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, batch.collect()))
+
+
+def test_rest_upload_python_datasource_writer(spark, tmp_path):
+    """K7 as a first-class Python Data Source WRITER: executors PUT
+    their partitions, the driver commits a job-level manifest listing
+    every uploaded file — written only after all tasks succeed."""
+    import json
+    import os
+
+    from commercial_rfp_data_pipeline_spark.sources.rest_datasource import (
+        RestUploadDataSource,
+    )
+
+    spark.dataSource.register(RestUploadDataSource)
+    dest = str(tmp_path / "uploads")
+    df = spark.createDataFrame(
+        [(f"doc_{i}.docx", f"payload {i}".encode()) for i in range(7)],
+        "filename string, payload binary",
+    ).repartition(3)
+    (
+        df.write.format("rest_upload")
+        .option("path", dest)
+        .mode("append")
+        .save()
+    )
+    files = sorted(os.listdir(dest))
+    assert [f for f in files if f.endswith(".docx")] == [
+        f"doc_{i}.docx" for i in range(7)
+    ]
+    with open(os.path.join(dest, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["n_rows"] == 7
+    assert manifest["files"] == [f"doc_{i}.docx" for i in range(7)]
+    with open(os.path.join(dest, "doc_3.docx"), "rb") as f:
+        assert f.read() == b"payload 3"
