@@ -170,3 +170,64 @@ def q_retention_prune(spark, sf_dir):
         ),
         created.alias("created"),
     ).filter(~created.startswith(KEEP_PREFIX))
+
+
+@query(
+    "gdpr_cascade_delete",
+    """
+    WITH dels AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+    chunks AS (
+      SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id
+      FROM (
+        SELECT doc_id, unnest(generate_series(0,
+                 (1 + (greatest(length(text) - 120, 0) + 89) // 90) - 1)) AS pos
+        FROM dels
+      )
+    )
+    SELECT 'documents' AS table_name, CAST(doc_id AS VARCHAR) AS row_key
+    FROM dels
+    UNION ALL
+    SELECT 'chunks' AS table_name, chunk_id AS row_key FROM chunks
+    UNION ALL
+    SELECT 'chunk_embeddings' AS table_name, chunk_id AS row_key FROM chunks
+    """,
+)
+def q_gdpr_cascade_delete(spark, sf_dir):
+    """Right-to-erasure CASCADE: a deletion-request set (every 13th
+    document standing in for the DSAR list) expands through the
+    derivation graph — source rows, their chunks (the same
+    size-120/overlap-30 arithmetic `chunk_documents` derives), and the
+    chunk-embedding index entries — into one per-table deletion
+    manifest. This is the governance operation the engine's own
+    lineage makes mechanical: every derived table keys back to
+    parent_id, so erasure is key expansion + anti-join application
+    (merge_apply / reset_and_rebuild execute the manifest), never a
+    corpus rescan.
+
+    Scale: the manifest is O(deleted docs x chunks-per-doc); each
+    downstream table applies it as one anti-join (bucketed tables:
+    Exchange-free). Sits with k_anonymity_audit and pii_redaction as
+    the compliance surface."""
+    from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    dels = docs.filter(F.col("doc_id") % 13 == 0)
+    chunk_ids = chunk_text(dels, size=120, overlap=30).select("chunk_id")
+    return (
+        dels.select(
+            F.lit("documents").alias("table_name"),
+            F.col("doc_id").cast("string").alias("row_key"),
+        )
+        .unionByName(
+            chunk_ids.select(
+                F.lit("chunks").alias("table_name"),
+                F.col("chunk_id").alias("row_key"),
+            )
+        )
+        .unionByName(
+            chunk_ids.select(
+                F.lit("chunk_embeddings").alias("table_name"),
+                F.col("chunk_id").alias("row_key"),
+            )
+        )
+    )
