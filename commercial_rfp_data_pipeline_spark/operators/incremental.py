@@ -127,6 +127,7 @@ def merge_apply(
     op_col: str = "op",
     upsert_op: str = "U",
     delete_op: str = "D",
+    validate: bool = False,
 ) -> DataFrame:
     """MERGE INTO semantics on plain DataFrames: apply a keyed
     changeset of upserts (insert-or-update, full-row payload) and
@@ -138,13 +139,32 @@ def merge_apply(
 
     A duplicate key WITHIN the changeset is caller error (real MERGE
     raises on multiple matches); this keeps last-write-wins out of the
-    operator and the semantics deterministic.
+    operator and the semantics deterministic. ``validate=True`` enforces
+    it eagerly — one extra count-distinct aggregation over the (small)
+    changeset, raising before anything is written, exactly the
+    [DELTA_MULTIPLE_SOURCE_ROW_MATCHING...] contract. Off by default
+    because the changeset is often produced by a keyed groupBy and
+    provably unique already.
 
     Scale: ONE left-anti join of the base against the changeset keys
     (shuffle on key; bucket both sides by key — io.save_bucketed — and
     it runs Exchange-free) plus a union with the upsert payloads; cost
     is O(base + changes) with no wide aggregation. This is exactly the
     shape a transaction log compacts to on read, minus the log."""
+    if validate:
+        dup = (
+            changes.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_apply: changeset has multiple rows for key "
+                f"{tuple(dup[0][k] for k in keys)!r}; MERGE semantics "
+                f"require at most one change per key"
+            )
     tombstones = changes.select(*keys).distinct()
     upserts = changes.filter(F.col(op_col) == upsert_op).drop(op_col)
     kept = base.join(tombstones, keys, "left_anti")

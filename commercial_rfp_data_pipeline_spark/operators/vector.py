@@ -612,7 +612,7 @@ def quantize_binary(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col), v.alias("_v"))
     n_words = F.ceil(F.size("_v") / F.lit(64.0)).cast("int")
-    bits = F.transform(
+    packed = F.transform(
         F.sequence(F.lit(0), n_words - 1),
         lambda w: F.aggregate(
             F.sequence(
@@ -632,6 +632,11 @@ def quantize_binary(
                 )
             ),
         ),
+    )
+    # empty vector -> zero words (F.sequence(0, -1) would DESCEND and
+    # fabricate two bogus words)
+    bits = F.when(F.size("_v") == 0, F.array().cast("array<long>")).otherwise(
+        packed
     )
     return base.select(
         F.col(id_col), bits.alias("bits"), F.size("_v").alias("n_dims")

@@ -899,3 +899,40 @@ def test_dup_clusters_batched_probe_same_labels(spark):
         }
         assert got == want, f"check_every={ce}"
         assert dup_clusters.last_rounds <= 12  # O(log n), not O(n)
+
+
+def test_quantize_binary_empty_vector_yields_zero_words(spark):
+    """An empty embedding packs to zero words, not the two bogus words
+    a descending sequence(0, -1) would fabricate."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        quantize_binary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [1.0, -1.0])], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: (list(r.bits), r.n_dims) for r in quantize_binary(df).collect()}
+    assert got[1] == ([], 0)
+    assert got[2] == ([1], 2)
+
+
+def test_merge_apply_validate_rejects_duplicate_change_keys(spark):
+    """validate=True enforces MERGE's at-most-one-change-per-key rule;
+    without it the helper trusts the caller."""
+    import pytest
+
+    from commercial_rfp_data_pipeline_spark.operators.incremental import (
+        merge_apply,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(1, "U", "x"), (1, "U", "y")], "k long, op string, v string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_apply(base, changes, keys=["k"], validate=True)
+    ok = spark.createDataFrame(
+        [(1, "U", "x"), (2, "D", None)], "k long, op string, v string"
+    )
+    got = {r.k: r.v for r in merge_apply(base, ok, keys=["k"], validate=True).collect()}
+    assert got == {1: "x"}
