@@ -1297,3 +1297,188 @@ def q_markov_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n") / F.col("total"), 6).alias("p"),
     )
+
+
+@query(
+    "events_concurrent_sessions_peak",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, sid, min(ts) AS s,
+             max(ts) + INTERVAL 30 MINUTE AS e
+      FROM sessions GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM spans
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM spans
+    ),
+    walk AS (
+      SELECT t, sum(d) AS net,
+             sum(sum(d)) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM deltas GROUP BY t
+    )
+    SELECT CAST(t AS DATE) AS day,
+           CAST(max(live) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) AS BIGINT) AS n_transitions
+    FROM walk GROUP BY CAST(t AS DATE)
+    """,
+)
+def q_concurrent_sessions_peak(spark, sf_dir):
+    """Peak concurrent sessions per day — capacity planning's core
+    question, answered with the sweep-line decomposition: each session
+    span (30-min-gap sessionization, end padded by the gap) emits
+    +1/-1 boundary deltas; a global running sum over boundary times is
+    the live-session count, and the per-day max is the peak. The
+    standard trick that replaces interval-overlap counting (quadratic)
+    with one sort.
+
+    Scale: sessionization shuffles on user_id; the sweep is one window
+    over the BOUNDARY table (2 rows per session, not per event). A
+    single global time-ordered window is the one genuinely serial
+    step — at 100 TB, partition the sweep by day first (boundaries
+    crossing midnight carried via a per-day opening balance, the same
+    prefix-sum decomposition assign_token_shards uses)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn("sid", F.sum("new_session").over(w2))
+    spans = sessions.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    deltas = spans.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        spans.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("net"))
+    w3 = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    walk = per_t.withColumn("live", F.sum("net").over(w3))
+    return walk.groupBy(F.col("t").cast("date").alias("day")).agg(
+        F.max("live").cast("bigint").alias("peak_concurrent"),
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+    )
+
+
+@query(
+    "events_funnel_conversion_windowed",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_v FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT v.user_id, v.t_v, min(e.ts) AS t_c
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.t_v
+       AND epoch(e.ts) - epoch(v.t_v) <= 86400
+      GROUP BY v.user_id, v.t_v
+    ),
+    p AS (
+      SELECT c.user_id, c.t_c, min(e.ts) AS t_p
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t_c
+       AND epoch(e.ts) - epoch(c.t_c) <= 86400
+      GROUP BY c.user_id, c.t_c
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked,
+           (SELECT count(*) FROM p) AS n_purchased,
+           round((SELECT count(*) FROM c) /
+                 CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS view_to_click,
+           round((SELECT count(*) FROM p) /
+                 CAST(nullif((SELECT count(*) FROM c), 0) AS DOUBLE), 6)
+             AS click_to_purchase
+    """,
+)
+def q_funnel_conversion_windowed(spark, sf_dir):
+    """TIME-BOUND funnel conversion: first view → first subsequent
+    click within 24h → first subsequent purchase within 24h of the
+    click, reported as stage counts and conversion rates. The ordered
+    regex funnel (session_pattern_match) asks 'did the sequence ever
+    happen'; this asks the product question — 'how many users
+    progressed within the window' — which needs the step timestamps,
+    not just order.
+
+    Scale: three user-keyed aggregates/joins sharing one user_id
+    shuffle lineage; each stage's table shrinks (viewed ⊇ clicked ⊇
+    purchased); the final report is scalar aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    c = (
+        v.join(clicks, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_v"))
+            & (
+                F.unix_timestamp("ts") - F.unix_timestamp("t_v")
+                <= 86400
+            )
+        )
+        .groupBy("user_id", "t_v")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    p = (
+        c.join(purchases, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_c"))
+            & (
+                F.unix_timestamp("ts") - F.unix_timestamp("t_c")
+                <= 86400
+            )
+        )
+        .groupBy("user_id", "t_c")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    ncl = c.agg(F.count(F.lit(1)).alias("n_clicked"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        nv.crossJoin(ncl)
+        .crossJoin(np_)
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.round(F.col("n_clicked") / F.col("n_viewed"), 6).alias(
+                "view_to_click"
+            ),
+            F.round(
+                F.col("n_purchased")
+                / F.nullif(F.col("n_clicked"), F.lit(0)).cast("double"),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )
