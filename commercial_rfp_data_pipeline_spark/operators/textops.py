@@ -1702,3 +1702,45 @@ def trigram_substring_search(
     return docs.join(cand, id_col, "left_semi").filter(
         F.contains(norm_text(text_col), F.lit(pattern))
     )
+
+
+def nfc_normalize(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization — the encoding-hygiene pass every
+    web-scraped corpus runs before fingerprinting (decomposed
+    e+COMBINING ACUTE and precomposed é md5 to different fingerprints;
+    dedup and exact-match both break without canonical form). Spark
+    SQL exposes no normalizer, so this is an honest Arrow-batched
+    Python seam (`unicodedata.normalize` — same Unicode tables DuckDB's
+    nfc_normalize uses, which is what makes it oracle-checkable).
+    Narrow map, no shuffle; self-contained closure.
+
+    Output: (id, text_nfc, changed, n_cp_before, n_cp_after)."""
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            norm = [
+                None if t is None else unicodedata.normalize("NFC", str(t))
+                for t in texts
+            ]
+            out = pdf[[id_col]].copy()
+            out["text_nfc"] = norm
+            out["changed"] = [
+                False if t is None else str(t) != n
+                for t, n in zip(texts, norm)
+            ]
+            out["n_cp_before"] = [
+                0 if t is None else len(str(t)) for t in texts
+            ]
+            out["n_cp_after"] = [0 if n is None else len(n) for n in norm]
+            yield out
+
+    return df.mapInPandas(
+        run,
+        schema=f"{id_col} long, text_nfc string, changed boolean, "
+        f"n_cp_before int, n_cp_after int",
+    )

@@ -1275,3 +1275,46 @@ def q_minhash_band_eval(spark, sf_dir):
             F.round(F.col("n_tp") / F.col("n_true"), 6).alias("recall"),
         )
     )
+
+
+@query(
+    "unicode_nfc_normalize",
+    """
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || ' caf' || chr(101) || chr(769)
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id, nfc_normalize(t) AS text_nfc,
+           nfc_normalize(t) <> t AS changed,
+           CAST(length(t) AS INTEGER) AS n_cp_before,
+           CAST(length(nfc_normalize(t)) AS INTEGER) AS n_cp_after
+    FROM injected
+    """,
+)
+def q_unicode_nfc(spark, sf_dir):
+    """Encoding hygiene before fingerprinting: NFC-normalize the
+    corpus (every 4th doc gets a deterministic decomposed
+    e+COMBINING-ACUTE suffix injected so the pass has real work), via
+    the Arrow-batched unicodedata seam — value-checked against
+    DuckDB's nfc_normalize, two independent implementations of the
+    same Unicode canonicalization. Run this BEFORE doc_fingerprint /
+    exact dedup: composed and decomposed forms of the same text hash
+    differently."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        nfc_normalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" caf"), F.lit("e\u0301")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return nfc_normalize(injected)
