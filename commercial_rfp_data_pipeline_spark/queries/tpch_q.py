@@ -1158,3 +1158,52 @@ def q_dormant_customers(spark, sf_dir):
             F.sum("bal").cast("double").alias("totacctbal"),
         )
     )
+
+
+_Q6_PARAM_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= :ship_lo
+      AND l_shipdate < :ship_hi
+      AND l_discount BETWEEN :disc_lo AND :disc_hi
+      AND l_quantity < :qty_cap
+"""
+
+
+@query(
+    "parameterized_sql_q6",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_parameterized_sql(spark, sf_dir):
+    """Q6 submitted through PARAMETERIZED SQL (`spark.sql(query,
+    args=...)`, named-marker form): the engine's answer to prepared
+    statements — parameters bind as typed literals at analysis time
+    (never string interpolation, so no injection surface and full
+    constant-folding/pushdown), which is how a serving layer should
+    template the date/discount knobs of a canned report. Same plan,
+    same pushed filters as the literal form; the oracle states the
+    bound values inline."""
+    import datetime
+
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        _Q6_PARAM_SQL,
+        args={
+            "ship_lo": datetime.date(1997, 1, 1),
+            "ship_hi": datetime.date(1998, 1, 1),
+            "disc_lo": 0.05,
+            "disc_hi": 0.07,
+            "qty_cap": 24,
+        },
+    )

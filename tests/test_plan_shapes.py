@@ -466,3 +466,33 @@ def test_sql_udf_multi_date_matches_dataframe_helper(spark):
     assert str(via_udf[0]) == "2025-03-04"
     assert str(via_udf[2]) == "2025-04-03"
     assert via_udf[4] is None and via_udf[5] is None
+
+
+def test_observation_metrics_piggyback_single_pass(spark, sf_dir):
+    """Data-quality counters via the Observation API: predicate
+    counts, row counts, and a value sum are collected ON the main job's single
+    pass (no second scan of the input) — the production pattern for
+    audit metrics on a 100-TB write. The observed metrics must match
+    what a dedicated aggregation computes."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("high_discount"),
+    )
+    # the action that triggers the observation is the real write/agg job
+    n_out = observed.filter(F.col("l_quantity") > 25).count()
+    got = obs.get
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("nc"),
+    ).collect()[0]
+    assert got["n_rows"] == want.n
+    assert got["sum_qty"] == want.s
+    assert got["high_discount"] == want.nc
+    assert 0 < n_out < got["n_rows"]
