@@ -201,3 +201,64 @@ def test_require_columns_suggests(spark):
         raise AssertionError("should have raised")
     except MissingColumnError as e:
         assert "questoin" in str(e)
+
+
+def test_pandas_api_bridge_matches_operators(spark):
+    """MIGRATION BRIDGE: the reference's pandas idioms — lowercase
+    columns (P1), stringify + whitespace-collapse (P2), keep-first
+    dedup (A6) — run NEAR-VERBATIM on pyspark.pandas and produce the
+    same table as the engine's operator chain. This is the incremental
+    porting path for a reference user: their .columns/.str.replace/
+    .drop_duplicates code executes distributed (compiling to the same
+    Catalyst plans) before they adopt the operator API."""
+    import pyspark.pandas as ps
+
+    from commercial_rfp_data_pipeline_spark.operators.cleaning import (
+        lowercase_columns,
+        normalize_whitespace,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dedup_keep_first,
+    )
+
+    rows = [
+        (0, "Acme  Corp", "  What  is\tuptime? ", "99.9%"),
+        (1, "Beta LLC", "What is uptime?", "99.5%"),   # dup question post-normalize
+        (2, "Acme Corp", "Pricing?", " tiered "),
+        (3, "Gamma&Co", "What   is uptime?", "dup again"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, ["Ord", "Client Name", "Question", "Response"]
+    )
+
+    # --- reference-style pandas code, unchanged idioms ---
+    psdf = sdf.pandas_api(index_col="Ord")
+    psdf.columns = [c.lower() for c in psdf.columns]
+    for c in psdf.columns:
+        psdf[c] = (
+            psdf[c].astype(str).str.replace(r"\s+", " ", regex=True).str.strip()
+        )
+    got_ps = (
+        psdf.sort_index()
+        .drop_duplicates(subset=["question"], keep="first")
+        .to_pandas()
+        .reset_index()
+        .rename(columns={"Ord": "ord"})
+    )
+
+    # --- the engine's operator chain ---
+    eng = normalize_whitespace(
+        lowercase_columns(sdf.withColumnRenamed("Ord", "ord"))
+    )
+    got_ops = dedup_keep_first(eng, ["question"], ordinal="ord")
+
+    # P2 stringifies every cell (the reference's applymap posture), so
+    # the operator path's ord is a string — align the ps side
+    got_ps["ord"] = got_ps["ord"].astype(str)
+    a = sorted(map(tuple, got_ps[["ord", "client name", "question", "response"]].itertuples(index=False)))
+    b = sorted(
+        (r.ord, r["client name"], r.question, r.response)
+        for r in got_ops.collect()
+    )
+    assert [t[0] for t in b] == ["0", "2"]  # keep-first survivors
+    assert a == b
