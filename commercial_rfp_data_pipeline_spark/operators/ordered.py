@@ -76,3 +76,66 @@ def distributed_prefix_sum(
         + [f"_o_{n}" for n in val_names]
     )
     return out.drop(*drop)
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-series Holt linear (level + trend) exponential smoothing —
+    the inherently SEQUENTIAL per-group recursion class:
+
+        l_t = r6(alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1}))
+        b_t = r6(beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1})
+
+    where r6 = floor(x*1e6 + 0.5)/1e6 (half-up, stated identically in
+    the oracle — Python round() is banker's, DuckDB round() is
+    half-away-from-zero, so neither builtin is shared; the floor form
+    is). Each step rounds BEFORE feeding the next, pinning the whole
+    trajectory to exact doubles both engines reproduce.
+
+    This is the one operator class where ``applyInPandas`` is the
+    honest answer rather than a fallback: the recursion's dependency
+    chain IS the series order, so no window/aggregate decomposition
+    exists (contrast EWMA, whose closed form is a decay-weighted sum).
+    Shape at scale: one shuffle on the series key; each task walks its
+    own series sequentially in Arrow batches — thousands of series
+    fit one stage, and a 100-TB metric store is wide (many series),
+    not deep.
+
+    Output: key_cols + (i, y, level, trend) per step, i 1-based in
+    series order."""
+    import math
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        out = []
+        level = trend = None
+        for i, y in enumerate(pdf[value_col].astype(float), start=1):
+            if level is None:
+                level, trend = r6(y), 0.0
+            else:
+                prev = level
+                level = r6(alpha * y + (1 - alpha) * (level + trend))
+                trend = r6(beta * (level - prev) + (1 - beta) * trend)
+            out.append((i, float(y), level, trend))
+        keys = {k: pdf[k].iloc[0] for k in key_cols}
+        return pd.DataFrame(
+            [{**keys, "i": i, "y": y, "level": l, "trend": b} for i, y, l, b in out]
+        )
+
+    key_schema = ", ".join(
+        f"{k} {dict(df.dtypes)[k]}" for k in key_cols
+    )
+    return df.groupBy(*key_cols).applyInPandas(
+        fit, schema=f"{key_schema}, i long, y double, level double, trend double"
+    )

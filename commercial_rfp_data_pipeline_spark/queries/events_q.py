@@ -1482,3 +1482,58 @@ def q_funnel_conversion_windowed(spark, sf_dir):
             ).alias("click_to_purchase"),
         )
     )
+
+
+_HOLT_R6 = "floor({x} * 1000000 + 0.5) / 1000000"
+
+
+@query(
+    "events_holt_linear_trend",
+    f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, h, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+      FROM hourly
+    ),
+    walk(event_type, i, y, level, trend) AS (
+      SELECT event_type, CAST(1 AS BIGINT), y,
+             {_HOLT_R6.format(x="y")}, CAST(0.0 AS DOUBLE)
+      FROM ranked WHERE i = 1
+      UNION ALL
+      SELECT r.event_type, r.i, r.y,
+             {_HOLT_R6.format(x="(0.5 * r.y + 0.5 * (w.level + w.trend))")},
+             {_HOLT_R6.format(x="(0.3 * (" + _HOLT_R6.format(x="(0.5 * r.y + 0.5 * (w.level + w.trend))") + " - w.level) + 0.7 * w.trend)")}
+      FROM walk w JOIN ranked r
+        ON r.event_type = w.event_type AND r.i = w.i + 1
+    )
+    SELECT event_type, i, y, level, trend FROM walk
+    """,
+)
+def q_holt_linear(spark, sf_dir):
+    """Holt linear (level+trend) smoothing of the hourly value series
+    per event type — the sequential per-group recursion EWMA's closed
+    form cannot express, run through the applyInPandas series-walk
+    seam (operators/ordered.py:holt_linear) and value-checked step by
+    step against DuckDB's ordered recursive CTE walking the same
+    recurrence with the same half-up rounding."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        holt_linear,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(F.sum(F.col("value").cast(DEC)), 2)
+            .cast("double")
+            .alias("y")
+        )
+    )
+    return holt_linear(
+        hourly, ["event_type"], order_col="h", value_col="y"
+    )
