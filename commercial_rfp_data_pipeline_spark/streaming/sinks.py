@@ -27,6 +27,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -129,6 +130,53 @@ def dedup_ingest_sink(
     return (
         df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_topk_sink(
+    windowed_counts: DataFrame,
+    path: str,
+    checkpoint: str,
+    k: int = 3,
+    window_col: str = "window_start",
+    rank_by: str = "n",
+) -> "StreamingQuery":
+    """Streaming windowed TOP-K — the aggregation-over-aggregation
+    shape Structured Streaming cannot express in-plan (a rank over a
+    streaming aggregate is not incrementalizable: a late row can
+    reorder the whole window). The standard resolution, made explicit:
+    the streaming plan maintains the windowed COUNTS (incremental,
+    watermark-bounded state); ``foreachBatch`` re-ranks each updated
+    window's counts and OVERWRITES that window's top-k partition —
+    idempotent under batch replay, so the sink stays exactly-once. At
+    100 TB the rank runs per updated window over |keys| rows, never
+    over history."""
+    from pyspark.sql import Window as W
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        if not bdf.take(1):
+            return
+        w = W.partitionBy(window_col).orderBy(
+            F.col(rank_by).desc(), *[c for c in bdf.columns if c not in (window_col, rank_by)]
+        )
+        ranked = (
+            bdf.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+        )
+        (
+            ranked.withColumn("_w", F.date_format(window_col, "yyyyMMddHHmmss"))
+            .write.mode("overwrite")
+            .partitionBy("_w")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
+    return (
+        windowed_counts.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

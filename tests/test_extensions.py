@@ -760,3 +760,50 @@ def test_kcenter_radius_non_increasing_and_spread(spark):
     assert all(a >= b for a, b in zip(dists, dists[1:]))
     # the 3 selections must cover all 3 clusters (one per cluster)
     assert {i // 10 for i in ids} == {0, 1, 2}
+
+
+def test_streaming_windowed_topk_matches_batch(spark, sf_dir, tmp_path):
+    """Windowed top-k via the foreachBatch re-rank: the streaming
+    counts + per-window overwrite must end at exactly the batch
+    answer — top-3 event types per tumbling hour — after the finite
+    stream drains."""
+    from pyspark.sql import Window as W
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.streaming.sinks import (
+        windowed_topk_sink,
+    )
+    from commercial_rfp_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+    out = str(tmp_path / "topk")
+    q = windowed_topk_sink(
+        counts, out, str(tmp_path / "ckpt"), k=3, rank_by="n"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select(
+        "window_start", "event_type", "n", "rnk"
+    )
+    e = load_table(spark, sf_dir, "events")
+    batch = e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    want = (
+        batch.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set and len(got_set) > 0
