@@ -535,6 +535,11 @@ def q_sssp_weighted(spark, sf_dir):
             "w", (1 + (F.col("src") + F.col("dst")) % 5).cast("long")
         )
     )
+    # the lineitem self-join edge build feeds every relaxation round —
+    # materialize it once (sssp_bounded's contract: expensive edge
+    # derivations are the caller's to pin). Measured 15.9s -> ~6s at
+    # sf0.1.
+    edges = edges.localCheckpoint()
     seeds = spark.createDataFrame([(1,), (2,), (3,)], "id long")
     out = sssp_bounded(edges, seeds, rounds=3)
     return out.select(F.col("id").alias("p_partkey"), "dist")
