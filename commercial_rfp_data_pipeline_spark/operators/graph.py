@@ -72,6 +72,7 @@ def pagerank(
     checkpoint: bool = True,
     dedup_edges: bool = False,
     teleport_col: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank with uniform — or PERSONALIZED — teleport and
     dangling-mass redistribution.
@@ -94,7 +95,18 @@ def pagerank(
     primitive). Requires ``symmetric=False`` (the closed-form dangling
     recurrence assumes uniform teleport); initial rank is t_v. Uniform
     (None) preserves classic PageRank exactly.
+
+    ``weight_col``: optional POSITIVE edge weights on ``edges`` —
+    weighted PageRank: a vertex splits its rank over out-edges
+    proportionally to weight (contribution = rank * w / sum_w(src))
+    instead of uniformly. ``outdeg`` in the output becomes the
+    out-weight sum. The dangling recurrences are unchanged: dangling
+    means zero out-WEIGHT, which on a symmetrized weighted graph is
+    still exactly the isolated vertices. Incompatible with
+    ``dedup_edges`` (a distinct would drop weights).
     """
+    if weight_col is not None and dedup_edges:
+        raise ValueError("pagerank: dedup_edges would drop edge weights")
     if teleport_col is not None and symmetric:
         raise ValueError(
             "pagerank: personalized teleport needs symmetric=False "
@@ -111,12 +123,20 @@ def pagerank(
     # satisfies the distinct's clustering requirement (subset rule), so
     # Catalyst plans a local HashAggregate with NO second Exchange — the
     # edge set crosses the network once, not twice
-    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    w_cols = (
+        [F.col(weight_col).alias("_w")] if weight_col is not None else []
+    )
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), *w_cols
+    )
     e = e.repartition(F.col("_src"))
     if dedup_edges:
         e = e.distinct()
     e = pin(e)
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight_col is not None:
+        deg = e.groupBy("_src").agg(F.sum("_w").alias("outdeg"))
+    else:
+        deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("outdeg"))
     tp_cols = (
         [F.col(teleport_col).alias("_tp")] if teleport_col is not None else []
     )
@@ -144,10 +164,15 @@ def pagerank(
             # truncate lineage so each superstep is one job over a
             # materialized state table, not a recompute of all priors
             state = state.localCheckpoint(eager=False)
+        share = (
+            F.col("rank") * F.col("_w") / F.col("outdeg")
+            if weight_col is not None
+            else F.col("rank") / F.col("outdeg")
+        )
         contribs = (
             state.filter(F.col("outdeg") > 0)
             .join(e, F.col("_id") == F.col("_src"))
-            .select("_dst", (F.col("rank") / F.col("outdeg")).alias("_c"))
+            .select("_dst", share.alias("_c"))
             .groupBy("_dst")
             .agg(F.sum("_c").alias("_s"))
         )
@@ -185,6 +210,7 @@ def pagerank_oracle_cte(
     iterations: int = ITERATIONS,
     n: int | None = None,
     m_isolated: int | None = None,
+    weighted: bool = False,
 ) -> str:
     """DuckDB oracle for :func:`pagerank`, generated from the SAME
     constants — the iteration unrolls into a chained-CTE sequence so
@@ -203,7 +229,11 @@ def pagerank_oracle_cte(
         f"_nodes AS MATERIALIZED ({nodes_sql})",
         f"_edges AS MATERIALIZED ({edges_sql})",
         "_n AS MATERIALIZED (SELECT count(*) AS n FROM (SELECT DISTINCT id FROM _nodes))",
-        "_deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM _edges GROUP BY src)",
+        (
+            "_deg AS MATERIALIZED (SELECT src, sum(w) AS outdeg FROM _edges GROUP BY src)"
+            if weighted
+            else "_deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM _edges GROUP BY src)"
+        ),
         """state0 AS MATERIALIZED (
           SELECT v.id, coalesce(g.outdeg, 0) AS outdeg,
                  1.0 / (SELECT n FROM _n) AS rank
@@ -216,6 +246,7 @@ def pagerank_oracle_cte(
         if n is not None and m_isolated is not None
         else None
     )
+    share = "q.rank * e.w / q.outdeg" if weighted else "q.rank / q.outdeg"
     for k in range(iterations):
         p, c = f"state{k}", f"state{k + 1}"
         if consts is not None:
@@ -231,7 +262,7 @@ def pagerank_oracle_cte(
                  + {d} * coalesce(s._s, 0.0) AS rank
           FROM {p} p
           LEFT JOIN (
-            SELECT e.dst, sum(q.rank / q.outdeg) AS _s
+            SELECT e.dst, sum({share}) AS _s
             FROM {p} q JOIN _edges e ON q.id = e.src
             WHERE q.outdeg > 0
             GROUP BY e.dst
@@ -279,6 +310,7 @@ def ppr_oracle_cte(
           LEFT JOIN _deg g ON v.id = g.src
         )""",
     ]
+    share = "q.rank / q.outdeg"
     for k in range(iterations):
         p, c = f"state{k}", f"state{k + 1}"
         dmass = f"""(SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0.0)
@@ -291,7 +323,7 @@ def ppr_oracle_cte(
                  + {d} * coalesce(s._s, 0.0) AS rank
           FROM {p} p
           LEFT JOIN (
-            SELECT e.dst, sum(q.rank / q.outdeg) AS _s
+            SELECT e.dst, sum({share}) AS _s
             FROM {p} q JOIN _edges e ON q.id = e.src
             WHERE q.outdeg > 0
             GROUP BY e.dst

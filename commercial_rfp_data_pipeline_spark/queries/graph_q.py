@@ -543,3 +543,58 @@ def q_sssp_weighted(spark, sf_dir):
     seeds = spark.createDataFrame([(1,), (2,), (3,)], "id long")
     out = sssp_bounded(edges, seeds, rounds=3)
     return out.select(F.col("id").alias("p_partkey"), "dist")
+
+
+_WEDGES_SQL = """
+    SELECT src, dst, count(*) AS w FROM (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ) GROUP BY src, dst
+"""
+
+
+@query(
+    "weighted_pagerank_copurchase",
+    pagerank_oracle_cte(
+        _NODES_SQL, _WEDGES_SQL, id_col="p_partkey", weighted=True
+    ),
+)
+def q_weighted_pagerank(spark, sf_dir):
+    """WEIGHTED PageRank over the co-purchase graph: edge weight =
+    co-occurrence multiplicity (how many orders pair the two parts),
+    so a vertex splits its rank proportionally to tie strength instead
+    of uniformly — the form recommendation-style importance actually
+    uses (a part co-bought 50 times should carry more rank than a
+    one-off pairing, which uniform PageRank treats identically).
+
+    Scale: identical supersteps to pagerank_copurchase; the only
+    change is the edge build aggregating multiplicities (one
+    groupBy(src,dst) replacing the distinct — same single shuffle) and
+    outdeg becoming the out-weight sum."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = load_table(spark, sf_dir, "part").select("p_partkey")
+    pr = pagerank(
+        nodes, edges, id_col="p_partkey", weight_col="w"
+    )
+    return pr.select(
+        "p_partkey",
+        "outdeg",
+        F.round("rank", 9).alias("rank"),
+        F.round("rank_rel", 6).alias("rank_rel"),
+    )
