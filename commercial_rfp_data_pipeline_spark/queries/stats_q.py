@@ -985,3 +985,76 @@ def q_k_anonymity_audit(spark, sf_dir):
         "group_size",
         (F.col("group_size") < 5).alias("violates_k5"),
     )
+
+
+@query(
+    "skew_detection_report",
+    """
+    WITH keyed AS (
+      SELECT 'l_partkey' AS key_col, CAST(l_partkey AS VARCHAR) AS k
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey' AS key_col, CAST(l_suppkey AS VARCHAR) AS k
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag' AS key_col, l_returnflag AS k FROM lineitem
+    ),
+    freq AS (
+      SELECT key_col, k, count(*) AS n FROM keyed GROUP BY key_col, k
+    ),
+    stats AS (
+      SELECT key_col,
+             sum(n) AS n_rows,
+             count(*) AS n_distinct,
+             max(n) AS top_key_rows
+      FROM freq GROUP BY key_col
+    )
+    SELECT key_col, n_rows, n_distinct, top_key_rows,
+           round(top_key_rows / CAST(n_rows AS DOUBLE), 6) AS top_share,
+           round(top_key_rows / (n_rows / CAST(n_distinct AS DOUBLE)), 6)
+             AS skew_factor,
+           top_key_rows / (n_rows / CAST(n_distinct AS DOUBLE)) > 10.0
+             AS needs_salting
+    FROM stats
+    """,
+)
+def q_skew_detection(spark, sf_dir):
+    """The DECISION INPUT for the skew toolkit: per candidate
+    shuffle/join key, the hottest key's row share and its skew factor
+    (top-key rows vs the uniform per-key expectation), with the
+    needs-salting verdict at the 10x threshold — what a planner (or an
+    engineer reading this report) checks BEFORE choosing salted_join /
+    salted_two_phase_agg over the plain operators. l_returnflag's
+    3-value domain trips the flag; the uniform part/supp keys don't.
+
+    Scale: one groupBy per audited key over (key) pairs only, then a
+    3-row stats table — the report is O(distinct keys) intermediate,
+    O(audited columns) final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    frames = []
+    for col in ("l_partkey", "l_suppkey", "l_returnflag"):
+        frames.append(
+            li.select(
+                F.lit(col).alias("key_col"),
+                F.col(col).cast("string").alias("k"),
+            )
+        )
+    keyed = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    freq = keyed.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("n"))
+    stats = freq.groupBy("key_col").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_key_rows"),
+    )
+    uniform = F.col("n_rows") / F.col("n_distinct").cast("double")
+    return stats.select(
+        "key_col",
+        "n_rows",
+        "n_distinct",
+        "top_key_rows",
+        F.round(F.col("top_key_rows") / F.col("n_rows").cast("double"), 6).alias(
+            "top_share"
+        ),
+        F.round(F.col("top_key_rows") / uniform, 6).alias("skew_factor"),
+        (F.col("top_key_rows") / uniform > 10.0).alias("needs_salting"),
+    )
