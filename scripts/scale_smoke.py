@@ -51,6 +51,13 @@ DEFAULT = {
     "trigram_index_substring_search": "documents",
     "bloom_semi_join_lineitem": "lineitem",
     "merkle_bucket_diff": "orders",
+    "sssp_weighted_bounded": "lineitem",
+    "weighted_pagerank_copurchase": "lineitem",
+    "bigram_lm_perplexity": "documents",
+    "bpe_encode_corpus": "documents",
+    "minhash_band_eval": "documents",
+    "events_holt_linear_trend": "events",
+    "incremental_corpus_dedup": "documents",
 }
 
 
