@@ -1058,3 +1058,98 @@ def q_skew_detection(spark, sf_dir):
         F.round(F.col("top_key_rows") / uniform, 6).alias("skew_factor"),
         (F.col("top_key_rows") / uniform > 10.0).alias("needs_salting"),
     )
+
+
+@query(
+    "ab_test_analysis",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN (strpos('0123456789abcdef',
+                        substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1))
+                        - 1) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n,
+             sum(y) AS s, sum(y * y) AS ss
+      FROM assigned GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        max(CASE WHEN arm = 'A' THEN s END) AS s_a,
+        max(CASE WHEN arm = 'A' THEN ss END) AS ss_a,
+        max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        max(CASE WHEN arm = 'B' THEN s END) AS s_b,
+        max(CASE WHEN arm = 'B' THEN ss END) AS ss_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round(s_a / n_a, 6) AS mean_a,
+           round(s_b / n_b, 6) AS mean_b,
+           round(s_b / n_b - s_a / n_a, 6) AS lift,
+           round((s_b / n_b - s_a / n_a)
+                 / sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a
+                        + (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b),
+                 6) AS t_stat
+    FROM wide
+    """,
+)
+def q_ab_test_analysis(spark, sf_dir):
+    """A/B experiment readout, deterministic assignment through
+    md5-bucket hashing (the production pattern: assignment is a pure
+    function of (experiment, user) — reproducible, no assignment
+    table) and a Welch t-statistic computed from the
+    (n, sum, sum-of-squares) moment triple per arm. DECIMAL moments
+    keep both engines' sums order-independent; the one division chain
+    happens at the end on identical exact numbers.
+
+    Scale: assignment is a narrow map; the whole analysis is one
+    2-group aggregate with map-side combine — the experiment readout
+    costs one scan regardless of corpus size, and the same moment
+    triple is the mergeable state an incremental/streaming readout
+    keeps per arm."""
+    e = load_table(spark, sf_dir, "events")
+    first_hex = F.substring(
+        F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 1
+    )
+    nib = F.instr(F.lit("0123456789abcdef"), first_hex) - 1
+    assigned = e.filter(F.col("event_type") == "purchase").select(
+        F.when(nib % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    wide = arms.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}_{a.lower()}")
+            for a in ("A", "B")
+            for c in ("n", "s", "ss")
+        ]
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).cast("double").alias("mean_a"),
+        F.round(mean_b, 6).cast("double").alias("mean_b"),
+        F.round(mean_b - mean_a, 6).cast("double").alias("lift"),
+        F.round(
+            (mean_b - mean_a)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            6,
+        ).alias("t_stat"),
+    )
