@@ -1153,3 +1153,75 @@ def q_ab_test_analysis(spark, sf_dir):
             6,
         ).alias("t_stat"),
     )
+
+
+@query(
+    "winsorized_stats_by_type",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT e.event_type,
+             CAST(least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi)
+                  AS DECIMAL(18,6)) AS y
+      FROM events e JOIN bounds b ON b.event_type = e.event_type
+    )
+    SELECT c.event_type, b.lo AS p05, b.hi AS p95,
+           count(*) AS n,
+           round(sum(c.y) / count(*), 6) AS winsorized_mean,
+           round(sqrt((sum(c.y * c.y) - sum(c.y) * sum(c.y) / count(*))
+                      / (count(*) - 1)), 6) AS winsorized_std
+    FROM clipped c JOIN bounds b ON b.event_type = c.event_type
+    GROUP BY c.event_type, b.lo, b.hi
+    """,
+)
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized (5%/95%-clipped) mean and stddev per event type —
+    the outlier-robust summary a metrics pipeline reports instead of
+    the raw mean, which one fat-fingered value can drag arbitrarily.
+    Exact interpolated percentile bounds (Spark percentile == DuckDB
+    quantile_cont, rounded before use so the clip points are identical
+    literals on both engines), then DECIMAL moment sums over the
+    clipped values — one division+sqrt at the end.
+
+    Scale: percentile bounds are one groupBy over the 5-type key; the
+    clip is a broadcast join of that 5-row table back onto the stream;
+    moments map-side combine. Two passes total — and at 100 TB the
+    first pass swaps to percentile_approx without touching the rest."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("p05"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.least(
+            F.greatest(F.col("value").cast("double"), F.col("p05")),
+            F.col("p95"),
+        )
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("y")
+    ss = F.sum(F.col("y") * F.col("y"))
+    return clipped.groupBy("event_type", "p05", "p95").agg(
+        n.alias("n"),
+        F.round(s / n, 6).cast("double").alias("winsorized_mean"),
+        F.round(F.sqrt((ss - s * s / n) / (n - 1)), 6)
+        .cast("double")
+        .alias("winsorized_std"),
+    ).select(
+        "event_type",
+        "p05",
+        "p95",
+        "n",
+        "winsorized_mean",
+        "winsorized_std",
+    )
