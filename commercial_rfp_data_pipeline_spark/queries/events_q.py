@@ -1537,3 +1537,116 @@ def q_holt_linear(spark, sf_dir):
     return holt_linear(
         hourly, ["event_type"], order_col="h", value_col="y"
     )
+
+
+@query(
+    "frequent_event_triples",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS i
+      FROM events
+    ),
+    triples AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, c.event_type AS t3,
+             count(*) AS support
+      FROM seq a
+      JOIN seq b ON b.user_id = a.user_id AND b.i > a.i
+                AND b.i - a.i <= 5
+      JOIN seq c ON c.user_id = a.user_id AND c.i > b.i
+                AND c.i - b.i <= 5
+      GROUP BY 1, 2, 3
+    )
+    SELECT t1, t2, t3, support FROM triples
+    ORDER BY support DESC, t1, t2, t3 LIMIT 20
+    """,
+)
+def q_frequent_triples(spark, sf_dir):
+    """Gapped sequential-pattern mining (the PrefixSpan question at
+    fixed length): top ordered event-type TRIPLES occurring within a
+    5-position gap window per step, by support across all user
+    streams — the behavioral motifs adjacent-only transition counts
+    (events_markov_transitions) cannot see.
+
+    Scale: the position self-joins are bounded by the gap budget
+    (each event pairs with <= 5 successors per step, so the triple
+    stream is <= 25x events — linear, never |session|^3); one
+    user-keyed shuffle serves the ordinal window and both joins, and
+    the support aggregate collapses to the tiny type^3 key space
+    map-side. Top-20 compiles to TakeOrdered."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("i")
+    )
+    a, b, c = seq.alias("a"), seq.alias("b"), seq.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.i") > F.col("a.i"))
+            & (F.col("b.i") - F.col("a.i") <= 5),
+        )
+        .join(
+            c,
+            (F.col("c.user_id") == F.col("a.user_id"))
+            & (F.col("c.i") > F.col("b.i"))
+            & (F.col("c.i") - F.col("b.i") <= 5),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+            F.col("c.event_type").alias("t3"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return triples.orderBy(
+        F.col("support").desc(), "t1", "t2", "t3"
+    ).limit(20)
+
+
+@query(
+    "user_resurrection_analysis",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(CASE WHEN gap_s > 2 * 86400 THEN 1 END) AS BIGINT)
+             AS n_resurrections,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_seconds
+    FROM gaps GROUP BY user_id
+    HAVING count(CASE WHEN gap_s > 2 * 86400 THEN 1 END) > 0
+    """,
+)
+def q_user_resurrection(spark, sf_dir):
+    """Resurrection analysis: users who went dormant for over 2 days
+    and came back, with how often and their longest gap — the
+    churn-recovery cohort retention dashboards track next to the
+    new/active split (events_cumulative_distinct_users,
+    events_retention_cohorts). One lag window + one aggregate on the
+    same user_id shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    res = F.count(F.when(F.col("gap_s") > 2 * 86400, 1))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            res.alias("n_resurrections"),
+            F.max("gap_s").alias("max_gap_seconds"),
+        )
+        .filter(F.col("n_resurrections") > 0)
+    )
