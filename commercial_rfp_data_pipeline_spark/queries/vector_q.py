@@ -1380,3 +1380,113 @@ def q_crossencoder_rerank(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("q_id", "vec_id", "sim", "ce_score", "final_score", "rnk")
     )
+
+
+@query(
+    "matryoshka_truncation_eval",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    pre AS (
+      SELECT vec_id, v, v[1:16] AS v16 FROM e
+      WHERE list_dot_product(v[1:16], v[1:16]) > 0
+    ),
+    qv AS (SELECT vec_id AS q_id, v AS qf, v16 AS q16 FROM pre
+           WHERE vec_id IN {_RESCORE_QIDS!r}),
+    full_rank AS (
+      SELECT q_id, vec_id FROM (
+        SELECT qv.q_id, p.vec_id,
+               row_number() OVER (PARTITION BY qv.q_id
+                 ORDER BY round(list_cosine_similarity(p.v, qv.qf), 6) DESC,
+                          p.vec_id) AS rnk
+        FROM pre p JOIN qv ON p.vec_id <> qv.q_id
+      ) WHERE rnk <= 5
+    ),
+    trunc_rank AS (
+      SELECT q_id, vec_id FROM (
+        SELECT qv.q_id, p.vec_id,
+               row_number() OVER (PARTITION BY qv.q_id
+                 ORDER BY round(list_cosine_similarity(p.v16, qv.q16), 6) DESC,
+                          p.vec_id) AS rnk
+        FROM pre p JOIN qv ON p.vec_id <> qv.q_id
+      ) WHERE rnk <= 5
+    )
+    SELECT f.q_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           round(count(t.vec_id) / 5.0, 6) AS recall_at_5
+    FROM full_rank f
+    LEFT JOIN trunc_rank t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY f.q_id
+    """,
+)
+def q_matryoshka_eval(spark, sf_dir):
+    """Matryoshka-style truncation evaluation: rank with only the
+    FIRST 16 of 64 dimensions and measure top-5 recall against the
+    full-dimension ground truth per query — the measurement behind the
+    serve-short/rescore-long memory trade (MRL-trained embedders pack
+    meaning into prefixes; this quantifies what truncation costs on
+    THIS corpus, which is the go/no-go number before shrinking the
+    index 4x). Same evaluation harness family as minhash_band_eval and
+    retrieval_eval_metrics: exact arithmetic, exact-integer overlap
+    counts.
+
+    Scale: both rankings broadcast 3 queries against the corpus; the
+    truncated column is a narrow slice projection — at serving scale
+    it IS the smaller index."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("v16", F.slice("v", 1, 16))
+        .filter(
+            (_dot(F.col("v"), F.col("v")) > 0)
+            & (_dot(F.col("v16"), F.col("v16")) > 0)
+        )
+    )
+    qv = pre.filter(F.col("vec_id").isin(*_RESCORE_QIDS)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qf"),
+        F.col("v16").alias("q16"),
+    )
+
+    def topk(vec_col: str, q_col: str) -> "F.DataFrame":
+        sim = F.round(
+            _dot(F.col(vec_col), F.col(q_col))
+            / (
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+                * F.sqrt(_dot(F.col(q_col), F.col(q_col)))
+            ),
+            6,
+        )
+        w = Window.partitionBy("q_id").orderBy(sim.desc(), "vec_id")
+        return (
+            pre.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("q_id", "vec_id")
+        )
+
+    full_rank = topk("v", "qf")
+    trunc_rank = topk("v16", "q16").select(
+        F.col("q_id").alias("t_q"), F.col("vec_id").alias("t_vec")
+    )
+    return (
+        full_rank.join(
+            trunc_rank,
+            (F.col("q_id") == F.col("t_q"))
+            & (F.col("vec_id") == F.col("t_vec")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.col("t_vec")).alias("n_overlap"),
+            F.round(F.count(F.col("t_vec")) / 5.0, 6).alias("recall_at_5"),
+        )
+    )
