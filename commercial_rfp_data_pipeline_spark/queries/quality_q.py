@@ -851,3 +851,67 @@ def q_weighted_sample(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "n_chars", k=50)
+
+
+@query(
+    "readability_flesch",
+    f"""
+    WITH t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    feat AS (
+      SELECT doc_id,
+             greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS n_sentences,
+             CASE WHEN length(t) = 0 THEN 0
+                  ELSE len(string_split(t, ' ')) END AS n_words,
+             len(regexp_extract_all(t, '[aeiouy]+')) AS n_syllables
+      FROM t
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (n_syllables / CAST(greatest(n_words, 1) AS DOUBLE)),
+                 4) AS flesch
+    FROM feat
+    """,
+)
+def q_readability_flesch(spark, sf_dir):
+    """Flesch reading-ease as a corpus quality signal — the
+    readability band is a standard training-mix feature (too-simple
+    and too-dense text both get downweighted). Syllables approximate
+    as vowel-group runs and sentences as terminal-punctuation runs —
+    both stated as the SAME regexps in both engines, so the heuristic
+    is exactly reproducible even though it is a heuristic. Narrow
+    per-row expressions; composes with quality_features and the LM
+    perplexities into the quality feature vector."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = norm_text("text")
+    base = docs.select("doc_id", t.alias("_t"))
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(_t, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_words = F.when(F.length("_t") == 0, F.lit(0)).otherwise(
+        F.size(F.split("_t", " "))
+    )
+    n_syl = F.size(F.expr(r"regexp_extract_all(_t, '[aeiouy]+', 0)"))
+    feat = base.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+    )
+    return feat.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") / F.col("n_sentences").cast("double"))
+            - 84.6
+            * (
+                F.col("n_syllables")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+            ),
+            4,
+        ).alias("flesch"),
+    )
