@@ -856,3 +856,101 @@ def q_merge_apply(spark, sf_dir):
         "o_orderstatus",
         F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
     )
+
+
+@query(
+    "percent_of_total_report",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           round(revenue / sum(revenue) OVER (), 6) AS share_of_total
+    FROM rev
+    """,
+)
+def q_percent_of_total(spark, sf_dir):
+    """Percent-of-parent at two grains — each nation's revenue share
+    of its region and of the world — the BI report shape behind every
+    treemap/contribution chart. DECIMAL revenue sums keep the shares'
+    numerators and denominators exact; the two window sums run over
+    the 25-row AGGREGATE, not the fact table (aggregate first, window
+    the rollup — the share math costs nothing at any scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w_region = W.partitionBy("region")
+    w_all = W.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6)
+        .cast("double")
+        .alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6)
+        .cast("double")
+        .alias("share_of_total"),
+    )
+
+
+@query(
+    "order_to_ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(quantile_cont(days, 0.5), 4) AS p50_days,
+           round(quantile_cont(days, 0.95), 4) AS p95_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def q_ship_latency(spark, sf_dir):
+    """Order-to-ship latency percentiles by priority — the operational
+    SLA report: p50/p95/max days from order date to each line's ship
+    date. One orderkey join (AQE-planned) feeding exact interpolated
+    percentiles per the 5-value priority key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").alias("days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+        F.round(F.percentile("days", F.lit(0.95)), 4).alias("p95_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
