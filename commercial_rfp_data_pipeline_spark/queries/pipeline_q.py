@@ -235,26 +235,14 @@ bm25 AS (SELECT q_id, chunk_id, sum(c) AS bm25raw FROM contrib GROUP BY q_id, ch
     ) WHERE rnk <= 3
     """,
 )
-def q_hybrid_bm25(spark, sf_dir):
-    """TRUE hybrid ranking (indexer:138-146 declares keyword + semantic
-    ranking over chunk text): the keyword side contributes a real BM25
-    score (k1=1.2, b=0.75; idf = ln(1 + (N - df + .5)/(df + .5)), the
-    Robertson smooth that stays positive), the vector side the exact
-    cosine; hybrid = 0.5 * per-query-max-normalized BM25 + 0.5 * cosine,
-    top-3 per query. Query terms are the query chunks' own distinct
-    tokens.
+def q_hybrid_bm25_registered(spark, sf_dir):
+    return q_hybrid_bm25(spark, sf_dir)
 
-    Scale shape: tf and df come from ONE shuffle of (chunk, tok) each
-    (map-side combine); query terms above the df cap are pruned BEFORE
-    the postings join (stopword-class terms would make the candidate
-    set the whole corpus — a plan test pins that they don't), the
-    candidate set is the union of the surviving terms' postings, the
-    EMBED STAGE RUNS ONLY ON CANDIDATES (the expensive stage stays
-    behind the keyword filter, like hybrid_keyword_vector_search), and
-    the per-(q, chunk) sum shuffles candidate rows only. Every stage —
-    including both scores and the fusion — is exact arithmetic the
-    DuckDB oracle re-states, so the hybrid contract is value-checked
-    end to end."""
+
+def _hybrid_final(spark, sf_dir):
+    """Shared construction for the hybrid family: the BM25+cosine
+    fused score table (q_id, chunk_id, bm25, sim, hybrid) before any
+    top-k truncation. See q_hybrid_bm25 for the full design notes."""
     from commercial_rfp_data_pipeline_spark.operators.textops import words
     from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
 
@@ -325,7 +313,7 @@ def q_hybrid_bm25(spark, sf_dir):
         )
     )
     wmax = Window.partitionBy("q_id")
-    final = scored.select(
+    return scored.select(
         "q_id",
         "chunk_id",
         F.round("bm25raw", 6).alias("bm25"),
@@ -335,8 +323,137 @@ def q_hybrid_bm25(spark, sf_dir):
             6,
         ).alias("hybrid"),
     )
+
+
+def q_hybrid_bm25(spark, sf_dir):
+    """TRUE hybrid ranking (indexer:138-146 declares keyword + semantic
+    ranking over chunk text): the keyword side contributes a real BM25
+    score (k1=1.2, b=0.75; idf = ln(1 + (N - df + .5)/(df + .5)), the
+    Robertson smooth that stays positive), the vector side the exact
+    cosine; hybrid = 0.5 * per-query-max-normalized BM25 + 0.5 * cosine,
+    top-3 per query. Query terms are the query chunks' own distinct
+    tokens.
+
+    Scale shape: tf and df come from ONE shuffle of (chunk, tok) each
+    (map-side combine); query terms above the df cap are pruned BEFORE
+    the postings join (stopword-class terms would make the candidate
+    set the whole corpus — a plan test pins that they don't), the
+    candidate set is the union of the surviving terms' postings, the
+    EMBED STAGE RUNS ONLY ON CANDIDATES (the expensive stage stays
+    behind the keyword filter, like hybrid_keyword_vector_search), and
+    the per-(q, chunk) sum shuffles candidate rows only. Every stage —
+    including both scores and the fusion — is exact arithmetic the
+    DuckDB oracle re-states, so the hybrid contract is value-checked
+    end to end."""
+    final = _hybrid_final(spark, sf_dir)
     wr = Window.partitionBy("q_id").orderBy(F.col("hybrid").desc(), F.col("chunk_id"))
     return (
         final.withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= 3)
+    )
+
+
+def _serving_oracle() -> str:
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        _ce_score_sql,
+    )
+
+    ce = _ce_score_sql("q_id", "chunk_id")
+    return f"""
+    WITH {_CHUNKS_CTE.strip()},
+    {_BM25_CTES.strip()},
+    {_EMBED_CTES.strip()},
+    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
+    qv AS (SELECT chunk_id AS q_id, v AS q_vec FROM vecs WHERE chunk_id IN {_QIDS!r}),
+    scored AS (
+      SELECT b.q_id, b.chunk_id, b.bm25raw,
+             round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
+      FROM bm25 b JOIN vecs e ON e.chunk_id = b.chunk_id JOIN qv q ON q.q_id = b.q_id
+    ),
+    fused AS (
+      SELECT q_id, chunk_id, round(bm25raw, 6) AS bm25, sim,
+             round(0.5 * bm25raw / max(bm25raw) OVER (PARTITION BY q_id)
+                   + 0.5 * sim, 6) AS hybrid
+      FROM scored
+    ),
+    short AS (
+      SELECT q_id, chunk_id, bm25, sim, hybrid FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY hybrid DESC, chunk_id) AS rnh
+        FROM fused
+      ) WHERE rnh <= 10
+    ),
+    rescored AS (
+      SELECT q_id, chunk_id, bm25, sim, hybrid,
+             round({ce}, 6) AS ce_score,
+             round(0.5 * hybrid + 0.5 * {ce}, 6) AS final_score
+      FROM short
+    )
+    SELECT q_id, chunk_id, bm25, sim, hybrid, ce_score, final_score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY final_score DESC, chunk_id) AS rnk
+      FROM rescored
+    ) WHERE rnk <= 3
+    """
+
+
+@query("search_serving_pipeline", _serving_oracle())
+def q_search_serving(spark, sf_dir):
+    """THE end-to-end search SERVING run as one query — the serving
+    mirror of training_data_pipeline's ingest flagship: chunk → BM25
+    keyword candidates (df-capped postings) → embed only the
+    candidates → 0.5/0.5 hybrid fusion → top-10 shortlist →
+    cross-encoder rerank through the mapInPandas model seam → final
+    top-3 per query by the blended score. Every stage is individually
+    oracle-checked by its own query (hybrid_bm25_search,
+    crossencoder_rerank_topk); this value-checks the COMPOSITION —
+    stage boundaries, shortlist membership, both fusions — end to end.
+
+    Scale: the expensive stages stay behind narrowing gates in the
+    retrieval-funnel discipline: embedding runs on keyword candidates
+    only, the cross-encoder on the 10-row-per-query shortlist only,
+    and each stage's output is a strict subset of its input."""
+    from commercial_rfp_data_pipeline_spark.operators.embedder import (
+        crossencoder_rerank,
+    )
+
+    final = _hybrid_final(spark, sf_dir)
+    wr = Window.partitionBy("q_id").orderBy(
+        F.col("hybrid").desc(), F.col("chunk_id")
+    )
+    short = (
+        final.withColumn("rnh", F.row_number().over(wr))
+        .filter(F.col("rnh") <= 10)
+        .drop("rnh")
+    )
+    ce = crossencoder_rerank(short, q_col="q_id", d_col="chunk_id")
+    rescored = ce.select(
+        "q_id",
+        "chunk_id",
+        "bm25",
+        "sim",
+        "hybrid",
+        F.round("ce_score", 6).alias("ce_score"),
+        F.round(0.5 * F.col("hybrid") + 0.5 * F.col("ce_score"), 6).alias(
+            "final_score"
+        ),
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("final_score").desc(), "chunk_id"
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q_id",
+            "chunk_id",
+            "bm25",
+            "sim",
+            "hybrid",
+            "ce_score",
+            "final_score",
+            "rnk",
+        )
     )

@@ -238,7 +238,7 @@ def test_bm25_embeds_only_candidates(spark, sf_dir):
     emb_counts = [
         df.count()
         for key, df in _PINNED_BY_KEY.items()
-        if "q_hybrid_bm25" in key and "embedding" in df.columns
+        if "_hybrid_final" in key and "embedding" in df.columns
     ]
     assert emb_counts, "expected pinned candidate embeddings"
     assert all(c < n_chunks for c in emb_counts), (emb_counts, n_chunks)
