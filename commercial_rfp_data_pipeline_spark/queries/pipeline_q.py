@@ -210,35 +210,6 @@ bm25 AS (SELECT q_id, chunk_id, sum(c) AS bm25raw FROM contrib GROUP BY q_id, ch
 """
 
 
-@query(
-    "hybrid_bm25_search",
-    f"""
-    WITH {_CHUNKS_CTE.strip()},
-    {_BM25_CTES.strip()},
-    {_EMBED_CTES.strip()},
-    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
-    qv AS (SELECT chunk_id AS q_id, v AS q_vec FROM vecs WHERE chunk_id IN {_QIDS!r}),
-    scored AS (
-      SELECT b.q_id, b.chunk_id, b.bm25raw,
-             round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
-      FROM bm25 b JOIN vecs e ON e.chunk_id = b.chunk_id JOIN qv q ON q.q_id = b.q_id
-    ),
-    final AS (
-      SELECT q_id, chunk_id, round(bm25raw, 6) AS bm25, sim,
-             round(0.5 * bm25raw / max(bm25raw) OVER (PARTITION BY q_id)
-                   + 0.5 * sim, 6) AS hybrid
-      FROM scored
-    )
-    SELECT q_id, chunk_id, bm25, sim, hybrid, CAST(rnk AS INTEGER) AS rnk FROM (
-      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hybrid DESC, chunk_id) AS rnk
-      FROM final
-    ) WHERE rnk <= 3
-    """,
-)
-def q_hybrid_bm25_registered(spark, sf_dir):
-    return q_hybrid_bm25(spark, sf_dir)
-
-
 def _hybrid_final(spark, sf_dir):
     """Shared construction for the hybrid family: the BM25+cosine
     fused score table (q_id, chunk_id, bm25, sim, hybrid) before any
@@ -325,6 +296,32 @@ def _hybrid_final(spark, sf_dir):
     )
 
 
+
+@query(
+    "hybrid_bm25_search",
+    f"""
+    WITH {_CHUNKS_CTE.strip()},
+    {_BM25_CTES.strip()},
+    {_EMBED_CTES.strip()},
+    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
+    qv AS (SELECT chunk_id AS q_id, v AS q_vec FROM vecs WHERE chunk_id IN {_QIDS!r}),
+    scored AS (
+      SELECT b.q_id, b.chunk_id, b.bm25raw,
+             round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
+      FROM bm25 b JOIN vecs e ON e.chunk_id = b.chunk_id JOIN qv q ON q.q_id = b.q_id
+    ),
+    final AS (
+      SELECT q_id, chunk_id, round(bm25raw, 6) AS bm25, sim,
+             round(0.5 * bm25raw / max(bm25raw) OVER (PARTITION BY q_id)
+                   + 0.5 * sim, 6) AS hybrid
+      FROM scored
+    )
+    SELECT q_id, chunk_id, bm25, sim, hybrid, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hybrid DESC, chunk_id) AS rnk
+      FROM final
+    ) WHERE rnk <= 3
+    """,
+)
 def q_hybrid_bm25(spark, sf_dir):
     """TRUE hybrid ranking (indexer:138-146 declares keyword + semantic
     ranking over chunk text): the keyword side contributes a real BM25
