@@ -936,3 +936,59 @@ def test_merge_apply_validate_rejects_duplicate_change_keys(spark):
     )
     got = {r.k: r.v for r in merge_apply(base, ok, keys=["k"], validate=True).collect()}
     assert got == {1: "x"}
+
+
+def test_merge_apply_inverts_cdc_diff(spark, sf_dir):
+    """The lakehouse pair's ALGEBRAIC LAW: applying the changeset that
+    cdc-diffing two snapshots produces must reconstruct the second
+    snapshot exactly — diff and merge are inverses. Exercised on the
+    same two date-window views of orders the cdc_diff_snapshots query
+    uses, so inserts, updates, and deletes all occur."""
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.incremental import (
+        merge_apply,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    v1 = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date")).select(cols)
+    v2 = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")).select(cols)
+
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    changed = j.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    )
+    changeset = changed.select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("b.o_orderkey").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("b.o_orderstatus").alias("o_orderstatus"),
+        F.col("b.o_totalprice").alias("o_totalprice"),
+    )
+    rebuilt = merge_apply(v1, changeset, keys=["o_orderkey"], validate=True)
+    got = {tuple(r) for r in rebuilt.collect()}
+    want = {tuple(r) for r in v2.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_holt_linear_partition_invariant(spark):
+    """The sequential series walk must be deterministic under any input
+    partitioning — sort-inside-group makes the recursion order a data
+    property, not a layout property."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import holt_linear
+
+    rows = [("s1", i, float((i * 7) % 13)) for i in range(50)] + [
+        ("s2", i, float((i * 3) % 11)) for i in range(50)
+    ]
+    df1 = spark.createDataFrame(rows, "k string, t long, y double").repartition(1)
+    df16 = spark.createDataFrame(rows, "k string, t long, y double").repartition(16, "t")
+    out1 = {(r.k, r.i): (r.level, r.trend) for r in holt_linear(df1, ["k"], "t", "y").collect()}
+    out16 = {(r.k, r.i): (r.level, r.trend) for r in holt_linear(df16, ["k"], "t", "y").collect()}
+    assert out1 == out16 and len(out1) == 100
