@@ -95,3 +95,75 @@ def test_dedup_partitioning_invariance(spark, sf_dir):
         if want is None:
             want = got
         assert got == want
+
+
+VEC = st.lists(
+    st.floats(
+        min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+    ),
+    min_size=0,
+    max_size=130,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs=st.lists(VEC, min_size=1, max_size=4))
+def test_binary_pack_matches_python_for_any_vectors(spark, vecs):
+    """For ARBITRARY float vectors (any dim 0..130, any signs incl.
+    zeros): the packed sign words equal a driver-side Python packing,
+    word count is ceil(d/64), and every bit beyond n_dims is clear."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        quantize_binary,
+    )
+
+    def py_pack(v):
+        words = []
+        for w in range((len(v) + 63) // 64):
+            acc = 0
+            for i in range(w * 64, min(w * 64 + 64, len(v))):
+                if v[i] > 0:
+                    acc |= 1 << (i - w * 64)
+            if acc >= 1 << 63:
+                acc -= 1 << 64
+            words.append(acc)
+        return words
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (list(r.bits), r.n_dims) for r in quantize_binary(df).collect()}
+    for i, v in rows:
+        bits, n_dims = got[i]
+        assert n_dims == len(v)
+        assert bits == py_pack(v), f"vec {i}"
+        assert len(bits) == (len(v) + 63) // 64
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30, unique=True),
+    upserts=st.lists(st.integers(min_value=0, max_value=60), max_size=15, unique=True),
+    deletes=st.lists(st.integers(min_value=0, max_value=60), max_size=15, unique=True),
+)
+def test_merge_apply_set_semantics_for_any_changeset(spark, base, upserts, deletes):
+    """For ARBITRARY base/upsert/delete key sets (deletes win only
+    where not also upserted — disjoint by construction): the result key
+    set is exactly (base - deletes - upserts) ∪ upserts, and upserted
+    rows carry the changeset payload."""
+    from commercial_rfp_data_pipeline_spark.operators.incremental import (
+        merge_apply,
+    )
+
+    deletes = [d for d in deletes if d not in upserts]
+    bdf = spark.createDataFrame([(k, f"b{k}") for k in base], "k long, v string")
+    changes = spark.createDataFrame(
+        [(k, "U", f"u{k}") for k in upserts]
+        + [(k, "D", None) for k in deletes],
+        "k long, op string, v string",
+    )
+    out = {r.k: r.v for r in merge_apply(bdf, changes, keys=["k"], validate=True).collect()}
+    want_keys = (set(base) - set(deletes) - set(upserts)) | set(upserts)
+    assert set(out) == want_keys
+    for k in upserts:
+        assert out[k] == f"u{k}"
+    for k in want_keys - set(upserts):
+        assert out[k] == f"b{k}"
