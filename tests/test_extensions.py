@@ -807,3 +807,30 @@ def test_streaming_windowed_topk_matches_batch(spark, sf_dir, tmp_path):
     got_set = {tuple(r) for r in got.collect()}
     want_set = {tuple(r) for r in want.collect()}
     assert got_set == want_set and len(got_set) > 0
+
+
+def test_search_serving_funnel_is_strictly_narrowing(spark, sf_dir):
+    """The serving composition's retrieval-funnel discipline, asserted
+    as data: reranked top-3 ⊆ hybrid top-10 shortlist ⊆ BM25 candidate
+    set, per query — the expensive stages provably never touch rows
+    the cheaper stages didn't admit."""
+    from pyspark.sql import Window as W
+
+    from commercial_rfp_data_pipeline_spark.queries.pipeline_q import (
+        _hybrid_final,
+        q_search_serving,
+    )
+
+    final = _hybrid_final(spark, sf_dir)
+    cand = {(r.q_id, r.chunk_id) for r in final.select("q_id", "chunk_id").collect()}
+    w = W.partitionBy("q_id").orderBy(F.col("hybrid").desc(), F.col("chunk_id"))
+    short = {
+        (r.q_id, r.chunk_id)
+        for r in final.withColumn("rnh", F.row_number().over(w))
+        .filter(F.col("rnh") <= 10)
+        .collect()
+    }
+    top3 = {(r.q_id, r.chunk_id) for r in q_search_serving(spark, sf_dir).collect()}
+    assert top3 and top3 <= short <= cand
+    # and the funnel genuinely narrows when the corpus allows it
+    assert len(short) <= len(cand)
