@@ -104,3 +104,64 @@ def q_mm_frames(spark, sf_dir):
     the md5-derived frame count, oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_binary(docs), every_n=8)
+
+
+@query(
+    "multimodal_payload_dedup",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS mime,
+             md5(text) AS content_md5
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, mime, content_md5,
+             row_number() OVER (PARTITION BY content_md5
+               ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY content_md5) AS n_copies
+      FROM meta
+    )
+    SELECT doc_id, mime, content_md5, n_copies,
+           rn = 1 AS is_canonical
+    FROM ranked
+    """,
+)
+def q_mm_payload_dedup(spark, sf_dir):
+    """Exact BINARY dedup over media payloads: identical bytes (same
+    content_md5 — the logo-on-every-page / re-encoded-duplicate case)
+    collapse to one canonical copy by deterministic keep-first; the
+    full canonical map is emitted (n_copies = 1 rows are their own
+    canonicals — this synthetic corpus has whitespace-variant text
+    dups but no byte-identical payloads, which is itself the point:
+    BINARY dedup and TEXT dedup answer different questions). The byte hash comes from the
+    executor-side metadata pass (operators/multimodal.py) — payloads
+    never leave the executors, and the dedup shuffles (hash, id) pairs
+    only; text near-dup machinery is irrelevant here because media
+    duplicates are byte-identical far more often than text is.
+
+    One window shuffle on content_md5 serves the ordinal, the copy
+    count, and the canonical flag."""
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = extract_features(attach_binary(docs)).select(
+        "doc_id", "mime", "content_md5"
+    )
+    w = W.partitionBy("content_md5").orderBy("doc_id")
+    ranked = meta.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_copies", F.count(F.lit(1)).over(W.partitionBy("content_md5"))
+    )
+    return ranked.select(
+        "doc_id",
+        "mime",
+        "content_md5",
+        "n_copies",
+        (F.col("rn") == 1).alias("is_canonical"),
+    )

@@ -1318,3 +1318,51 @@ def q_unicode_nfc(spark, sf_dir):
         .alias("text"),
     )
     return nfc_normalize(injected)
+
+
+@query(
+    "corpus_composition_report",
+    f"""
+    WITH base AS (
+      SELECT source, lang,
+             CASE WHEN length({_NORM}) = 0 THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM base GROUP BY source, lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS all_tokens FROM cells)
+    SELECT c.source, c.lang, c.n_docs, c.n_tokens,
+           round(c.n_tokens / CAST(t.all_tokens AS DOUBLE), 6)
+             AS token_share
+    FROM cells c CROSS JOIN tot t
+    """,
+)
+def q_corpus_composition(spark, sf_dir):
+    """The dataset-card composition table: documents and tokens per
+    (source, lang) cell with each cell's share of the total token
+    budget — what every corpus release publishes and what the mixing
+    operators (stratified_sample, temperature_mix) take as their
+    input distribution. One groupBy over the tiny cell key; the total
+    rides a broadcast one-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", "lang", token_count("text").alias("n_tokens")
+    )
+    cells = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    tot = cells.agg(F.sum("n_tokens").alias("all_tokens"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.col("all_tokens").cast("double"), 6
+        ).alias("token_share"),
+    )
