@@ -496,3 +496,33 @@ def test_observation_metrics_piggyback_single_pass(spark, sf_dir):
     assert got["sum_qty"] == want.s
     assert got["high_discount"] == want.nc
     assert 0 < n_out < got["n_rows"]
+
+
+def test_incremental_dedup_single_fp_shuffle(spark, sf_dir):
+    """incremental_corpus_dedup: ONE Exchange on fp serves both the
+    corpus-membership join and the keep-first window; the corpus side
+    reduces to a distinct fp column (aggregate), never a full-row
+    shuffle of the standing corpus."""
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["incremental_corpus_dedup"](spark, sf_dir)
+    p = plan(out)
+    # batch side: join + window share the fp hash partitioning — the
+    # plan must not re-exchange between them
+    assert p.count("Window") == 1
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_binary_index_pinned_and_query_bits_broadcast(spark, sf_dir):
+    """binary_hamming_rescore_topk: the packed bit index is built once
+    (InMemoryRelation in the plan) and the 3 query bit-vectors arrive
+    via broadcast — the corpus-side scan feeds the Hamming stage
+    directly."""
+    from commercial_rfp_data_pipeline_spark.io import release_pinned
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["binary_hamming_rescore_topk"](spark, sf_dir)
+    p = plan(out)
+    assert "InMemoryTableScan" in p
+    assert "Broadcast" in p
+    release_pinned()
