@@ -1650,3 +1650,71 @@ def q_user_resurrection(spark, sf_dir):
         )
         .filter(F.col("n_resurrections") > 0)
     )
+
+
+@query(
+    "events_dau_wau_mau",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           (SELECT count(DISTINCT u.user_id) FROM du u
+             WHERE u.day = d.day) AS dau,
+           (SELECT count(DISTINCT u.user_id) FROM du u
+             WHERE u.day > d.day - 7 AND u.day <= d.day) AS wau,
+           (SELECT count(DISTINCT u.user_id) FROM du u
+             WHERE u.day > d.day - 30 AND u.day <= d.day) AS mau,
+           round((SELECT count(DISTINCT u.user_id) FROM du u
+                   WHERE u.day = d.day)
+                 / CAST((SELECT count(DISTINCT u.user_id) FROM du u
+                          WHERE u.day > d.day - 30 AND u.day <= d.day)
+                        AS DOUBLE), 6) AS stickiness
+    FROM days d
+    """,
+)
+def q_dau_wau_mau(spark, sf_dir):
+    """DAU / WAU / MAU / stickiness (DAU/MAU) per day — THE product
+    health dashboard. Exact rolling distincts via the (day, user)
+    dedup table range-joined to the day grid: the corpus collapses to
+    one row per active (day, user) FIRST (one shuffle), and each
+    window's distinct count is a count over that tiny table — never a
+    rescan of raw events per window. The oracle states the same
+    windows as correlated subqueries.
+
+    At true scale the exact form stays viable because |day x user| is
+    bounded by DAU x days (the HLL register path —
+    hll_rolling_7d_users — is the sketch alternative when even that
+    is too wide)."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    j = days.alias("d").join(
+        du.alias("u"),
+        (F.col("u.day") > F.date_sub(F.col("d.day"), 30))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    agg = j.groupBy(F.col("d.day").alias("day")).agg(
+        F.count_distinct(
+            F.when(F.col("u.day") == F.col("d.day"), F.col("u.user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(
+                F.col("u.day") > F.date_sub(F.col("d.day"), 7),
+                F.col("u.user_id"),
+            )
+        ).alias("wau"),
+        F.count_distinct(F.col("u.user_id")).alias("mau"),
+    )
+    return agg.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )

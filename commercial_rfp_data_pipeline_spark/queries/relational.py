@@ -954,3 +954,131 @@ def q_ship_latency(spark, sf_dir):
         F.round(F.percentile("days", F.lit(0.95)), 4).alias("p95_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+@query(
+    "customer_cohort_ltv",
+    """
+    WITH cohorts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    facts AS (
+      SELECT c.cohort,
+             CAST((EXTRACT(year FROM o.o_orderdate)
+                   - EXTRACT(year FROM c.cohort)) * 12
+                  + (EXTRACT(month FROM o.o_orderdate)
+                     - EXTRACT(month FROM c.cohort)) AS INTEGER) AS age_months,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN cohorts c ON c.o_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT cohort, age_months, sum(rev) AS rev, count(*) AS n_orders
+      FROM facts GROUP BY cohort, age_months
+    ),
+    sizes AS (SELECT cohort, count(*) AS cohort_size FROM cohorts GROUP BY cohort)
+    SELECT c.cohort, c.age_months, c.n_orders, s.cohort_size,
+           CAST(c.rev AS DOUBLE) AS revenue,
+           CAST(sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cumulative_revenue,
+           round(sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / s.cohort_size, 6) AS ltv_per_customer
+    FROM cells c JOIN sizes s ON s.cohort = c.cohort
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: customers grouped by first-order month,
+    revenue accumulated by cohort age, LTV = cumulative revenue /
+    cohort size — the triangle behind every retention-economics
+    deck (the events-side sibling is events_retention_cohorts, which
+    counts activity; this one follows the money). DECIMAL revenue;
+    the running sum windows over the tiny (cohort, age) cell table."""
+    o = load_table(spark, sf_dir, "orders")
+    cohorts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    facts = o.join(cohorts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        )
+        .cast("int")
+        .alias("age_months"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    cells = facts.groupBy("cohort", "age_months").agg(
+        F.sum("rev").alias("rev"), F.count(F.lit(1)).alias("n_orders")
+    )
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = cells.join(F.broadcast(sizes), "cohort")
+    return joined.select(
+        "cohort",
+        "age_months",
+        "n_orders",
+        "cohort_size",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cumulative_revenue"),
+        F.round(F.sum("rev").over(w) / F.col("cohort_size"), 6)
+        .cast("double")
+        .alias("ltv_per_customer"),
+    )
+
+
+@query(
+    "revenue_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue - lag(revenue) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE), 6)
+             AS mom_growth,
+           round(CAST(revenue - lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(lag(revenue, 12) OVER (ORDER BY month) AS DOUBLE), 6)
+             AS yoy_growth
+    FROM monthly
+    """,
+)
+def q_revenue_mom_growth(spark, sf_dir):
+    """Month-over-month and year-over-year revenue growth — the
+    period-comparison report every finance review opens with. The lag
+    windows run over the tiny monthly rollup; first months yield NULL
+    growth (no prior period), exactly as both engines state it."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_growth"),
+        F.round(
+            (F.col("revenue") - prev12).cast("double") / prev12.cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )
