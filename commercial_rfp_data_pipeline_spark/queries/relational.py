@@ -1082,3 +1082,56 @@ def q_revenue_mom_growth(spark, sf_dir):
             6,
         ).alias("yoy_growth"),
     )
+
+
+@query(
+    "orders_backlog_aging",
+    """
+    WITH open_orders AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             date_diff('day', o_orderdate, DATE '1998-08-02') AS age_days
+      FROM orders WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age_days < 90 THEN '0-89'
+                WHEN age_days < 365 THEN '90-364'
+                WHEN age_days < 730 THEN '365-729'
+                ELSE '730+' END AS age_bucket,
+           count(*) AS n_orders,
+           CAST(sum(v) AS DOUBLE) AS open_value,
+           CAST(min(o_orderdate) AS DATE) AS oldest_order
+    FROM open_orders
+    GROUP BY 1, 2
+    """,
+)
+def q_backlog_aging(spark, sf_dir):
+    """Open-order backlog aging: non-finalized orders bucketed by age
+    as of the dataset's as-of date, with count, open value, and the
+    oldest order per (status, bucket) — the operations report that
+    pairs with the ship-latency SLA view. Narrow map + one small-key
+    groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    open_orders = o.filter(F.col("o_orderstatus") != "F").select(
+        "o_orderstatus",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.datediff(F.lit("1998-08-02").cast("date"), "o_orderdate").alias(
+            "age_days"
+        ),
+    )
+    bucket = (
+        F.when(F.col("age_days") < 90, "0-89")
+        .when(F.col("age_days") < 365, "90-364")
+        .when(F.col("age_days") < 730, "365-729")
+        .otherwise("730+")
+    )
+    return (
+        open_orders.withColumn("age_bucket", bucket)
+        .groupBy("o_orderstatus", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("v").cast("double").alias("open_value"),
+            F.min("o_orderdate").cast("date").alias("oldest_order"),
+        )
+    )

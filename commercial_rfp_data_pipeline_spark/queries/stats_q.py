@@ -1225,3 +1225,65 @@ def q_winsorized_stats(spark, sf_dir):
         "winsorized_mean",
         "winsorized_std",
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    """
+    WITH vol AS (
+      SELECT p.p_type AS part_type, l.l_suppkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS v
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (SELECT part_type, sum(v) AS tv, count(*) AS n_suppliers
+            FROM vol GROUP BY part_type)
+    SELECT t.part_type, t.n_suppliers,
+           CAST(t.tv AS DOUBLE) AS total_value,
+           round(sum((CAST(v.v AS DOUBLE) / CAST(t.tv AS DOUBLE))
+                     * (CAST(v.v AS DOUBLE) / CAST(t.tv AS DOUBLE))), 6)
+             AS hhi,
+           round(max(CAST(v.v AS DOUBLE) / CAST(t.tv AS DOUBLE)), 6)
+             AS top_supplier_share
+    FROM vol v JOIN tot t ON t.part_type = v.part_type
+    GROUP BY t.part_type, t.n_suppliers, t.tv
+    """,
+)
+def q_supplier_hhi(spark, sf_dir):
+    """Supply-concentration risk per part type: the Herfindahl index
+    (sum of squared supplier revenue shares — 1/n for perfectly
+    diversified, 1.0 for a single source) plus the top supplier's
+    share — the procurement-risk metric next to the Pareto/Gini
+    family. DECIMAL volume sums; shares squared in double and rounded
+    once.
+
+    Scale: one (type, supplier) groupBy with map-side combine, one
+    per-type total, one broadcast join back — the concentration math
+    runs over the supplier-count-sized table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vol = (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_type").alias("part_type"), "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("v"))
+    )
+    tot = vol.groupBy("part_type").agg(
+        F.sum("v").alias("tv"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("v").cast("double") / F.col("tv").cast("double")
+    return (
+        vol.join(F.broadcast(tot), "part_type")
+        .groupBy("part_type", "n_suppliers", "tv")
+        .agg(
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_supplier_share"),
+        )
+        .select(
+            "part_type",
+            "n_suppliers",
+            F.col("tv").cast("double").alias("total_value"),
+            "hhi",
+            "top_supplier_share",
+        )
+    )
