@@ -171,6 +171,7 @@ def save_sorted(
     path: str,
     sort_cols: list[str],
     n_partitions: int | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
     """Globally-ordered parquet layout: repartitionByRange (sampled
     range bounds — a distributed range exchange, never a single-node
@@ -186,6 +187,7 @@ def save_sorted(
         df.repartitionByRange(n, *sort_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
+        .options(**(options or {}))
         .parquet(path)
     )
 

@@ -1003,3 +1003,181 @@ def kcenter_coreset(
         selected.append((rnd, far["id"], float(far["md"])))
         sel_vecs.append(far["v"])
     return selected
+
+def knn_graph(
+    vectors: DataFrame,
+    m: int = 4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT m-nearest-neighbor graph — the build step of a
+    navigable-graph ANN index (the reference declares HNSW with m=4,
+    commercial_rfp_indexer.py:95-137; the flat m-NN graph is its
+    deterministic, oracle-checkable base layer).
+
+    Build shape: the same block-grid all-pairs decomposition as
+    ``embedding_neardup_pairs`` (every unordered block pair lands in
+    exactly one ``applyInPandas`` cell), but each cell emits only the
+    LOCAL top-m neighbors per source row in that cell, then one global
+    window keeps the top-m per source over the n_blocks local
+    candidates. Any global top-m neighbor is by definition within the
+    top-m of its own cell, so the two-level selection is exact.
+
+    Scale: shuffle = n_blocks x corpus for the grid plus
+    n x n_blocks x m candidate triples for the final window — the n^2
+    similarity matrix itself never shuffles, and per-task memory is
+    2 x (n/n_blocks) x dim x 8 bytes, sized by n_blocks exactly as the
+    near-dup kernel documents. Compute stays O(n^2/2) as an exact build
+    must; NN-descent is the approximate-build alternative at extreme
+    scale, traded away here to keep the graph oracle-checkable.
+
+    Output: (src_id, nbr_id, sim, rnk) with the engine-wide
+    deterministic (sim DESC, nbr_id) rank, sim rounded to 6 dp."""
+    import numpy as np
+    import pandas as pd
+
+    blocked = vectors.select(
+        id_col,
+        vec_col,
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    pair_keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda j: F.least(F.col("_blk"), j) * n_blocks
+            + F.greatest(F.col("_blk"), j),
+        )
+    )
+    exploded = blocked.withColumn("_pk", F.explode(pair_keys))
+
+    def _local_topm(src_ids, nbr_ids, sims):
+        if len(src_ids) == 0:
+            return pd.DataFrame({"src_id": [], "nbr_id": [], "sim": []}).astype(
+                {"src_id": "int64", "nbr_id": "int64", "sim": "float64"}
+            )
+        # per-source top-m under (sim DESC, nbr_id ASC): lexsort keys
+        # are applied last-key-primary, so order by (src, -sim, nbr)
+        order = np.lexsort((nbr_ids, -sims, src_ids))
+        s, nb, sm = src_ids[order], nbr_ids[order], sims[order]
+        # rank within each src run
+        change = np.empty(len(s), dtype=bool)
+        change[0] = True
+        change[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(change)
+        rnk = np.arange(len(s)) - np.repeat(starts, np.diff(np.append(starts, len(s))))
+        keep = rnk < m
+        return pd.DataFrame({"src_id": s[keep], "nbr_id": nb[keep], "sim": sm[keep]})
+
+    def grid_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = divmod(int(pdf["_pk"].iloc[0]), n_blocks)
+        ids = pdf[id_col].to_numpy()
+        mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if pa == pb:
+            sims = np.round(mat @ mat.T, 6)
+            np.fill_diagonal(sims, -np.inf)
+            n = len(ids)
+            src = np.repeat(ids, n)
+            nbr = np.tile(ids, n)
+            flat = sims.ravel()
+            ok = np.isfinite(flat)
+            return _local_topm(src[ok], nbr[ok], flat[ok])
+        blks = pdf["_blk"].to_numpy()
+        a_mask, b_mask = blks == pa, blks == pb
+        ida, idb = ids[a_mask], ids[b_mask]
+        sims = np.round(mat[a_mask] @ mat[b_mask].T, 6)
+        # both directions: a-rows need b-neighbors AND b-rows a-neighbors
+        na, nb_ = len(ida), len(idb)
+        src = np.concatenate([np.repeat(ida, nb_), np.repeat(idb, na)])
+        nbr = np.concatenate([np.tile(idb, na), np.tile(ida, nb_)])
+        sm = np.concatenate([sims.ravel(), sims.T.ravel()])
+        return _local_topm(src, nbr, sm)
+
+    cand = exploded.groupBy("_pk").applyInPandas(
+        grid_cell, schema="src_id long, nbr_id long, sim double"
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("nbr_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+        .select("src_id", "nbr_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def graph_beam_search(
+    vectors: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ef: int = 10,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Greedy beam search over an m-NN graph — the HNSW-style SERVING
+    path (reference ef_search=500, commercial_rfp_indexer.py:95-137),
+    made deterministic and oracle-expressible by fixing the round count
+    and the entry point (the min-id node, every engine agrees on it).
+
+    Per round: candidates = beam UNION neighbors(beam) via one join on
+    the graph's src_id, then exact cosine re-rank against the query and
+    keep the top-``ef`` per query under (sim DESC, vec_id). After
+    ``rounds`` expansions, emit the top-``k`` of the final beam
+    (excluding the query's own id — ef > k keeps the beam deep enough).
+
+    Scale: the beam is n_queries x ef rows — broadcast to the edge
+    join, so the graph (n x m edges, partitioned by src_id) never
+    reshuffles; each round scores at most n_queries x ef x (m+1)
+    candidates against broadcast query vectors. Query cost is
+    O(rounds x ef x m x dim) per query — independent of corpus size,
+    which is the entire point of a navigable-graph index. Recall is a
+    measured property of (ef, rounds) vs the exact oracle (tests pin
+    it), exactly like the IVF nprobe trade."""
+    vecs = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    qn = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    entry = vecs.select(F.min("vec_id").alias("vec_id"))
+    beam = qn.select("q_id").crossJoin(F.broadcast(entry))
+    edges = graph.select(F.col("src_id"), F.col("nbr_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    for _ in range(rounds):
+        expanded = (
+            edges.join(
+                F.broadcast(beam.withColumnRenamed("vec_id", "src_id")), "src_id"
+            )
+            .select("q_id", F.col("nbr_id").alias("vec_id"))
+        )
+        cand = beam.select("q_id", "vec_id").union(expanded).distinct()
+        scored = (
+            cand.join(vecs, "vec_id")
+            .join(F.broadcast(qn), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
+                ).alias("sim"),
+            )
+        )
+        # each round reads the previous beam TWICE (expansion + union);
+        # without lineage truncation the lazy plan doubles per round —
+        # localCheckpoint the tiny (n_queries x ef)-row state instead,
+        # the same per-round discipline as the CC fixpoint loop
+        beam = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= ef)
+            .select("q_id", "vec_id", "sim")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        beam.filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+    )

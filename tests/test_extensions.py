@@ -834,3 +834,51 @@ def test_search_serving_funnel_is_strictly_narrowing(spark, sf_dir):
     assert top3 and top3 <= short <= cand
     # and the funnel genuinely narrows when the corpus allows it
     assert len(short) <= len(cand)
+
+
+def test_knn_graph_exact_and_partition_invariant(spark, sf_dir):
+    """The block-grid m-NN graph build must equal the naive all-pairs
+    rank regardless of how the corpus is partitioned: local top-m per
+    grid cell + global top-m is exact, and xxhash block assignment is
+    row-deterministic."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        knn_exact,
+        knn_graph,
+    )
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import _vectors
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    g = knn_graph(v, m=8)
+    rows = {(r.src_id, r.nbr_id, r.sim, r.rnk) for r in g.collect()}
+    n_src = v.count()
+    assert len(rows) == n_src * 8
+    # naive reference: every vector is its own query
+    naive = knn_exact(
+        v,
+        v.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+        k=8,
+    )
+    expect = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in naive.collect()}
+    assert rows == expect
+    # partition invariance: a different layout + block count, same graph
+    g2 = knn_graph(v.repartition(7), m=8, n_blocks=3)
+    assert {(r.src_id, r.nbr_id, r.sim, r.rnk) for r in g2.collect()} == rows
+
+
+def test_graph_ann_beam_recall_and_determinism(spark, sf_dir):
+    """Beam search over the m=8 graph (ef=16, 4 rounds) measures 1.0
+    recall@5 on this corpus — pin it above 0.8, and pin run-to-run
+    determinism (fixed entry point, fixed rounds, (sim DESC, id)
+    ranking leave nothing to scheduling)."""
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        q_graph_ann_beam,
+        q_knn_exact,
+    )
+
+    exact = {(r.q_id, r.vec_id) for r in q_knn_exact(spark, sf_dir).collect()}
+    run1 = q_graph_ann_beam(spark, sf_dir).collect()
+    beam = {(r.q_id, r.vec_id) for r in run1}
+    recall = len(exact & beam) / len(exact)
+    assert recall > 0.8, f"beam recall collapsed: {recall}"
+    run2 = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in q_graph_ann_beam(spark, sf_dir).collect()}
+    assert {(r.q_id, r.vec_id, r.sim, r.rnk) for r in run1} == run2

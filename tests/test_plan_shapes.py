@@ -526,3 +526,58 @@ def test_binary_index_pinned_and_query_bits_broadcast(spark, sf_dir):
     assert "InMemoryTableScan" in p
     assert "Broadcast" in p
     release_pinned()
+
+
+def _scan_output_rows(df) -> int:
+    """Rows EMITTED by the parquet scan after row-group/page-level
+    min-max (zone map) skipping — read from the executed plan's leaf
+    FileSourceScanExec metrics, so it measures what the reader actually
+    materialized, not what the query returned."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return total
+
+
+def test_sorted_layout_scan_skips_row_groups(spark, tmp_path):
+    """Zone-map pruning EVIDENCE, not just layout shape: the same
+    point-lookup filter over the same 400k rows materializes ~25x
+    fewer rows from the save_sorted layout than from a hash-scattered
+    layout, because sorted files give parquet row groups tight min/max
+    stats the vectorized reader skips on. This is the measured payoff
+    of the disjoint-range property test above — at 100 TB it is the
+    difference between touching one row group and touching every one."""
+    from commercial_rfp_data_pipeline_spark.io import save_sorted
+
+    df = spark.range(0, 400000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    sorted_path = str(tmp_path / "zm_sorted")
+    scattered_path = str(tmp_path / "zm_scattered")
+    small_rg = {"parquet.block.size": str(256 * 1024)}
+    save_sorted(df, sorted_path, ["k"], n_partitions=2, options=small_rg)
+    # control must be scattered WITHIN row groups, not just across
+    # tasks: a plain hash repartition still receives each input range
+    # split as a contiguous run, leaving tight per-row-group min/max.
+    # Ordering by the key's hash destroys locality for real.
+    (
+        df.orderBy(F.hash("k"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .options(**small_rg)
+        .parquet(scattered_path)
+    )
+    # a RANGE predicate isolates min/max (zone map) skipping: equality
+    # predicates also get dictionary-page filtering, which skips row
+    # groups even in the scattered control and would mask the contrast
+    pred = "k BETWEEN 123000 AND 123999"
+    n_sorted = _scan_output_rows(spark.read.parquet(sorted_path).filter(pred))
+    n_scattered = _scan_output_rows(spark.read.parquet(scattered_path).filter(pred))
+    assert n_scattered >= 400000 * 0.9, f"control should scan ~all rows, got {n_scattered}"
+    assert n_sorted * 10 <= n_scattered, (
+        f"sorted layout should skip most row groups: {n_sorted} vs {n_scattered}"
+    )
