@@ -226,3 +226,123 @@ def search(
         id_col="chunk_id",
         vec_col="embedding",
     )
+
+
+def ensure_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse: str,
+    m: int = 8,
+    n_src_buckets: int = 8,
+) -> str:
+    """Durable navigable-graph ANN index (the HNSW-analogue of
+    ensure_ivf_index): the exact m-NN graph written
+    ``partitionBy(src_bucket)`` with src_bucket = pmod(xxhash64(src_id),
+    n_src_buckets) — the partition layout IS the adjacency index, so a
+    beam-search hop reads only the buckets its frontier nodes hash
+    into. Idempotent like the other ensure_* builders."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import knn_graph
+
+    graph_path = os.path.join(warehouse, "knn_graph")
+    try:
+        spark.read.parquet(graph_path).limit(1).collect()
+    except Exception:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        (
+            knn_graph(emb, m=m)
+            .withColumn(
+                "src_bucket", F.pmod(F.xxhash64(F.col("src_id")), F.lit(n_src_buckets))
+            )
+            .write.mode("overwrite")
+            .partitionBy("src_bucket")
+            .parquet(graph_path)
+        )
+    return graph_path
+
+
+def graph_search_index(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse: str,
+    k: int = 5,
+    ef: int = 16,
+    rounds: int = 4,
+    n_src_buckets: int = 8,
+) -> DataFrame:
+    """Beam-search the DURABLE graph index: per hop, collect the beam's
+    node ids (n_queries x ef — the same tiny-probe-list exception as
+    the IVF index), prune the adjacency read to their src_buckets
+    (static partition pruning) and their src_ids (row-group pushdown),
+    then rescore candidates against broadcast query vectors. This is
+    the on-disk serving shape: at 100 TB the graph never loads — each
+    hop touches a handful of bucket files."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"),
+    )
+    vecs = emb.withColumn("_n", _norm(F.col("_v")))
+    qn = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("_v").alias("_qv"))
+        .withColumn("_qn", _norm(F.col("_qv")))
+    )
+    graph_path = os.path.join(warehouse, "knn_graph")
+    entry = vecs.select(F.min("vec_id").alias("vec_id"))
+    beam = qn.select("q_id").crossJoin(F.broadcast(entry))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    for _ in range(rounds):
+        frontier = [r.vec_id for r in beam.select("vec_id").distinct().collect()]
+        buckets = _xxhash_buckets(spark, frontier, n_src_buckets)
+        edges = (
+            spark.read.parquet(graph_path)
+            .filter(F.col("src_bucket").isin(buckets))
+            .filter(F.col("src_id").isin(frontier))
+            .select("src_id", "nbr_id")
+        )
+        expanded = edges.join(
+            F.broadcast(beam.withColumnRenamed("vec_id", "src_id")), "src_id"
+        ).select("q_id", F.col("nbr_id").alias("vec_id"))
+        cand = beam.select("q_id", "vec_id").union(expanded).distinct()
+        scored = (
+            cand.join(vecs, "vec_id")
+            .join(F.broadcast(qn), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn")), 6
+                ).alias("sim"),
+            )
+        )
+        beam = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= ef)
+            .select("q_id", "vec_id", "sim")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        beam.filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _xxhash_buckets(
+    spark: SparkSession, node_ids: list, n_buckets: int
+) -> list:
+    """The buckets a frontier's adjacency rows live in — computed with
+    the SAME engine expression that wrote the layout (xxhash64 is a
+    Spark expression, not a Python-side hash), one tiny local plan per
+    hop for the whole frontier."""
+    df = spark.createDataFrame([(int(i),) for i in node_ids], "id long")
+    rows = df.select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).alias("b")
+    ).distinct().collect()
+    return sorted(r.b for r in rows)

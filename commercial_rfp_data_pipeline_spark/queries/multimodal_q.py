@@ -165,3 +165,116 @@ def q_mm_payload_dedup(spark, sf_dir):
         "n_copies",
         (F.col("rn") == 1).alias("is_canonical"),
     )
+
+
+# ---- cross-modal retrieval: CLIP-style dual encoders, faked
+# deterministically. Both "encoders" share a content signal (md5 of
+# the text) plus modality-specific noise (md5 of a salted text), so a
+# caption's embedding is SIMILAR to its own image's but not identical
+# — retrieval quality is a real measured property, yet every component
+# is md5-derived and the oracle reproduces it with hex arithmetic.
+
+_XM_DIM = 16
+_XM_NOISE = 0.3
+
+
+def _duck_byte(m: str, k: int) -> str:
+    hi = f"strpos('0123456789abcdef', substr({m}, {2 * k + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr({m}, {2 * k + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+def _duck_vec(shared: str, noise: str) -> str:
+    # components are CENTERED (byte - 127.5): raw 0..255 bytes give
+    # every vector a large positive mean and cosine saturates near 1
+    # for all pairs; centering makes the shared signal the dominant
+    # variance term (corr = 1/(1+noise^2) ~ 0.92)
+    comps = ", ".join(
+        f"CAST(({_duck_byte(shared, k)} - 127.5)"
+        f" + {_XM_NOISE} * ({_duck_byte(noise, k)} - 127.5) AS DOUBLE)"
+        for k in range(_XM_DIM)
+    )
+    return f"[{comps}]"
+
+
+_XMODAL_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS m0,
+             md5('img:' || text) AS mi, md5('txt:' || text) AS mt
+      FROM documents
+    ),
+    img AS (SELECT doc_id, {_duck_vec('m0', 'mi')} AS v FROM d),
+    txt AS (SELECT doc_id AS q_id, {_duck_vec('m0', 'mt')} AS qv
+            FROM d WHERE doc_id < 5),
+    sims AS (
+      SELECT t.q_id, i.doc_id,
+             round(list_cosine_similarity(i.v, t.qv), 6) AS sim
+      FROM img i CROSS JOIN txt t
+    )
+    SELECT q_id, doc_id, sim, CAST(rnk AS INTEGER) AS rnk,
+           (q_id = doc_id) AS is_own
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, doc_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+"""
+
+
+def _spark_byte(m, k):
+    return F.conv(F.substring(m, 2 * k + 1, 2), 16, 10).cast("double")
+
+
+@query("crossmodal_retrieval_topk", _XMODAL_SQL)
+def q_crossmodal_retrieval(spark, sf_dir):
+    """Cross-modal (caption -> image) retrieval with deterministic
+    dual encoders: per query caption, cosine top-3 over the image
+    embeddings, with an is_own flag marking whether the caption's own
+    image was retrieved — the contrastive-alignment eval a multimodal
+    training pipeline runs. Encoders are expression-only (md5 bytes:
+    shared content signal + 0.3x modality noise, all 16 digest bytes), so the whole path is
+    value-hash-checked; swap in real CLIP towers via the mapInPandas
+    embedder seam without touching the retrieval plan.
+
+    Scale: images never shuffle — the 5 caption vectors broadcast, the
+    per-query top-3 heaps are the only moving rows (same shape as
+    knn_exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m0 = F.md5(F.col("text"))
+    mi = F.md5(F.concat(F.lit("img:"), F.col("text")))
+    mt = F.md5(F.concat(F.lit("txt:"), F.col("text")))
+
+    def vec(shared, noise):
+        return F.array(
+            *[
+                (_spark_byte(shared, k) - F.lit(127.5))
+                + F.lit(_XM_NOISE) * (_spark_byte(noise, k) - F.lit(127.5))
+                for k in range(_XM_DIM)
+            ]
+        )
+
+    from commercial_rfp_data_pipeline_spark.operators.vector import cosine
+
+    img = docs.select("doc_id", vec(m0, mi).alias("v"))
+    txt = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"), vec(m0, mt).alias("qv")
+    )
+    from pyspark.sql import Window as W
+
+    sims = img.crossJoin(F.broadcast(txt)).select(
+        "q_id",
+        "doc_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "q_id",
+            "doc_id",
+            "sim",
+            F.col("rnk").cast("int").alias("rnk"),
+            (F.col("q_id") == F.col("doc_id")).alias("is_own"),
+        )
+    )

@@ -180,3 +180,51 @@ def windowed_topk_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_store_sink(
+    session_counts: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Streaming SESSION-window store. Session windows MERGE — a
+    bridging event can fuse two open sessions into one — which is why
+    Spark restricts streaming session aggregation to APPEND mode: a
+    session is emitted exactly once, only after the watermark passes
+    its end (no earlier partial row can exist downstream to go stale).
+    Merges therefore resolve INSIDE the streaming state before
+    anything is emitted; the store needs no compaction view.
+
+    Each micro-batch's closed sessions land in their own
+    ``batch_id=N`` directory (idempotent overwrite -> exactly-once
+    under replay, same discipline as the other foreachBatch sinks).
+    Open sessions stay in checkpointed state across availableNow
+    drains until later events advance the watermark past them."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+
+    return (
+        session_counts.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_topk(spark, store_path: str, k: int = 3) -> DataFrame:
+    """Global top-k busiest CLOSED sessions in the store, deterministic
+    tiebreak (n_events DESC, user_id, session_start). TakeOrdered shape
+    — no full sort, no shuffle beyond the per-partition heaps."""
+    live = spark.read.parquet(store_path).select(
+        "session_start", "session_end", "user_id", "n_events"
+    )
+    return (
+        live.orderBy(
+            F.col("n_events").desc(), F.col("user_id"), F.col("session_start")
+        )
+        .limit(k)
+    )

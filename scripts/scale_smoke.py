@@ -58,6 +58,10 @@ DEFAULT = {
     "minhash_band_eval": "documents",
     "events_holt_linear_trend": "events",
     "incremental_corpus_dedup": "documents",
+    "knn_graph_edges": "embeddings",
+    "graph_ann_beam_topk": "embeddings",
+    "kcore_copurchase": "lineitem",
+    "crossmodal_retrieval_topk": "documents",
 }
 
 

@@ -882,3 +882,18 @@ def test_graph_ann_beam_recall_and_determinism(spark, sf_dir):
     assert recall > 0.8, f"beam recall collapsed: {recall}"
     run2 = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in q_graph_ann_beam(spark, sf_dir).collect()}
     assert {(r.q_id, r.vec_id, r.sim, r.rnk) for r in run1} == run2
+
+
+def test_crossmodal_alignment_own_image_top1(spark, sf_dir):
+    """The dual encoders' shared-signal construction must be strong
+    enough that every caption retrieves its OWN image at rank 1 (16
+    centered dims, 0.3x modality noise -> corr ~0.92, measured 5/5 at
+    both test SFs) — the property that makes the retrieval eval
+    meaningful rather than decorative."""
+    from commercial_rfp_data_pipeline_spark.queries.multimodal_q import (
+        q_crossmodal_retrieval,
+    )
+
+    rows = q_crossmodal_retrieval(spark, sf_dir).collect()
+    top1 = {r.q_id: r.is_own for r in rows if r.rnk == 1}
+    assert len(top1) == 5 and all(top1.values()), top1

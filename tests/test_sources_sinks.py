@@ -911,3 +911,127 @@ def test_rest_upload_python_datasource_writer(spark, tmp_path):
     assert manifest["files"] == [f"doc_{i}.docx" for i in range(7)]
     with open(os.path.join(dest, "doc_3.docx"), "rb") as f:
         assert f.read() == b"payload 3"
+
+
+def test_session_store_merges_across_batches_and_topk(spark, tmp_path):
+    """Session windows MERGE across micro-batches: drain 1 sees user
+    u1 at 10:00 and 10:40 (two separate 30-min-gap open sessions);
+    drain 2 adds a bridging 10:20 event, fusing them IN STATE, plus
+    far-future flush events that advance the watermark past every real
+    session. Append mode must emit exactly ONE merged u1 session (the
+    constituents were never emitted — that is the point of the
+    append-only restriction), the flush sessions themselves must stay
+    unemitted (still open), and the store top-k must equal the batch
+    sessionization of the real events."""
+    import datetime as dt
+
+    from commercial_rfp_data_pipeline_spark.streaming.sinks import (
+        session_store_sink,
+        session_topk,
+    )
+    from commercial_rfp_data_pipeline_spark.streaming.windows import (
+        session_counts,
+    )
+
+    src = str(tmp_path / "events_src")
+    store = str(tmp_path / "session_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, user_id long"
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = session_store_sink(
+            session_counts(stream, gap="30 minutes"), store, ckpt
+        )
+        q.awaitTermination(120)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # drain 1: u1 splits into two OPEN sessions; u2 one busy session.
+    # watermark (max_ts - 1h) is below every session end -> no emission
+    emit([(ts(0), 1), (ts(40), 1), (ts(0), 2), (ts(1), 2), (ts(2), 2)])
+    drain()
+    # drain 2: bridge event merges u1's sessions in state; flush events
+    # 4h later close every real session
+    emit([(ts(20), 1), (ts(240), 999)])
+    drain()
+    got_all = spark.read.parquet(store)
+    u1 = [
+        (r.session_start, r.session_end, r.n_events)
+        for r in got_all.filter("user_id = 1").collect()
+    ]
+    assert u1 == [(ts(0), ts(70), 3)], u1  # ONE merged session, never two
+    assert got_all.filter("user_id = 999").count() == 0  # flush stays open
+    # store top-k == batch sessionization of the real events
+    allev = spark.read.parquet(src).filter("user_id <> 999")
+    want = {
+        tuple(r)
+        for r in allev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+        .orderBy(F.col("n_events").desc(), "user_id", "session_start")
+        .limit(2)
+        .collect()
+    }
+    got = {tuple(r) for r in session_topk(spark, store, k=2).collect()}
+    assert got == want and len(got) == 2
+
+
+def test_graph_index_lifecycle_and_pruned_hops(spark, sf_dir, tmp_path):
+    """ensure_graph_index materializes the m-NN graph partitioned by
+    src_bucket; searching it returns exactly what the in-memory beam
+    search computes over the same vectors, and each hop's adjacency
+    scan carries a src_bucket partition filter (the graph is fetched
+    bucket-by-bucket, never loaded whole)."""
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        graph_beam_search,
+        knn_graph,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        ensure_graph_index,
+        graph_search_index,
+    )
+
+    wh = str(tmp_path / "wh")
+    path = ensure_graph_index(spark, sf_dir, wh, m=8)
+    n_edges = spark.read.parquet(path).count()
+    ensure_graph_index(spark, sf_dir, wh, m=8)  # idempotent
+    assert spark.read.parquet(path).count() == n_edges
+
+    hits = graph_search_index(spark, sf_dir, wh, k=5, ef=16, rounds=4)
+    got = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in hits.collect()}
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qd = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    mem = graph_beam_search(
+        emb, knn_graph(emb, m=8), qd, k=5, ef=16, rounds=4
+    )
+    want = {(r.q_id, r.vec_id, r.sim, r.rnk) for r in mem.collect()}
+    assert got == want and len(got) == 25
+
+    # hop reads are bucket-pruned: re-run one hop's read shape
+    probe = spark.read.parquet(path).filter(F.col("src_bucket").isin([0, 3]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "src_bucket" in plan.split("PartitionFilters", 1)[1][:160]
