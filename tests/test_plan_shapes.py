@@ -626,3 +626,33 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_parquet_bloom_filter_skips_row_groups_on_scattered_data(spark, tmp_path):
+    """Written bloom filters cover the case zone maps cannot: POINT
+    lookups on a hash-scattered (non-sorted) layout, where every row
+    group's min/max spans the whole domain. With
+    parquet.bloom.filter.enabled#k the reader skips row groups whose
+    bloom rejects the literal (measured ~8x fewer rows materialized);
+    without it the same scan reads everything. The write-side option is
+    the index — no service, no sidecar files."""
+    df = spark.range(0, 400000).select(F.col("id").alias("k"))
+    scattered = df.orderBy(F.hash("k")).coalesce(2)
+    with_p = str(tmp_path / "bloom")
+    without_p = str(tmp_path / "nobloom")
+    (
+        scattered.write.mode("overwrite")
+        .option("parquet.block.size", str(256 * 1024))
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .parquet(with_p)
+    )
+    (
+        scattered.write.mode("overwrite")
+        .option("parquet.block.size", str(256 * 1024))
+        .parquet(without_p)
+    )
+    pred = "k = 123456"
+    n_bloom = _scan_output_rows(spark.read.parquet(with_p).filter(pred))
+    n_plain = _scan_output_rows(spark.read.parquet(without_p).filter(pred))
+    assert n_plain >= 400000 * 0.9, f"control should scan ~all rows: {n_plain}"
+    assert n_bloom * 4 <= n_plain, f"bloom should skip row groups: {n_bloom} vs {n_plain}"
