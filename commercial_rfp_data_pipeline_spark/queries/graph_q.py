@@ -406,7 +406,6 @@ def q_label_propagation(spark, sf_dir):
     connected, LPA's majority vote keeps dense purchase clusters
     apart. Same per-round cost envelope as a PageRank superstep."""
     from commercial_rfp_data_pipeline_spark.operators.graph import (
-    kcore_oracle_cte,
         label_propagation,
     )
 
@@ -651,3 +650,129 @@ def q_kcore_copurchase(spark, sf_dir):
         .select("src", "dst")
     )
     return kcore_peel(edges, k=3, rounds=12)
+
+
+_LPA_LABELS_CTE = f"""
+    edges AS ({_EDGES_SQL}),
+    l0 AS (SELECT p_partkey AS id, p_partkey AS lbl FROM part),
+    n1 AS (
+      SELECT e.dst AS id, l.lbl, count(*) AS c
+      FROM edges e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.lbl
+    ),
+    b1 AS (
+      SELECT id, lbl FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        FROM n1
+      ) WHERE rn = 1
+    ),
+    l1 AS (SELECT l0.id, coalesce(b1.lbl, l0.lbl) AS lbl
+           FROM l0 LEFT JOIN b1 USING (id)),
+    n2 AS (
+      SELECT e.dst AS id, l.lbl, count(*) AS c
+      FROM edges e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.lbl
+    ),
+    b2 AS (
+      SELECT id, lbl FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+        FROM n2
+      ) WHERE rn = 1
+    ),
+    l2 AS (SELECT l1.id, coalesce(b2.lbl, l1.lbl) AS lbl
+           FROM l1 LEFT JOIN b2 USING (id))
+"""
+
+
+@query(
+    "community_modularity",
+    f"""
+    WITH {{_LPA_LABELS_CTE}},
+    deg AS (SELECT src AS id, count(*) AS k FROM edges GROUP BY src),
+    m2 AS (SELECT count(*) AS m2 FROM edges),
+    intra AS (
+      SELECT la.lbl AS community, count(*) AS intra_directed
+      FROM edges e
+      JOIN l2 la ON la.id = e.src
+      JOIN l2 lb ON lb.id = e.dst
+      WHERE la.lbl = lb.lbl
+      GROUP BY la.lbl
+    ),
+    comm AS (
+      SELECT l2.lbl AS community, count(*) AS n_nodes,
+             sum(coalesce(d.k, 0)) AS degree_sum
+      FROM l2 LEFT JOIN deg d ON d.id = l2.id
+      GROUP BY l2.lbl
+    )
+    SELECT c.community, CAST(c.n_nodes AS BIGINT) AS n_nodes,
+           CAST(c.degree_sum AS BIGINT) AS degree_sum,
+           CAST(coalesce(i.intra_directed, 0) AS BIGINT) AS intra_directed,
+           round(coalesce(i.intra_directed, 0) / CAST(m2.m2 AS DOUBLE)
+                 - (c.degree_sum / CAST(m2.m2 AS DOUBLE))
+                   * (c.degree_sum / CAST(m2.m2 AS DOUBLE)), 6)
+             AS modularity_contrib
+    FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m2
+    """.replace("{_LPA_LABELS_CTE}", _LPA_LABELS_CTE),
+)
+def q_community_modularity(spark, sf_dir):
+    """Newman modularity per LPA community — the quality score that
+    tells you whether a partition is better than random: contribution
+    = intra_edges/2m - (degree_sum/2m)^2, summing to Q over
+    communities. All-integer numerators (directed edge counts, degree
+    sums) with one final division keep both engines bit-aligned.
+
+    Scale: degrees and intra counts are each ONE groupBy over the edge
+    list after two label joins partitioned on the edge endpoints — no
+    new shape beyond the LPA supersteps that produced the labels."""
+    from commercial_rfp_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    from commercial_rfp_data_pipeline_spark.io import pin
+
+    edges = pin(edges, "modularity_edges")
+    nodes = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
+    labels = label_propagation(nodes, edges, n_iters=2).select("id", "community")
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("k"))
+    m2 = edges.count()  # 2m — a scalar the driver holds, like the CC fixpoint probe
+    la = labels.select(F.col("id").alias("src"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("community").alias("cb"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("intra_directed"))
+    )
+    comm = (
+        labels.join(deg, "id", "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.sum("k"), F.lit(0)).alias("degree_sum"),
+        )
+    )
+    out = comm.join(intra, "community", "left")
+    return out.select(
+        "community",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+        F.coalesce(F.col("intra_directed"), F.lit(0))
+        .cast("long")
+        .alias("intra_directed"),
+        F.round(
+            F.coalesce(F.col("intra_directed"), F.lit(0)) / F.lit(float(m2))
+            - (F.col("degree_sum") / F.lit(float(m2)))
+            * (F.col("degree_sum") / F.lit(float(m2))),
+            6,
+        ).alias("modularity_contrib"),
+    )

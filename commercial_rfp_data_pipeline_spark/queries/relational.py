@@ -1188,3 +1188,21 @@ def q_unpivot(spark, sf_dir):
     rows, no shuffle); the only exchange is the upstream aggregate's."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_UNPIVOT_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+           count(*) AS n,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ALL
+"""
+
+
+@query("group_by_all_report", _GROUP_BY_ALL_SQL)
+def q_group_by_all(spark, sf_dir):
+    """GROUP BY ALL — the analyst shorthand both engines resolve to
+    the non-aggregate select items. IDENTICAL query text runs on both;
+    the resolved plan is the ordinary partial/final hash aggregate."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL)

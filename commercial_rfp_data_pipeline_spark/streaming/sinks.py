@@ -228,3 +228,64 @@ def session_topk(spark, store_path: str, k: int = 3) -> DataFrame:
         )
         .limit(k)
     )
+
+
+def cdc_upsert_sink(
+    changes: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    key_col: str = "id",
+    op_col: str = "op",
+    on_batch_written: Callable[[int], None] | None = None,
+) -> StreamingQuery:
+    """Streaming CDC apply: a change feed of (key, op ∈ {I,U,D},
+    payload...) rows upserts into a keyed store. Each micro-batch
+    lands VERBATIM in its own ``batch_id=N`` directory (idempotent
+    overwrite — a replayed batch rewrites identical rows, exactly-once
+    like the other sinks); the CURRENT table is the read-side
+    compaction ``read_cdc_store``: latest (batch_id, op) per key wins,
+    deletes drop the key. The store doubles as the full change
+    HISTORY — time travel = compact with a batch_id ceiling.
+
+    Scale: the write path never reads the store (no read-modify-write
+    race, no growing batch cost); compaction is one window over
+    (key) — or a bucketed layout on the key to make it exchange-free."""
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+        if on_batch_written is not None:
+            on_batch_written(batch_id)
+
+    return (
+        changes.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cdc_store(
+    spark,
+    store_path: str,
+    key_col: str = "id",
+    op_col: str = "op",
+    as_of_batch: int | None = None,
+) -> DataFrame:
+    """Materialize the CURRENT table from the CDC store: keep each
+    key's latest change (batch_id DESC, then source order within the
+    batch via a deterministic ordinal if present), drop keys whose
+    latest op is D. ``as_of_batch`` caps batch_id — time travel over
+    the retained change history."""
+    from pyspark.sql import Window as W
+
+    s = spark.read.parquet(store_path)
+    if as_of_batch is not None:
+        s = s.filter(F.col("batch_id") <= as_of_batch)
+    order = [F.col("batch_id").desc()]
+    if "_seq" in s.columns:
+        order.append(F.col("_seq").desc())
+    w = W.partitionBy(key_col).orderBy(*order)
+    latest = s.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.filter(F.col(op_col) != "D").drop("_rn", "batch_id", op_col)

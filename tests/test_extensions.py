@@ -897,3 +897,46 @@ def test_crossmodal_alignment_own_image_top1(spark, sf_dir):
     rows = q_crossmodal_retrieval(spark, sf_dir).collect()
     top1 = {r.q_id: r.is_own for r in rows if r.rnk == 1}
     assert len(top1) == 5 and all(top1.values()), top1
+
+
+def test_arrow_udf_matches_expression_token_count(spark, sf_dir):
+    """Spark 4's named Arrow UDF (@arrow_udf — pyarrow batches in/out,
+    no pandas conversion) computes the whitespace token count with
+    Arrow compute kernels and must agree with the native expression
+    path row-for-row. This pins the THIRD Python seam tier (rowwise
+    pandas_udf < mapInPandas < arrow_udf) the embedder seams can adopt
+    — while the registered queries stay expression-only."""
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+
+    def _tok(text):
+        import pyarrow.compute as pc
+
+        trimmed = pc.utf8_trim_whitespace(text)
+        n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        empty = pc.equal(pc.utf8_length(trimmed), 0)
+        return pc.cast(pc.if_else(empty, pa.scalar(0, pa.int32()), n), pa.float64())
+
+    # this module's `from __future__ import annotations` stringifies
+    # inline hints, which arrow_udf cannot resolve — attach real ones
+    _tok.__annotations__ = {"text": pa.Array, "return": pa.Array}
+    tok_count = arrow_udf(_tok, "double")
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.doc_id, r.n)
+        for r in docs.select("doc_id", tok_count("text").alias("n")).collect()
+    }
+    want = {
+        (r.doc_id, r.n)
+        for r in docs.select(
+            "doc_id",
+            F.when(F.length(F.trim("text")) == 0, F.lit(0.0))
+            .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("double")
+            .alias("n"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -1035,3 +1035,58 @@ def test_graph_index_lifecycle_and_pruned_hops(spark, sf_dir, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "src_bucket" in plan.split("PartitionFilters", 1)[1][:160]
+
+
+def test_cdc_upsert_sink_replay_and_time_travel(spark, tmp_path):
+    """CDC apply with exactly-once semantics: batch 1 inserts three
+    keys; a crash is injected AFTER the sink write but BEFORE the
+    checkpoint commit, so the restarted stream REPLAYS batch 1 — the
+    idempotent batch-dir overwrite must leave no duplicates. Batch 2
+    then updates one key and deletes another; the compacted view must
+    show exactly the surviving state, and as_of_batch=0 must time-travel
+    back to the pre-update table."""
+    from commercial_rfp_data_pipeline_spark.streaming.sinks import (
+        cdc_upsert_sink,
+        read_cdc_store,
+    )
+
+    src = str(tmp_path / "changes")
+    store = str(tmp_path / "cdc_store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, op string, val string, _seq long"
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain(fail_once=False):
+        crashed = {"did": False}
+
+        def boom(batch_id):
+            if fail_once and not crashed["did"]:
+                crashed["did"] = True
+                raise RuntimeError("injected crash before checkpoint commit")
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = cdc_upsert_sink(stream, store, ckpt, on_batch_written=boom)
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash surfaces here; restart resumes
+        return crashed["did"]
+
+    emit([(1, "I", "a", 1), (2, "I", "b", 2), (3, "I", "c", 3)])
+    assert drain(fail_once=True)  # crash after write, before commit
+    drain()  # replay: same batch rewrites its own directory
+    cur = {(r.id, r.val) for r in read_cdc_store(spark, store).collect()}
+    assert cur == {(1, "a"), (2, "b"), (3, "c")}, cur
+
+    emit([(2, "U", "b2", 4), (3, "D", None, 5)])
+    drain()
+    cur = {(r.id, r.val) for r in read_cdc_store(spark, store).collect()}
+    assert cur == {(1, "a"), (2, "b2")}, cur
+    # time travel: before batch 1 of changes, the original table stands
+    old = {(r.id, r.val)
+           for r in read_cdc_store(spark, store, as_of_batch=0).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}, old
