@@ -1718,3 +1718,37 @@ def q_dau_wau_mau(spark, sf_dir):
             "stickiness"
         ),
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           struct_extract(min(row(ts, event_id, value)), 3) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           struct_extract(max(row(ts, event_id, value)), 3) AS close,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_ohlc_hourly(spark, sf_dir):
+    """Hourly OHLC bars (open/high/low/close) over the event values —
+    the time-series downsampling every metrics store runs. Open and
+    close are argmin/argmax by event time with an event_id tiebreak,
+    expressed as ONE min/max over a (ts, id, value) struct (structs
+    order lexicographically in both engines), so the whole bar is a
+    single partial-aggregable groupBy: no window, no second shuffle,
+    and at 100 TB each hour's bar folds map-side like any sum."""
+    e = load_table(spark, sf_dir, "events")
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value").alias("v"))
+    return e.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+        F.min(s)["v"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(s)["v"].alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )

@@ -1206,3 +1206,69 @@ def q_group_by_all(spark, sf_dir):
     the resolved plan is the ordinary partial/final hash aggregate."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_NULLSAFE_SQL = """
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE o_orderkey % 50 END AS k,
+             count(*) AS n_a
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 50 END AS k,
+             count(*) AS n_b
+      FROM orders GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@query("null_safe_join_groups", _NULLSAFE_SQL)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL
+    bucket on each side joins to the NULL bucket on the other — the
+    semantic a plain equi-join silently drops. Spark plans <=> as an
+    ordinary hash join key (NULL hashes like any value under the
+    null-safe comparator), so there is no performance cliff for
+    keeping the rows."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.when(F.col("o_orderkey") % 10 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 50
+    )
+    key_b = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 50
+    )
+    a = o.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("n_a"))
+    b = o.groupBy(key_b.alias("k")).agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")))
+        .select(F.col("a.k").alias("k"), "n_a", "n_b")
+    )
+
+
+_FILTERED_AGG_SQL = """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           count_if(l_discount > 0.05) AS n_disc,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 2)
+                AS DOUBLE) AS avg_price_returned
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("filtered_aggregate_breadth", _FILTERED_AGG_SQL)
+def q_filtered_aggregates(spark, sf_dir):
+    """SQL-standard FILTER-clause aggregates plus the boolean
+    aggregate family (count_if, bool_and, bool_or) — IDENTICAL query
+    text on both engines. Every filtered aggregate stays inside the
+    single partial/final hash aggregate (a conditional accumulate, not
+    a second scan or join)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_FILTERED_AGG_SQL)

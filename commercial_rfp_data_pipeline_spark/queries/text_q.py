@@ -1366,3 +1366,61 @@ def q_corpus_composition(spark, sf_dir):
             F.col("n_tokens") / F.col("all_tokens").cast("double"), 6
         ).alias("token_share"),
     )
+
+
+# zero-width space / non-joiner / joiner / BOM (word-joiner form) /
+# soft hyphen — the invisible code points that survive copy-paste and
+# poison tokenizers. Built via chr() so the source file stays ASCII.
+_INVIS = "".join(chr(c) for c in (0x200B, 0x200C, 0x200D, 0xFEFF, 0x00AD))
+
+
+@query(
+    "invisible_char_strip",
+    f"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(65279) || substr(text, 1, 40) || chr(8203)
+                       || substr(text, 41) || chr(173)
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(t, '[{_INVIS}]', '', 'g') AS text_clean,
+           CAST(length(t) - length(regexp_replace(t, '[{_INVIS}]', '', 'g'))
+                AS INTEGER) AS n_stripped,
+           length(t) <> length(regexp_replace(t, '[{_INVIS}]', '', 'g'))
+             AS was_dirty
+    FROM injected
+    """,
+)
+def q_invisible_strip(spark, sf_dir):
+    """Strip invisible code points (zero-width space/joiner/non-joiner,
+    BOM, soft hyphen) — the copy-paste artifacts that split tokens and
+    break exact dedup while rendering identically. One narrow regexp
+    map; per-doc strip counts are emitted so a pipeline can alert on
+    dirty sources. A third of the docs get the characters injected so
+    the strip is exercised for real in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("﻿"),
+                F.substring("text", 1, 40),
+                F.lit("​"),
+                F.expr("substring(text, 41)"),
+                F.lit("­"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    cleaned = F.regexp_replace("t", f"[{_INVIS}]", "")
+    return injected.select(
+        "doc_id",
+        cleaned.alias("text_clean"),
+        (F.length("t") - F.length(cleaned)).cast("int").alias("n_stripped"),
+        (F.length("t") != F.length(cleaned)).alias("was_dirty"),
+    )

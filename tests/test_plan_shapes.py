@@ -656,3 +656,45 @@ def test_parquet_bloom_filter_skips_row_groups_on_scattered_data(spark, tmp_path
     n_plain = _scan_output_rows(spark.read.parquet(without_p).filter(pred))
     assert n_plain >= 400000 * 0.9, f"control should scan ~all rows: {n_plain}"
     assert n_bloom * 4 <= n_plain, f"bloom should skip row groups: {n_bloom} vs {n_plain}"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """AQE's runtime skew-join handling — the zero-code complement to
+    the explicit salting toolkit: a join where 80% of the left rows
+    share one key must re-plan at runtime into
+    SortMergeJoin(skew=true), splitting the hot partition across tasks
+    using the REAL shuffle statistics (the decision salting makes
+    ahead of time, AQE makes after the map stage). Thresholds lowered
+    so the local fixture qualifies; plan inspected on the join's OWN
+    QueryExecution after execution (a count() would plan separately)."""
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "1.2")
+        spark.conf.set(keys[1], "16KB")
+        spark.conf.set(keys[2], "8KB")
+        spark.conf.set(keys[3], "-1")
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("t")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) > 0
+        ep = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in ep
+        assert "SortMergeJoin(skew=true)" in ep, ep[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

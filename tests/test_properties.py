@@ -167,3 +167,30 @@ def test_merge_apply_set_semantics_for_any_changeset(spark, base, upserts, delet
         assert out[k] == f"u{k}"
     for k in want_keys - set(upserts):
         assert out[k] == f"b{k}"
+
+
+def test_bpe_encode_decode_roundtrip_lossless(spark, sf_dir):
+    """Tokenization must be LOSSLESS: for every unique word, the BPE
+    segmentation's tokens concatenate back to the exact word
+    (decode(encode(w)) == w), and n_tokens equals the segment count —
+    the invariant that lets a 100-TB corpus be encoded and later
+    reconstructed without a reference to the original text."""
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        bpe_encode_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_words(docs, n_merges=3)
+    total = enc.count()
+    assert total > 0
+    bad_decode = enc.filter(
+        F.regexp_replace("seq", " ", "") != F.col("word")
+    ).count()
+    assert bad_decode == 0
+    bad_count = enc.filter(
+        F.size(F.split("seq", " ")) != F.col("n_tokens")
+    ).count()
+    assert bad_count == 0
