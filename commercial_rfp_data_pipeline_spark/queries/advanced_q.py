@@ -644,3 +644,64 @@ def q_cms_join_size(spark, sf_dir):
             6,
         ).alias("rel_overestimate"),
     )
+
+
+@query(
+    "asof_join_forward_next_error",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'error' THEN ts END AS err_ts,
+             CASE WHEN event_type = 'error' THEN event_id END AS err_id
+      FROM events WHERE event_type IN ('error', 'click')
+    ),
+    filled AS (
+      SELECT user_id, ts, event_id, event_type,
+             min(err_ts) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS next_err_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id AS click_id, ts AS click_ts, next_err_ts,
+           CASE WHEN next_err_ts IS NOT NULL
+                THEN CAST(floor(epoch(next_err_ts)) - floor(epoch(ts)) AS BIGINT)
+           END AS secs_to_error
+    FROM filled WHERE event_type = 'click'
+    """,
+)
+def q_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: for each click, the same user's next error
+    at or after it (time-to-failure attribution — the mirror of the
+    backward as-of). Same union-sort-carry pattern with the window
+    ordered DESCENDING carrying a running min of error timestamps:
+    still ONE shuffle on user_id, no range explosion in either
+    direction."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "click")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.col("ts")).alias("err_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn("next_err_ts", F.min("err_ts").over(w))
+    return filled.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "next_err_ts",
+        F.when(
+            F.col("next_err_ts").isNotNull(),
+            (
+                F.floor(F.unix_timestamp("next_err_ts"))
+                - F.floor(F.unix_timestamp("ts"))
+            ).cast("long"),
+        ).alias("secs_to_error"),
+    )

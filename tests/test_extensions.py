@@ -940,3 +940,32 @@ def test_arrow_udf_matches_expression_token_count(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_nn_descent_recall_vs_exact_graph(spark, sf_dir):
+    """NN-descent's approximate build must recover most of the exact
+    m-NN graph: measured 0.72 edge recall at sf0.01 and ~0.7 at
+    sf0.001 on this near-orthogonal corpus (the hardest case for
+    neighbor-of-neighbor transitivity) — pin above 0.55. Refinement
+    must also HELP: recall after the 2-hop rounds strictly exceeds the
+    LSH-init-only graph's."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        nn_descent_graph,
+    )
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        _vectors,
+        q_knn_graph,
+        q_nn_descent,
+    )
+
+    exact = {(r.src_id, r.nbr_id) for r in q_knn_graph(spark, sf_dir).collect()}
+    approx = {(r.src_id, r.nbr_id) for r in q_nn_descent(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.55, f"nn-descent recall collapsed: {recall}"
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    init_only = {
+        (r.src_id, r.nbr_id)
+        for r in nn_descent_graph(v, dim=64, m=8, rounds=0, n_tables=6).collect()
+    }
+    recall0 = len(exact & init_only) / len(exact)
+    assert recall > recall0, (recall, recall0)
