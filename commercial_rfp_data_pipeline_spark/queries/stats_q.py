@@ -1287,3 +1287,58 @@ def q_supplier_hhi(spark, sf_dir):
             "top_supplier_share",
         )
     )
+
+
+@query(
+    "mutual_information_type_weekday",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow, count(*) AS o
+      FROM events GROUP BY event_type, isodow(ts)
+    ),
+    rt AS (SELECT event_type, sum(o) AS r_tot FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, sum(o) AS c_tot FROM obs GROUP BY dow),
+    n AS (SELECT sum(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.event_type, obs.dow, obs.o,
+             obs.o / CAST(n.n AS DOUBLE) AS pxy,
+             (rt.r_tot / CAST(n.n AS DOUBLE)) * (ct.c_tot / CAST(n.n AS DOUBLE))
+               AS pxpy
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    )
+    SELECT event_type, dow, CAST(o AS BIGINT) AS o,
+           round(pxy * ln(pxy / pxpy), 9) AS mi_contrib
+    FROM cells
+    """,
+)
+def q_mutual_information(spark, sf_dir):
+    """Mutual information of (event type, ISO weekday) — the
+    information-theoretic sibling of the chi-square query: per-cell
+    p(x,y)·ln(p(x,y)/(p(x)p(y))) contributions whose sum is I(X;Y) in
+    nats (0 iff independent). Same shape: exact-integer marginals via
+    three map-side groupBys, two broadcast marginal joins, one
+    deterministic double expression per cell. Zero-count cells never
+    appear (groupBy emits observed cells only), so the plogp is always
+    defined."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    pxy = F.col("o") / F.col("n").cast("double")
+    pxpy = (F.col("r_tot") / F.col("n").cast("double")) * (
+        F.col("c_tot") / F.col("n").cast("double")
+    )
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            F.col("o").cast("long").alias("o"),
+            F.round(pxy * F.log(pxy / pxpy), 9).alias("mi_contrib"),
+        )
+    )

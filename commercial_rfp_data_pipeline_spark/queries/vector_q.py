@@ -1679,3 +1679,81 @@ def q_nn_descent(spark, sf_dir):
     return nn_descent_graph(
         v, dim=DIM, m=_GRAPH_M, rounds=_ND_ROUNDS, n_tables=6
     )
+
+
+@query(
+    "knn_label_classification",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    g AS (
+      SELECT src_id, nbr_id FROM (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                          b.vec_id) AS rnk
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      ) WHERE rnk <= {_GRAPH_M}
+    ),
+    votes AS (
+      SELECT g.src_id, e.label AS nbr_label, count(*) AS c
+      FROM g JOIN e ON e.vec_id = g.nbr_id
+      GROUP BY g.src_id, e.label
+    ),
+    pred AS (
+      SELECT src_id, nbr_label AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                  ORDER BY c DESC, nbr_label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT e.label, count(*) AS n,
+           sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS n_correct,
+           round(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pred p JOIN e ON e.vec_id = p.src_id
+    GROUP BY e.label
+    """,
+)
+def q_knn_label_classification(spark, sf_dir):
+    """k-NN label classification OVER the m-NN graph — the downstream
+    consumer that justifies building the graph once: each vector's
+    label is predicted by majority vote of its 8 graph neighbors
+    ((count DESC, label) tiebreak), reported as per-label leave-one-out
+    accuracy. At scale the graph is the durable index
+    (ensure_graph_index); classification is then one edge join + two
+    small aggregates — no similarity computation at serve time."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import knn_graph
+    from pyspark.sql import Window as W
+
+    v = _vectors(spark, sf_dir)
+    g = knn_graph(v.select("vec_id", "embedding"), m=_GRAPH_M)
+    labels = v.select("vec_id", "label")
+    votes = (
+        g.join(labels.withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
+        .groupBy("src_id", F.col("label").alias("nbr_label"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("src_id").orderBy(F.col("c").desc(), F.col("nbr_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("src_id").alias("vec_id"), F.col("nbr_label").alias("predicted"))
+    )
+    return (
+        pred.join(labels, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n").cast("double"), 6).alias(
+                "accuracy"
+            ),
+        )
+    )

@@ -1090,3 +1090,55 @@ def test_cdc_upsert_sink_replay_and_time_travel(spark, tmp_path):
     old = {(r.id, r.val)
            for r in read_cdc_store(spark, store, as_of_batch=0).collect()}
     assert old == {(1, "a"), (2, "b"), (3, "c")}, old
+
+
+def test_watermark_drops_late_rows_with_metric_evidence(spark, tmp_path):
+    """Watermark semantics, measured not assumed: after the first
+    drain advances the watermark to 13:00, a 10:30 straggler in the
+    second drain must be DROPPED — the finalized 10:00 window keeps
+    count 1, and the query progress reports exactly one
+    numRowsDroppedByWatermark. This is the bounded-state guarantee
+    that lets a 100-TB stream's aggregation state stay finite."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, user_id long"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .count()
+            .select(F.col("w.start").alias("w"), "count")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q.lastProgress
+
+    emit([(t0, 1), (t0 + dt.timedelta(hours=4), 1)])
+    drain()  # watermark advances to 13:00; 10:00 window finalizes
+    emit([(t0 + dt.timedelta(minutes=30), 1)])  # late by 2.5 hours
+    p2 = drain()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0) for so in p2["stateOperators"]
+    )
+    assert dropped == 1, p2["stateOperators"]
+    got = {(r.w, r["count"]) for r in spark.read.parquet(out).collect()}
+    assert (t0, 1) in got, got  # on-time count only — straggler excluded
+    assert (t0, 2) not in got
