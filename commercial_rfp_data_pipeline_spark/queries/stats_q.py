@@ -1342,3 +1342,202 @@ def q_mutual_information(spark, sf_dir):
             F.round(pxy * F.log(pxy / pxpy), 9).alias("mi_contrib"),
         )
     )
+
+
+@query(
+    "psi_drift_report",
+    """
+    WITH ref AS (SELECT o_totalprice AS x FROM orders
+                 WHERE year(o_orderdate) = 1995),
+    cur AS (SELECT o_totalprice AS x FROM orders
+            WHERE year(o_orderdate) = 2000),
+    cuts AS (
+      SELECT list_transform(
+               quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               c -> round(c, 6)) AS cs
+      FROM ref
+    ),
+    rb AS (SELECT len(list_filter(cs, c -> x > c)) AS bin
+           FROM ref CROSS JOIN cuts),
+    cb AS (SELECT len(list_filter(cs, c -> x > c)) AS bin
+           FROM cur CROSS JOIN cuts),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    rc AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+    cc AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+    tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
+                   (SELECT count(*) FROM cur) AS nc)
+    SELECT CAST(b.bin AS INTEGER) AS bin,
+           CAST(coalesce(rc.n_ref, 0) AS BIGINT) AS n_ref,
+           CAST(coalesce(cc.n_cur, 0) AS BIGINT) AS n_cur,
+           round(greatest(coalesce(rc.n_ref, 0) / CAST(t.nr AS DOUBLE), 0.000001), 9) AS p_ref,
+           round(greatest(coalesce(cc.n_cur, 0) / CAST(t.nc AS DOUBLE), 0.000001), 9) AS p_cur,
+           round((greatest(coalesce(cc.n_cur, 0) / CAST(t.nc AS DOUBLE), 0.000001)
+                  - greatest(coalesce(rc.n_ref, 0) / CAST(t.nr AS DOUBLE), 0.000001))
+                 * ln(greatest(coalesce(cc.n_cur, 0) / CAST(t.nc AS DOUBLE), 0.000001)
+                      / greatest(coalesce(rc.n_ref, 0) / CAST(t.nr AS DOUBLE), 0.000001)), 9)
+             AS psi_contrib
+    FROM bins b LEFT JOIN rc ON rc.bin = b.bin LEFT JOIN cc ON cc.bin = b.bin
+    CROSS JOIN tot t
+    """,
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between a reference window (1995
+    orders) and a current window (2000 orders) over order value — THE
+    production drift alarm: bucket the current population by the
+    reference's exact deciles, PSI = sum (p_cur - p_ref)·ln(p_cur/p_ref)
+    with the standard 1e-6 clamp for empty bins. Per-bin contributions
+    are emitted so the alert can say WHERE the distribution moved.
+
+    Scale: the 9 cut points are one exact-percentile aggregate over
+    the reference (a single pass), broadcast as an array literal-like
+    column; bucketing is a narrow map (count of cuts below the value);
+    two groupBys finish. Nothing quadratic, nothing driver-side."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", F.year("o_orderdate").alias("y")
+    )
+    ref = o.filter(F.col("y") == 1995).select(F.col("o_totalprice").alias("x"))
+    cur = o.filter(F.col("y") == 2000).select(F.col("o_totalprice").alias("x"))
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = ref.agg(
+        F.transform(
+            F.percentile("x", F.array(*[F.lit(q) for q in qs])),
+            lambda c: F.round(c, 6),
+        ).alias("cs")
+    )
+
+    def bucket(df):
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(
+                F.size(F.filter(F.col("cs"), lambda c: F.col("x") > c)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    rc = bucket(ref).withColumnRenamed("n", "n_ref")
+    cc = bucket(cur).withColumnRenamed("n", "n_cur")
+    bins = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    nr = ref.count()
+    nc = cur.count()
+    eps = F.lit(0.000001)
+    p_ref = F.greatest(F.coalesce(F.col("n_ref"), F.lit(0)) / F.lit(float(nr)), eps)
+    p_cur = F.greatest(F.coalesce(F.col("n_cur"), F.lit(0)) / F.lit(float(nc)), eps)
+    return (
+        bins.join(F.broadcast(rc), "bin", "left")
+        .join(F.broadcast(cc), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+            F.round(p_ref, 9).alias("p_ref"),
+            F.round(p_cur, 9).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_contrib"),
+        )
+    )
+
+
+@query(
+    "decision_stump_train",
+    """
+    WITH pts AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    grouped AS (
+      SELECT x, count(*) AS cnt, sum(y) AS pos FROM pts GROUP BY x
+    ),
+    cum AS (
+      SELECT x,
+             sum(cnt) OVER (ORDER BY x) AS nl,
+             sum(pos) OVER (ORDER BY x) AS pl
+      FROM grouped
+    ),
+    tot AS (SELECT count(*) AS n, sum(y) AS p FROM pts),
+    cand AS (
+      SELECT c.x AS threshold, c.nl, c.pl,
+             t.n - c.nl AS nr, t.p - c.pl AS pr, t.n AS n
+      FROM cum c CROSS JOIN tot t
+      WHERE c.nl < t.n
+    ),
+    scored AS (
+      SELECT threshold, nl, nr, pl, pr,
+             round(
+               (nl / CAST(n AS DOUBLE))
+                 * (1 - pow(pl / CAST(nl AS DOUBLE), 2)
+                      - pow(1 - pl / CAST(nl AS DOUBLE), 2))
+               + (nr / CAST(n AS DOUBLE))
+                 * (1 - pow(pr / CAST(nr AS DOUBLE), 2)
+                      - pow(1 - pr / CAST(nr AS DOUBLE), 2)), 9) AS gini
+      FROM cand
+    )
+    SELECT round(threshold, 6) AS threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           round(pl / CAST(nl AS DOUBLE), 6) AS pos_rate_left,
+           round(pr / CAST(nr AS DOUBLE), 6) AS pos_rate_right,
+           gini
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY gini, threshold) AS rn FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_decision_stump(spark, sf_dir):
+    """Train a decision stump (one-level tree) distributed and
+    EXACTLY: best threshold on order value for predicting
+    fulfilled status, by weighted Gini over every distinct-value
+    split. One groupBy collapses ties, one ordered window builds the
+    prefix (count, positives) sums, every candidate split scores from
+    those two numbers, and a single TakeOrdered picks the argmin with
+    a deterministic (gini, threshold) tiebreak — the exact-split
+    search GBDT libraries approximate with histograms, runnable on
+    100 TB because nothing ever materializes beyond the distinct
+    feature values."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    grouped = o.groupBy("x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    wc = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    cum = grouped.select(
+        "x", F.sum("cnt").over(wc).alias("nl"), F.sum("pos").over(wc).alias("pl")
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p"))
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            F.col("x").alias("threshold"),
+            "nl",
+            "pl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("p") - F.col("pl")).alias("pr"),
+            "n",
+        )
+    )
+    rl = F.col("pl") / F.col("nl").cast("double")
+    rr = F.col("pr") / F.col("nr").cast("double")
+    gini = F.round(
+        (F.col("nl") / F.col("n").cast("double"))
+        * (1 - F.pow(rl, 2) - F.pow(1 - rl, 2))
+        + (F.col("nr") / F.col("n").cast("double"))
+        * (1 - F.pow(rr, 2) - F.pow(1 - rr, 2)),
+        9,
+    )
+    scored = cand.select("threshold", "nl", "nr", "pl", "pr", gini.alias("gini"))
+    return (
+        scored.orderBy("gini", "threshold")
+        .limit(1)
+        .select(
+            F.round("threshold", 6).alias("threshold"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.round(rl, 6).alias("pos_rate_left"),
+            F.round(rr, 6).alias("pos_rate_right"),
+            "gini",
+        )
+    )

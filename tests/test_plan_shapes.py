@@ -698,3 +698,28 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    """events_ohlc_hourly must compile to one partial/final hash
+    aggregate — the struct-min/max argmin trick means NO Window node
+    and exactly one exchange (on the hour key)."""
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    p = plan(all_queries()["events_ohlc_hourly"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert p.count("Exchange") == 1, p
+    assert "HashAggregate" in p or "SortAggregate" in p
+
+
+def test_decision_stump_prefix_is_single_sort_exchange(spark, sf_dir):
+    """decision_stump_train: the candidate-split search is ONE ordered
+    window over the distinct feature values plus a TakeOrdered argmin —
+    no per-threshold re-aggregation, no cartesian of thresholds
+    against rows."""
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    p = plan(all_queries()["decision_stump_train"](spark, sf_dir))
+    assert p.count("Window") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
