@@ -139,3 +139,73 @@ def holt_linear(
     return df.groupBy(*key_cols).applyInPandas(
         fit, schema=f"{key_schema}, i long, y double, level double, trend double"
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series isotonic (non-decreasing L2) regression via
+    pool-adjacent-violators — the calibration-curve fitter. Same
+    inherently-sequential class as ``holt_linear``: the pooling
+    dependency chain IS the series order, so ``applyInPandas`` per
+    series is the honest shape (one shuffle on the key; a 100-TB
+    metric store is wide, not deep).
+
+    Cross-engine contract: block means are computed as prefix-sum
+    differences ``(S_k - S_{j-1}) / (k-j+1)`` with a SEQUENTIAL float
+    prefix sum — the identical operation order the oracle's cumulative
+    window uses — and the oracle restates the fit through the minimax
+    identity ŷ_i = max_{j<=i} min_{k>=i} mean(y_j..y_k), which equals
+    the PAVA solution exactly; both engines round the fit to 6 dp.
+
+    Output: key_cols + (i, y, y_iso), i 1-based in series order."""
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        ys = [float(v) for v in pdf[value_col]]
+        ps = [0.0]
+        for v in ys:
+            ps.append(ps[-1] + v)
+
+        def mean(j, k):  # 0-based inclusive
+            return (ps[k + 1] - ps[j]) / (k - j + 1)
+
+        # blocks as (start, end) index ranges; merge while decreasing
+        blocks: list[tuple[int, int]] = []
+        for i in range(len(ys)):
+            blocks.append((i, i))
+            while len(blocks) > 1:
+                (j1, k1), (j2, k2) = blocks[-2], blocks[-1]
+                if mean(j1, k1) > mean(j2, k2):
+                    blocks[-2:] = [(j1, k2)]
+                else:
+                    break
+        fit_vals = [0.0] * len(ys)
+        for j, k in blocks:
+            m = mean(j, k)
+            for i in range(j, k + 1):
+                fit_vals[i] = m
+        keys = {c: pdf[c].iloc[0] for c in key_cols}
+        import math
+
+        return pd.DataFrame(
+            [
+                {
+                    **keys,
+                    "i": i + 1,
+                    "y": ys[i],
+                    "y_iso": math.floor(fit_vals[i] * 1e6 + 0.5) / 1e6,
+                }
+                for i in range(len(ys))
+            ]
+        )
+
+    key_schema = ", ".join(f"{k} {dict(df.dtypes)[k]}" for k in key_cols)
+    return df.groupBy(*key_cols).applyInPandas(
+        fit, schema=f"{key_schema}, i long, y double, y_iso double"
+    )

@@ -1752,3 +1752,60 @@ def q_ohlc_hourly(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "isotonic_calibration_fit",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, round(avg(value), 6) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT h, y,
+             row_number() OVER (ORDER BY h) AS i,
+             sum(round(avg_y, 6)) OVER (ORDER BY h) AS ps
+      FROM (SELECT h, y, y AS avg_y FROM hourly)
+    ),
+    a AS (
+      SELECT j.i AS j, k.i AS k,
+             (k.ps - coalesce(jp.ps, 0)) / (k.i - j.i + 1) AS m
+      FROM s j
+      JOIN s k ON k.i >= j.i
+      LEFT JOIN s jp ON jp.i = j.i - 1
+    ),
+    b AS (
+      SELECT j, k AS i,
+             min(m) OVER (PARTITION BY j ORDER BY k DESC) AS bmin
+      FROM a
+    ),
+    fit AS (SELECT i, max(bmin) AS f FROM b GROUP BY i)
+    SELECT s.h AS window_start, s.y, round(fit.f, 6) AS y_iso
+    FROM s JOIN fit USING (i)
+    """,
+)
+def q_isotonic_fit(spark, sf_dir):
+    """Isotonic regression of the hourly mean event value — the
+    monotone calibration fit (PAVA). The engine runs linear-time
+    pool-adjacent-violators through the sequential-series seam
+    (operators/ordered.py); the oracle restates the SAME solution via
+    the minimax identity max_j min_k mean(y_j..y_k) — an O(n²)
+    formulation only the oracle pays for. Block means are prefix-sum
+    differences with identical operation order in both engines, so
+    the fit value-hash-checks at 6 dp."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import isotonic_fit
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+        .withColumn("_series", F.lit(0))
+    )
+    out = isotonic_fit(hourly, ["_series"], order_col="h", value_col="y")
+    idx = hourly.select(
+        "h", F.row_number().over(W.orderBy("h")).alias("i")
+    )
+    return (
+        out.join(idx, "i")
+        .select(F.col("h").alias("window_start"), "y", "y_iso")
+    )

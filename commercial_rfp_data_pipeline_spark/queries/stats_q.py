@@ -1541,3 +1541,70 @@ def q_decision_stump(spark, sf_dir):
             "gini",
         )
     )
+
+
+@query(
+    "ks_two_sample_test",
+    """
+    WITH a AS (SELECT o_totalprice AS x FROM orders
+               WHERE year(o_orderdate) = 1995),
+    b AS (SELECT o_totalprice AS x FROM orders
+          WHERE year(o_orderdate) = 2000),
+    pts AS (
+      SELECT x, 1 AS in_a, 0 AS in_b FROM a
+      UNION ALL
+      SELECT x, 0, 1 FROM b
+    ),
+    g AS (SELECT x, sum(in_a) AS na, sum(in_b) AS nb FROM pts GROUP BY x),
+    tot AS (SELECT (SELECT count(*) FROM a) AS ta,
+                   (SELECT count(*) FROM b) AS tb),
+    ecdf AS (
+      SELECT x,
+             sum(na) OVER (ORDER BY x) / CAST(t.ta AS DOUBLE) AS fa,
+             sum(nb) OVER (ORDER BY x) / CAST(t.tb AS DOUBLE) AS fb
+      FROM g CROSS JOIN tot t
+    ),
+    scored AS (SELECT x, round(abs(fa - fb), 9) AS d FROM ecdf)
+    SELECT round(x, 6) AS at_value, d AS ks_statistic
+    FROM (SELECT *, row_number() OVER (ORDER BY d DESC, x) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_ks_two_sample(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the 1995
+    and 2000 order-value distributions: D = max |ECDF_a - ECDF_b|,
+    evaluated at every distinct value (where the supremum must occur),
+    reported with its location — the nonparametric drift test next to
+    the binned PSI. One distinct-value groupBy, one ordered window for
+    both ECDFs, one TakeOrdered argmax; at 100 TB the state is the
+    distinct value set, never the raw rows."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", F.year("o_orderdate").alias("y")
+    )
+    pts = o.filter(F.col("y").isin(1995, 2000)).select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("y") == 1995, 1).otherwise(0).alias("in_a"),
+        F.when(F.col("y") == 2000, 1).otherwise(0).alias("in_b"),
+    )
+    g = pts.groupBy("x").agg(
+        F.sum("in_a").alias("na"), F.sum("in_b").alias("nb")
+    )
+    tot = pts.agg(
+        F.sum("in_a").alias("ta"), F.sum("in_b").alias("tb")
+    )
+    wc = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
+    ecdf = g.crossJoin(F.broadcast(tot)).select(
+        "x",
+        (F.sum("na").over(wc) / F.col("ta").cast("double")).alias("fa"),
+        (F.sum("nb").over(wc) / F.col("tb").cast("double")).alias("fb"),
+    )
+    scored = ecdf.select(
+        "x", F.round(F.abs(F.col("fa") - F.col("fb")), 9).alias("d")
+    )
+    return (
+        scored.orderBy(F.col("d").desc(), "x")
+        .limit(1)
+        .select(F.round("x", 6).alias("at_value"), F.col("d").alias("ks_statistic"))
+    )

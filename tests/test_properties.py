@@ -194,3 +194,37 @@ def test_bpe_encode_decode_roundtrip_lossless(spark, sf_dir):
         F.size(F.split("seq", " ")) != F.col("n_tokens")
     ).count()
     assert bad_count == 0
+
+
+def test_isotonic_fit_monotone_and_projection_properties(spark):
+    """PAVA output must be (a) non-decreasing, (b) the identity on an
+    already-monotone series, (c) mean-preserving (the L2 projection
+    onto the monotone cone keeps the total), and (d) invariant to the
+    input's partitioning."""
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        isotonic_fit,
+    )
+
+    rows = [(0, i, y) for i, y in enumerate([5.0, 3.0, 4.0, 1.0, 6.0, 6.0, 2.0, 8.0])]
+    df = spark.createDataFrame(rows, "k int, t int, y double")
+    out = sorted(
+        (r.i, r.y, r.y_iso)
+        for r in isotonic_fit(df, ["k"], "t", "y").collect()
+    )
+    fits = [f for _, _, f in out]
+    assert all(a <= b for a, b in zip(fits, fits[1:])), fits
+    assert abs(sum(fits) - sum(y for _, y, _ in out)) < 1e-6
+    mono = spark.createDataFrame(
+        [(0, i, float(i)) for i in range(6)], "k int, t int, y double"
+    )
+    got = sorted(
+        (r.i, r.y_iso) for r in isotonic_fit(mono, ["k"], "t", "y").collect()
+    )
+    assert got == [(i + 1, float(i)) for i in range(6)]
+    out2 = sorted(
+        (r.i, r.y, r.y_iso)
+        for r in isotonic_fit(df.repartition(5), ["k"], "t", "y").collect()
+    )
+    assert out2 == out
