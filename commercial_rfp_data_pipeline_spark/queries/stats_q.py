@@ -1608,3 +1608,94 @@ def q_ks_two_sample(spark, sf_dir):
         .limit(1)
         .select(F.round("x", 6).alias("at_value"), F.col("d").alias("ks_statistic"))
     )
+
+
+@query(
+    "conformal_interval_coverage",
+    """
+    WITH cal AS (SELECT event_type, value FROM events WHERE event_id % 2 = 0),
+    tst AS (SELECT event_type, value FROM events WHERE event_id % 2 = 1),
+    pred AS (SELECT event_type, round(avg(value), 6) AS yhat,
+                    count(*) AS n_cal
+             FROM cal GROUP BY event_type),
+    scores AS (
+      SELECT c.event_type, abs(c.value - p.yhat) AS s
+      FROM cal c JOIN pred p USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn
+      FROM scores
+    ),
+    q AS (
+      SELECT r.event_type, round(r.s, 6) AS qhat
+      FROM ranked r JOIN pred p USING (event_type)
+      WHERE r.rn = CAST(ceil(0.9 * (p.n_cal + 1)) AS BIGINT)
+    )
+    SELECT p.event_type, p.yhat, q.qhat,
+           CAST(p.n_cal AS BIGINT) AS n_cal,
+           CAST(count(t.value) AS BIGINT) AS n_test,
+           round(sum(CASE WHEN abs(t.value - p.yhat) <= q.qhat
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(t.value) AS DOUBLE), 6) AS coverage
+    FROM pred p JOIN q USING (event_type)
+    JOIN tst t USING (event_type)
+    GROUP BY p.event_type, p.yhat, q.qhat, p.n_cal
+    """,
+)
+def q_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction intervals per event type with their
+    MEASURED holdout coverage — distribution-free uncertainty
+    quantification: calibration half fits the point predictor (the
+    type mean) and the ceil(0.9(n+1))-th order statistic of absolute
+    residuals becomes the interval half-width, guaranteeing >= 90%
+    coverage in expectation; the test half reports the realized rate.
+    Deterministic split (event_id parity), exact order statistic via
+    one per-type window — everything value-hash-checks.
+
+    Scale: two scans of events, one window per type for the order
+    statistic, one join+aggregate for coverage — per-type state is one
+    (yhat, qhat) row, the broadcast side of the test join."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    cal = e.filter(F.col("event_id") % 2 == 0)
+    tst = e.filter(F.col("event_id") % 2 == 1)
+    pred = cal.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("yhat"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    scores = cal.join(F.broadcast(pred), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("yhat")).alias("s"), "n_cal"
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("event_type").orderBy("s")
+    qhat = (
+        scores.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"))
+        .select("event_type", F.round("s", 6).alias("qhat"))
+    )
+    both = pred.join(qhat, "event_type")
+    return (
+        tst.join(F.broadcast(both), "event_type")
+        .groupBy("event_type", "yhat", "qhat", "n_cal")
+        .agg(
+            F.count("value").cast("long").alias("n_test"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("value") - F.col("yhat")) <= F.col("qhat"), 1
+                    ).otherwise(0)
+                )
+                / F.count("value").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type",
+            "yhat",
+            "qhat",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            "n_test",
+            "coverage",
+        )
+    )

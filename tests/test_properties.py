@@ -228,3 +228,18 @@ def test_isotonic_fit_monotone_and_projection_properties(spark):
         for r in isotonic_fit(df.repartition(5), ["k"], "t", "y").collect()
     )
     assert out2 == out
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    """Split-conformal guarantee, measured: every event type's holdout
+    coverage sits near the 0.9 nominal level (finite-sample noise
+    band [0.8, 1.0]) — the distribution-free promise the order-
+    statistic construction makes."""
+    from commercial_rfp_data_pipeline_spark.queries.stats_q import (
+        q_conformal_coverage,
+    )
+
+    rows = q_conformal_coverage(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert 0.8 <= r.coverage <= 1.0, (r.event_type, r.coverage)
