@@ -323,3 +323,55 @@ def test_kcore_peels_tail_keeps_clique(spark):
     # has initial degree 4; the clique must survive intact
     more = {r.id: r.core_deg for r in kcore_peel(edges, k=3, rounds=6).collect()}
     assert more == out
+
+
+def test_kcore_matches_python_reference_on_random_graphs(spark):
+    """kcore_peel vs an independent pure-Python peeling reference on
+    seeded pseudo-random graphs of varying density — the survivor SET
+    and every survivor's core degree must match exactly, including the
+    all-peeled and nothing-peeled extremes."""
+    import hashlib
+
+    from commercial_rfp_data_pipeline_spark.operators.graph import kcore_peel
+
+    def pseudo_edges(seed, n_nodes, n_edges):
+        out = set()
+        i = 0
+        while len(out) < n_edges:
+            h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            a = int(h[:8], 16) % n_nodes
+            b = int(h[8:16], 16) % n_nodes
+            i += 1
+            if a != b:
+                out.add((min(a, b), max(a, b)))
+        return sorted(out)
+
+    def py_kcore(pairs, k):
+        adj: dict[int, set] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in adj.items() if len(ns) < k]:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    for seed, n_nodes, n_edges, k in (
+        ("g1", 30, 40, 2),
+        ("g2", 30, 90, 3),
+        ("g3", 20, 15, 3),   # sparse: everything peels
+        ("g4", 12, 60, 4),   # dense: nothing peels
+    ):
+        pairs = pseudo_edges(seed, n_nodes, n_edges)
+        want = py_kcore(pairs, k)
+        both_dirs = pairs + [(b, a) for a, b in pairs]
+        edges = spark.createDataFrame(both_dirs, "src long, dst long")
+        got = {
+            r.id: r.core_deg
+            for r in kcore_peel(edges, k=k, rounds=n_nodes).collect()
+        }
+        assert got == want, (seed, k, got, want)
