@@ -230,7 +230,8 @@ def pagerank_oracle_cte(
         f"_edges AS MATERIALIZED ({edges_sql})",
         "_n AS MATERIALIZED (SELECT count(*) AS n FROM (SELECT DISTINCT id FROM _nodes))",
         (
-            "_deg AS MATERIALIZED (SELECT src, sum(w) AS outdeg FROM _edges GROUP BY src)"
+            "_deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outdeg"
+            " FROM _edges GROUP BY src)"
             if weighted
             else "_deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM _edges GROUP BY src)"
         ),

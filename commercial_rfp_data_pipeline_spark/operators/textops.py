@@ -1538,7 +1538,7 @@ def bpe_encode_oracle_sql(norm_sql: str, n_merges: int = 3) -> str:
         p = f"seq{r - 1}"
         ctes.append(
             f"""pc{r} AS (
-              SELECT t[i] || ' ' || t[i + 1] AS pair, sum(wn) AS n
+              SELECT t[i] || ' ' || t[i + 1] AS pair, CAST(sum(wn) AS BIGINT) AS n
               FROM (SELECT t, wn, unnest(generate_series(1, len(t) - 1)) AS i
                     FROM (SELECT string_split(seq, ' ') AS t, wn FROM {p}))
               GROUP BY 1
@@ -1594,7 +1594,7 @@ def bpe_train_oracle_sql(norm_sql: str, n_merges: int = 3) -> str:
         p = f"seq{r - 1}"
         ctes.append(
             f"""pc{r} AS (
-              SELECT t[i] || ' ' || t[i + 1] AS pair, sum(wn) AS n
+              SELECT t[i] || ' ' || t[i + 1] AS pair, CAST(sum(wn) AS BIGINT) AS n
               FROM (SELECT t, wn, unnest(generate_series(1, len(t) - 1)) AS i
                     FROM (SELECT string_split(seq, ' ') AS t, wn FROM {p}))
               GROUP BY 1

@@ -590,7 +590,7 @@ def q_kmv_set_ops(spark, sf_dir):
     """
     WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
     exact AS (
-      SELECT sum(c * c) AS exact_size FROM (
+      SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM (
         SELECT count(*) AS c FROM k GROUP BY v
       )
     ),
@@ -601,7 +601,7 @@ def q_kmv_set_ops(spark, sf_dir):
     ),
     est AS (
       SELECT min(ip) AS cms_estimate FROM (
-        SELECT j, sum(n * n) AS ip FROM counters GROUP BY j
+        SELECT j, CAST(sum(n * n) AS BIGINT) AS ip FROM counters GROUP BY j
       )
     )
     SELECT exact_size, cms_estimate,

@@ -600,7 +600,7 @@ def q_importance_downsample(spark, sf_dir):
     ),
     cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
     SELECT doc_id,
-           sum(c) AS n_chars,
+           CAST(sum(c) AS BIGINT) AS n_chars,
            round(log2(CAST(sum(c) AS DOUBLE))
                  - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy_bits
     FROM cnt GROUP BY doc_id

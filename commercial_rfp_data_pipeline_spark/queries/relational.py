@@ -312,7 +312,7 @@ def q_multi_join(spark, sf_dir):
       FROM lineitem l WHERE NOT EXISTS (
         SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       UNION ALL
-      SELECT 'customer_custkey_unique', coalesce(sum(n - 1), 0)
+      SELECT 'customer_custkey_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
       FROM (SELECT count(*) AS n FROM customer GROUP BY c_custkey) WHERE n > 1
       UNION ALL
       SELECT 'orders_orderdate_nonnull', count(*)
@@ -468,39 +468,39 @@ def q_cdc_diff(spark, sf_dir):
     "table_profile_orders",
     """
     SELECT 'o_orderkey' AS col, count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT o_orderkey) AS n_distinct,
            CAST(min(o_orderkey) AS VARCHAR) AS min_str,
            CAST(max(o_orderkey) AS VARCHAR) AS max_str
     FROM orders
     UNION ALL
     SELECT 'o_custkey', count(*),
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_custkey),
            CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*),
-           sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderstatus),
            min(o_orderstatus), max(o_orderstatus)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', count(*),
-           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderpriority),
            min(o_orderpriority), max(o_orderpriority)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', count(*),
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_totalprice),
            CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
            CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderdate', count(*),
-           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_orderdate),
            strftime(min(o_orderdate), '%Y-%m-%d'),
            strftime(max(o_orderdate), '%Y-%m-%d')
@@ -1253,7 +1253,7 @@ def q_null_safe_join(spark, sf_dir):
 _FILTERED_AGG_SQL = """
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_quantity > 25) AS n_big,
-           count_if(l_discount > 0.05) AS n_disc,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
            bool_and(l_quantity > 0) AS all_pos,
            bool_or(l_tax > 0.07) AS any_high_tax,
            CAST(round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 2)

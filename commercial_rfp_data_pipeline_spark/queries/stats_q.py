@@ -241,7 +241,8 @@ def q_doc_length_histogram(spark, sf_dir):
     SELECT d.event_type,
            round(any_value(d.med), 6) AS med,
            round(any_value(m.mad), 6) AS mad,
-           sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
            count(*) AS n
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type
@@ -1004,7 +1005,7 @@ def q_k_anonymity_audit(spark, sf_dir):
     ),
     stats AS (
       SELECT key_col,
-             sum(n) AS n_rows,
+             CAST(sum(n) AS BIGINT) AS n_rows,
              count(*) AS n_distinct,
              max(n) AS top_key_rows
       FROM freq GROUP BY key_col

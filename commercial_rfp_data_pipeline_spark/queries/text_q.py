@@ -662,9 +662,9 @@ def q_span_dedup(spark, sf_dir):
     SELECT lang,
            count(*) AS n_docs,
            count(DISTINCT source) AS n_sources,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
-           sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_exact_dup_docs
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs
     FROM base JOIN dup USING (fp)
     GROUP BY lang
     """,
@@ -801,7 +801,7 @@ def q_pmi_collocations(spark, sf_dir):
                    unnest(generate_series(1, length(word) - 1)) AS i
             FROM wf)
     ),
-    pc AS (SELECT pair, sum(wn) AS n FROM pairs GROUP BY pair)
+    pc AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM pairs GROUP BY pair)
     SELECT pair, n, CAST(rnk AS INTEGER) AS rnk FROM (
       SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk
       FROM pc

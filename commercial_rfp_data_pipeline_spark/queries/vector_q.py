@@ -1707,7 +1707,8 @@ def q_nn_descent(spark, sf_dir):
       ) WHERE rn = 1
     )
     SELECT e.label, count(*) AS n,
-           sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
            round(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 6) AS accuracy
     FROM pred p JOIN e ON e.vec_id = p.src_id
