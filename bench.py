@@ -5,6 +5,13 @@
 Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The stdout line keeps "queries" to the headline set so the line stays
+short enough for line-capped log capture to record it intact (a
+247-entry map overflows such capture and the artifact fails to parse);
+the FULL per-query timing map is written to $SPARK_GRAFT_BENCH_JSON
+(default BENCH_FULL_latest.json next to this script) for the committed
+artifact.
+
 Each query is executed to completion (count() over the result — forces
 the full plan without driver-side collect of payload rows).
 """
@@ -97,17 +104,29 @@ def main() -> None:
             spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+    }
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_JSON",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL_latest.json"),
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write {full_path}: {e}", file=sys.stderr)
+    compact = dict(payload)
+    compact["queries"] = {n: timings[n] for n in HEADLINE if n in timings}
+    compact["queries_full_path"] = full_path
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -707,7 +707,7 @@ _LPA_LABELS_CTE = f"""
            CAST(coalesce(i.intra_directed, 0) AS BIGINT) AS intra_directed,
            round(coalesce(i.intra_directed, 0) / CAST(m2.m2 AS DOUBLE)
                  - (c.degree_sum / CAST(m2.m2 AS DOUBLE))
-                   * (c.degree_sum / CAST(m2.m2 AS DOUBLE)), 6)
+                   * (c.degree_sum / CAST(m2.m2 AS DOUBLE)), 6) + 0.0
              AS modularity_contrib
     FROM comm c LEFT JOIN intra i USING (community) CROSS JOIN m2
     """.replace("{_LPA_LABELS_CTE}", _LPA_LABELS_CTE),
@@ -769,10 +769,16 @@ def q_community_modularity(spark, sf_dir):
         F.coalesce(F.col("intra_directed"), F.lit(0))
         .cast("long")
         .alias("intra_directed"),
-        F.round(
-            F.coalesce(F.col("intra_directed"), F.lit(0)) / F.lit(float(m2))
-            - (F.col("degree_sum") / F.lit(float(m2)))
-            * (F.col("degree_sum") / F.lit(float(m2))),
-            6,
+        (
+            F.round(
+                F.coalesce(F.col("intra_directed"), F.lit(0)) / F.lit(float(m2))
+                - (F.col("degree_sum") / F.lit(float(m2)))
+                * (F.col("degree_sum") / F.lit(float(m2))),
+                6,
+            )
+            # + 0.0 canonicalizes IEEE negative zero: a contribution that
+            # rounds to -0.0 must compare equal to +0.0 at the value level
+            # (DuckDB's round preserves the sign of zero, Spark's doesn't)
+            + F.lit(0.0)
         ).alias("modularity_contrib"),
     )
