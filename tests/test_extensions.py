@@ -884,6 +884,43 @@ def test_graph_ann_beam_recall_and_determinism(spark, sf_dir):
     assert {(r.q_id, r.vec_id, r.sim, r.rnk) for r in run1} == run2
 
 
+def test_graph_ann_hnsw_recall_and_hierarchy_advantage(spark, sf_dir):
+    """Hierarchical HNSW (2 upper + 3 base rounds, 4 entry points)
+    must (a) stay near-exact on the smoke corpus (measured 0.96 —
+    one borderline tie differs from the flat search's perfect 1.0 on
+    500 trivially-navigable vectors), (b) be deterministic run to run,
+    and (c) at sf0.01 — where navigation starts to matter — meet or
+    beat the flat 4-round beam's recall with FEWER base-layer hops
+    (measured 1.00 vs 0.88; 0.72 vs 0.36 at sf0.1). (c) is the entire
+    justification for the upper layer: per-query entry points already
+    near the target replace expansion rounds from a fixed global
+    node."""
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        q_graph_ann_beam,
+        q_graph_ann_hnsw,
+        q_knn_exact,
+    )
+
+    exact = {(r.q_id, r.vec_id) for r in q_knn_exact(spark, sf_dir).collect()}
+    run1 = q_graph_ann_hnsw(spark, sf_dir).collect()
+    hnsw = {(r.q_id, r.vec_id) for r in run1}
+    recall = len(exact & hnsw) / len(exact)
+    assert recall >= 0.9, f"hnsw recall collapsed: {recall}"
+    run2 = {
+        (r.q_id, r.vec_id, r.sim, r.rnk)
+        for r in q_graph_ann_hnsw(spark, sf_dir).collect()
+    }
+    assert {(r.q_id, r.vec_id, r.sim, r.rnk) for r in run1} == run2
+
+    sf01 = "/root/testdata/sf0.01"
+    exact01 = {(r.q_id, r.vec_id) for r in q_knn_exact(spark, sf01).collect()}
+    flat01 = {(r.q_id, r.vec_id) for r in q_graph_ann_beam(spark, sf01).collect()}
+    hnsw01 = {(r.q_id, r.vec_id) for r in q_graph_ann_hnsw(spark, sf01).collect()}
+    r_flat = len(exact01 & flat01) / len(exact01)
+    r_hnsw = len(exact01 & hnsw01) / len(exact01)
+    assert r_hnsw >= r_flat, f"hierarchy lost to flat: {r_hnsw} < {r_flat}"
+
+
 def test_crossmodal_alignment_own_image_top1(spark, sf_dir):
     """The dual encoders' shared-signal construction must be strong
     enough that every caption retrieves its OWN image at rank 1 (16
