@@ -230,6 +230,175 @@ def session_topk(spark, store_path: str, k: int = 3) -> DataFrame:
     )
 
 
+def session_topk_update_sink(
+    events: DataFrame,
+    root_path: str,
+    checkpoint_path: str,
+    gap_minutes: int = 30,
+    k: int = 3,
+    evict_delay_minutes: int = 60,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> StreamingQuery:
+    """Streaming session-window TOP-K with UPDATE-mode emission — the
+    shape Spark's in-plan session aggregation cannot express (session
+    windows merge, so streaming session aggregation is APPEND-only: a
+    session is emitted once, after the watermark closes it; nothing is
+    visible while it is open). This sink emulates update mode the
+    standard way: ``foreachBatch`` over the RAW events maintains the
+    session state itself and re-emits the current top-k every batch,
+    open sessions included.
+
+    Per batch N (all derived deterministically from batch N's rows +
+    batch N-1's state, so every write is idempotent under foreachBatch
+    replay — the exactly-once discipline of the other sinks):
+
+    1. OPEN-SESSION STATE: batch events (degenerate [ts, ts] intervals,
+       n=1) union the previous open sessions, interval-merged per user
+       with the same strict-gap rule as ``F.session_window`` (an event
+       merges iff ts < last_ts + gap) via one window pass (running max
+       of last_ts, new-session flag, running flag sum) + one groupBy.
+       A bridging event fuses two prior open sessions — counts add
+       exactly because events and prior sessions are disjoint.
+    2. EVICTION: sessions whose end (last_ts + gap) has fallen
+       ``evict_delay`` behind the batch max timestamp can never merge
+       again under watermark discipline — they move to an immutable
+       rolling CLOSED top-k (k rows of state, exact: closed sessions
+       never change, so topk(old_topk ∪ newly_closed) == topk(all
+       closed)). Open state stays bounded by active users, closed
+       state by k — nothing grows with history.
+    3. EMISSION: top-k over (open state ∪ closed top-k) under
+       (n_events DESC, user, session_start), written to
+       ``out/batch_id=N`` — the update-mode snapshot.
+
+    Read the latest snapshot with :func:`session_update_topk_latest`.
+    Cross-batch merge + parity with batch ``F.session_window``
+    sessionization are pytest-pinned."""
+    from pyspark.sql import Window as W
+
+    gap_s = gap_minutes * 60
+    evict_s = evict_delay_minutes * 60
+    state_dir = os.path.join(root_path, "state")
+    closed_dir = os.path.join(root_path, "closedtopk")
+    out_dir = os.path.join(root_path, "out")
+    state_schema = (
+        f"{user_col} long, session_start timestamp, last_ts timestamp, "
+        "n_events long"
+    )
+
+    def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.schema(schema).parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        prev_state = _read_or_empty(
+            spark, os.path.join(state_dir, f"batch_id={batch_id - 1}"),
+            state_schema,
+        )
+        prev_closed = _read_or_empty(
+            spark, os.path.join(closed_dir, f"batch_id={batch_id - 1}"),
+            state_schema,
+        )
+        intervals = bdf.select(
+            F.col(user_col),
+            F.col(ts_col).alias("session_start"),
+            F.col(ts_col).alias("last_ts"),
+            F.lit(1).cast("long").alias("n_events"),
+        ).unionByName(prev_state)
+        w = W.partitionBy(user_col).orderBy("session_start", "last_ts")
+        prev_max = F.max("last_ts").over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        )
+        # strict gap rule, matching F.session_window: an interval joins
+        # the running session iff start < prev_last + gap
+        new_flag = F.when(
+            prev_max.isNull()
+            | (
+                F.col("session_start").cast("long")
+                >= prev_max.cast("long") + gap_s
+            ),
+            1,
+        ).otherwise(0)
+        merged = (
+            intervals.withColumn("_new", new_flag)
+            .withColumn("_grp", F.sum("_new").over(w))
+            .groupBy(user_col, "_grp")
+            .agg(
+                F.min("session_start").alias("session_start"),
+                F.max("last_ts").alias("last_ts"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .drop("_grp")
+            .localCheckpoint(eager=True)
+        )
+        row = bdf.agg(F.max(ts_col).alias("m")).collect()[0]
+        max_ts = row["m"]
+        if max_ts is not None:
+            closing = merged.filter(
+                F.col("last_ts").cast("long") + gap_s + evict_s
+                < F.lit(max_ts).cast("long")
+            )
+            state = merged.exceptAll(closing)
+        else:
+            closing = merged.limit(0)
+            state = merged
+        closed = (
+            prev_closed.unionByName(
+                closing.select(
+                    user_col, "session_start", "last_ts", "n_events"
+                )
+            )
+            .orderBy(F.col("n_events").desc(), user_col, "session_start")
+            .limit(k)
+        )
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+        closed.write.mode("overwrite").parquet(
+            os.path.join(closed_dir, f"batch_id={batch_id}")
+        )
+        snapshot = (
+            state.unionByName(closed)
+            .select(
+                user_col,
+                "session_start",
+                (F.col("last_ts").cast("long") + gap_s)
+                .cast("timestamp")
+                .alias("session_end"),
+                "n_events",
+            )
+            .orderBy(F.col("n_events").desc(), user_col, "session_start")
+            .limit(k)
+        )
+        snapshot.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_update_topk_latest(spark, root_path: str) -> DataFrame:
+    """The most recent update-mode top-k snapshot written by
+    :func:`session_topk_update_sink` (reads only the latest batch_id
+    directory — k rows)."""
+    out_dir = os.path.join(root_path, "out")
+    latest = max(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("batch_id=")
+    )
+    return spark.read.parquet(os.path.join(out_dir, f"batch_id={latest}"))
+
+
 def cdc_upsert_sink(
     changes: DataFrame,
     store_path: str,

@@ -992,6 +992,98 @@ def test_session_store_merges_across_batches_and_topk(spark, tmp_path):
     assert got == want and len(got) == 2
 
 
+def test_session_topk_update_mode_merge_and_batch_parity(spark, tmp_path):
+    """UPDATE-mode session top-k (the shape in-plan streaming session
+    aggregation cannot express — it is APPEND-only). Three properties:
+
+    1. UPDATE EMISSION: after drain 1, the snapshot already shows u2's
+       OPEN session (n=3) — append mode would have emitted nothing.
+    2. CROSS-BATCH MERGE: drain 2's bridging 10:20 event fuses u1's
+       two drain-1 sessions into ONE row with the summed count, and
+       u2's 10:03 event UPDATES its open session to n=4 (the same row
+       re-emitted with a new value — the definition of update mode).
+    3. BATCH PARITY: the final snapshot equals batch
+       F.session_window sessionization of all real events, top-k under
+       the same (n DESC, user, start) order — including sessions the
+       far-future flush event EVICTED into the closed top-k (rolling,
+       k-bounded, exact because closed sessions are immutable)."""
+    import datetime as dt
+
+    from commercial_rfp_data_pipeline_spark.streaming.sinks import (
+        session_topk_update_sink,
+        session_update_topk_latest,
+    )
+
+    src = str(tmp_path / "events_src")
+    root = str(tmp_path / "session_update")
+    ckpt = str(tmp_path / "ckpt_upd")
+    schema = "ts timestamp, user_id long"
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = session_topk_update_sink(
+            stream, root, ckpt, gap_minutes=30, k=3, evict_delay_minutes=60
+        )
+        q.awaitTermination(120)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # drain 1: u1 at 10:00 and 10:40 (two separate 30-min-gap
+    # sessions); u2 at 10:00/10:01/10:02 (one open session, n=3)
+    emit([(ts(0), 1), (ts(40), 1), (ts(0), 2), (ts(1), 2), (ts(2), 2)])
+    drain()
+    snap1 = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_update_topk_latest(spark, root).collect()
+    }
+    # update emission: the OPEN u2 session is already visible at n=3
+    assert (2, ts(0), ts(32), 3) in snap1, snap1
+    assert {(r[0], r[3]) for r in snap1} == {(2, 3), (1, 1)}, snap1
+
+    # drain 2: bridge u1's sessions, grow u2's session, then a
+    # far-future event that evicts every real session into closed state
+    emit([(ts(20), 1), (ts(3), 2), (ts(240), 999)])
+    drain()
+    snap2 = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_update_topk_latest(spark, root).collect()
+    }
+    # cross-batch merge: ONE u1 row 10:00-11:10 with the summed count
+    assert (1, ts(0), ts(70), 3) in snap2, snap2
+    # update of an open session: u2 re-emitted at n=4
+    assert (2, ts(0), ts(33), 4) in snap2, snap2
+
+    # batch parity over the real events (the flush event is top-3 too
+    # at n=1, but ties order by user_id so it falls outside k=3 only
+    # if real sessions fill the snapshot — compare the full snapshot)
+    allev = spark.read.parquet(src)
+    want = {
+        tuple(r)
+        for r in allev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy(F.col("n_events").desc(), "user_id", "session_start")
+        .limit(3)
+        .collect()
+    }
+    assert snap2 == want, (snap2, want)
+
+
 def test_graph_index_lifecycle_and_pruned_hops(spark, sf_dir, tmp_path):
     """ensure_graph_index materializes the m-NN graph partitioned by
     src_bucket; searching it returns exactly what the in-memory beam
