@@ -278,3 +278,111 @@ def q_crossmodal_retrieval(spark, sf_dir):
             (F.col("q_id") == F.col("doc_id")).alias("is_own"),
         )
     )
+
+
+_HN_ANCHOR = (
+    "('0x' || substring(md5('hn:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 16 = 0"
+)
+
+_HARDNEG_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS m0,
+             md5('img:' || text) AS mi, md5('txt:' || text) AS mt
+      FROM documents
+    ),
+    img AS (SELECT doc_id, {_duck_vec('m0', 'mi')} AS v FROM d),
+    txt AS (SELECT doc_id AS q_id, {_duck_vec('m0', 'mt')} AS qv
+            FROM d WHERE {_HN_ANCHOR}),
+    sims AS (
+      SELECT t.q_id, i.doc_id,
+             round(list_cosine_similarity(i.v, t.qv), 6) AS sim
+      FROM img i CROSS JOIN txt t
+    ),
+    pos AS (SELECT q_id, sim AS pos_sim FROM sims WHERE doc_id = q_id)
+    SELECT s.q_id, s.doc_id AS neg_id, s.sim AS neg_sim, p.pos_sim,
+           round(s.sim - p.pos_sim, 6) AS margin,
+           CAST(s.rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, doc_id) AS rnk
+      FROM sims WHERE doc_id <> q_id
+    ) s JOIN pos p ON p.q_id = s.q_id
+    WHERE s.rnk <= 3
+"""
+
+
+@query("crossmodal_hard_negatives", _HARDNEG_SQL)
+def q_crossmodal_hard_negatives(spark, sf_dir):
+    """Cross-modal HARD-NEGATIVE MINING over the dual-encoder seam —
+    the step that turns a retrieval corpus into contrastive training
+    triples: per anchor caption, the 3 most-similar NON-own images
+    (hardest negatives) with the positive's similarity and the margin
+    (neg_sim - pos_sim, the quantity a triplet/InfoNCE loss pushes
+    negative). Anchors are an md5 hash-coin sample (~1/16 of docs) —
+    the deterministic stand-in for a training minibatch; in production
+    mining runs per batch, so the anchor side stays broadcastable by
+    construction.
+
+    Scale: identical shape to crossmodal_retrieval_topk / knn_exact —
+    the bounded anchor batch broadcasts, the image corpus streams once,
+    per-anchor top-3 heaps are the only shuffled rows; swap in real
+    CLIP towers via the mapInPandas embedder seam without touching the
+    mining plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    m0 = F.md5(F.col("text"))
+    mi = F.md5(F.concat(F.lit("img:"), F.col("text")))
+    mt = F.md5(F.concat(F.lit("txt:"), F.col("text")))
+
+    def vec(shared, noise):
+        return F.array(
+            *[
+                (_spark_byte(shared, k) - F.lit(127.5))
+                + F.lit(_XM_NOISE) * (_spark_byte(noise, k) - F.lit(127.5))
+                for k in range(_XM_DIM)
+            ]
+        )
+
+    from pyspark.sql import Window as W
+
+    from commercial_rfp_data_pipeline_spark.operators.vector import cosine
+
+    anchor = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hn:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+        == F.lit(0)
+    )
+    img = docs.select("doc_id", vec(m0, mi).alias("v"))
+    txt = docs.filter(anchor).select(
+        F.col("doc_id").alias("q_id"), vec(m0, mt).alias("qv")
+    )
+    sims = img.crossJoin(F.broadcast(txt)).select(
+        "q_id",
+        "doc_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+    )
+    pos = sims.filter(F.col("doc_id") == F.col("q_id")).select(
+        "q_id", F.col("sim").alias("pos_sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
+    neg = (
+        sims.filter(F.col("doc_id") != F.col("q_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    return neg.join(pos, "q_id").select(
+        "q_id",
+        F.col("doc_id").alias("neg_id"),
+        F.col("sim").alias("neg_sim"),
+        "pos_sim",
+        F.round(F.col("sim") - F.col("pos_sim"), 6).alias("margin"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

@@ -14,7 +14,7 @@ from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
     build_embedding_parts,
     build_embeddings,
 )
-from commercial_rfp_data_pipeline_spark.io import pin
+from commercial_rfp_data_pipeline_spark.io import load_table, pin
 from commercial_rfp_data_pipeline_spark.operators.vector import knn_exact
 from commercial_rfp_data_pipeline_spark.registry import query
 
@@ -453,4 +453,101 @@ def q_search_serving(spark, sf_dir):
             "final_score",
             "rnk",
         )
+    )
+
+
+_CITATION_NORM = (
+    "lower(trim(regexp_replace(CAST(text AS VARCHAR), '\\s+', ' ', 'g')))"
+)
+
+_CITATION_SQL = f"""
+    WITH names AS (
+      SELECT doc_id,
+             substr(md5({_CITATION_NORM}), 1, 16) || '.docx' AS file_name
+      FROM documents
+    ),
+    mapping AS (
+      SELECT file_name,
+             'https://sharepoint.local/preview/' || file_name AS preview_url,
+             doc_id AS source_doc
+      FROM (
+        SELECT file_name, doc_id,
+               row_number() OVER (PARTITION BY file_name
+                 ORDER BY doc_id DESC) AS rn
+        FROM names
+      ) WHERE rn = 1
+    ),
+    chunks AS (
+      SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id,
+             CAST(doc_id AS VARCHAR) AS parent_id, doc_id
+      FROM (
+        SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS pos
+        FROM (SELECT doc_id,
+                     1 + (greatest(length(text) - 120, 0) + 89) // 90 AS n_chunks
+              FROM documents)
+      )
+    )
+    SELECT c.chunk_id, c.parent_id, n.file_name, m.preview_url, m.source_doc
+    FROM chunks c
+    JOIN names n ON n.doc_id = c.doc_id
+    JOIN mapping m ON m.file_name = n.file_name
+"""
+
+
+@query("chunk_citation_mapping", _CITATION_SQL)
+def q_chunk_citation_mapping(spark, sf_dir):
+    """RAG citation plumbing — the reference's (file_name, preview_url)
+    mapping (commercial_rfp_content_citation_upload_mapping_creation.py
+    :175-208: list rendered .docx files, project name+webUrl, dedup on
+    file_name keep-LAST) joined to chunk provenance, so every retrieved
+    chunk can cite a previewable source document:
+
+    - file names derive from the content hash exactly like the doc
+      renderer ('{key_hash}.docx', doc_library:112-115) — duplicate-
+      content documents collide on file_name, which is WHY the
+      reference dedups the mapping; keep-last here is the max-doc_id
+      row (the reference's drop_duplicates(keep='last') under its
+      listing order, made deterministic).
+    - preview_url is derived deterministically from the file name (in
+      the reference it is the SharePoint webUrl — external metadata
+      behind the same injectable transport seam as K7; the mapping
+      SHAPE, dedup, and join are the data-plane semantics).
+    - chunks join through their parent's file_name, so chunks of a
+      duplicate document cite the CANONICAL surviving doc's URL —
+      citation resolution through dedup.
+
+    Scale: names/mapping are doc-level (one narrow map + one window
+    keep-last — the A7 shape); the chunk join is a single equi-join on
+    file_name with the chunk side never widened by text columns."""
+    from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
+    from commercial_rfp_data_pipeline_spark.operators.textops import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    names = fingerprint(docs).select(
+        "doc_id", F.concat("fp16", F.lit(".docx")).alias("file_name")
+    )
+    w = Window.partitionBy("file_name").orderBy(F.col("doc_id").desc())
+    mapping = (
+        names.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "file_name",
+            F.concat(
+                F.lit("https://sharepoint.local/preview/"), F.col("file_name")
+            ).alias("preview_url"),
+            F.col("doc_id").alias("source_doc"),
+        )
+    )
+    chunks = chunk_text(docs, size=120, overlap=30).select(
+        "chunk_id", "parent_id"
+    )
+    return (
+        chunks.join(
+            names.select(
+                F.col("doc_id").cast("string").alias("parent_id"), "file_name"
+            ),
+            "parent_id",
+        )
+        .join(mapping, "file_name")
+        .select("chunk_id", "parent_id", "file_name", "preview_url", "source_doc")
     )
