@@ -551,3 +551,81 @@ def q_chunk_citation_mapping(spark, sf_dir):
         .join(mapping, "file_name")
         .select("chunk_id", "parent_id", "file_name", "preview_url", "source_doc")
     )
+
+
+_RRF_K = 60  # the standard RRF constant (and Azure AI Search's)
+
+_RRF_SQL = f"""
+    WITH {_CHUNKS_CTE.strip()},
+    {_BM25_CTES.strip()},
+    {_EMBED_CTES.strip()},
+    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
+    qv AS (SELECT chunk_id AS q_id, v AS q_vec FROM vecs WHERE chunk_id IN {{_QIDS}}),
+    scored AS (
+      SELECT b.q_id, b.chunk_id, b.bm25raw,
+             round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
+      FROM bm25 b JOIN vecs e ON e.chunk_id = b.chunk_id JOIN qv q ON q.q_id = b.q_id
+    ),
+    ranked AS (
+      SELECT q_id, chunk_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY round(bm25raw, 6) DESC, chunk_id) AS r_bm25,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, chunk_id) AS r_sim
+      FROM scored
+    ),
+    fused AS (
+      SELECT q_id, chunk_id,
+             CAST(r_bm25 AS INTEGER) AS r_bm25,
+             CAST(r_sim AS INTEGER) AS r_sim,
+             round(1.0 / ({_RRF_K} + r_bm25) + 1.0 / ({_RRF_K} + r_sim), 6)
+               AS rrf
+      FROM ranked
+    )
+    SELECT q_id, chunk_id, r_bm25, r_sim, rrf, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY rrf DESC, chunk_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= 3
+"""
+
+
+@query("hybrid_rrf_fusion", _RRF_SQL.replace("{_QIDS}", repr(_QIDS)))
+def q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 and vector rankings — the
+    fusion Azure AI Search (the reference's serving platform,
+    commercial_rfp_indexer.py:138-146) actually applies to hybrid
+    queries: score = sum over rankers of 1/(k + rank), k=60. Unlike
+    the weighted-score hybrid (hybrid_bm25_search), RRF is scale-free —
+    it needs no per-query max normalization and is immune to the two
+    scores living on different scales, which is exactly why serving
+    platforms default to it.
+
+    Scale: ranks are two windows over the ALREADY-CANDIDATE-BOUNDED
+    (q_id, chunk_id) score table from the shared BM25+embed
+    construction (candidates = surviving-term postings, never the
+    corpus); the fusion itself is arithmetic on those rows."""
+    final = _hybrid_final(spark, sf_dir)
+    wb = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "chunk_id")
+    ws = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "chunk_id")
+    fused = final.select(
+        "q_id",
+        "chunk_id",
+        F.row_number().over(wb).cast("int").alias("r_bm25"),
+        F.row_number().over(ws).cast("int").alias("r_sim"),
+    ).select(
+        "q_id",
+        "chunk_id",
+        "r_bm25",
+        "r_sim",
+        F.round(
+            1.0 / (_RRF_K + F.col("r_bm25")) + 1.0 / (_RRF_K + F.col("r_sim")),
+            6,
+        ).alias("rrf"),
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "chunk_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
