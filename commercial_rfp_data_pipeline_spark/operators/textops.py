@@ -1748,3 +1748,102 @@ def nfc_normalize(
         schema=f"{id_col} long, text_nfc string, changed boolean, "
         f"n_cp_before int, n_cp_after int",
     )
+
+
+def jaccard_prefix_filter_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    t_num: int = 1,
+    t_den: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Exact Jaccard pairs at threshold t = t_num/t_den via PREFIX
+    FILTERING (the PPJoin/AllPairs candidate rule): order every
+    document's shingles by a global rarity order (df ASC, shingle),
+    and index only each document's first ``n - ceil(t*n) + 1``
+    shingles — if J(A,B) >= t, the prefixes MUST share a shingle
+    (pigeonhole: fewer than |A|-prefix_len shingles can be missing
+    from the intersection), so candidates from prefix postings are
+    COMPLETE. Verification then intersects the candidates' full
+    (df-capped) shingle sets.
+
+    The threshold is a RATIONAL (t_num/t_den) and prefix_len uses
+    integer arithmetic — ceil(t*n) = (t_num*n + t_den - 1) div t_den —
+    because an IEEE ``ceil(0.2 * 5)`` can round UP through float fuzz,
+    shortening the prefix below the completeness bound.
+
+    Scale vs :func:`jaccard_pairs`: same single (sh, doc) shuffle, but
+    postings are built over PREFIX rows only — the candidate stream
+    shrinks from sum(df^2) over all surviving shingles to sum(df_p^2)
+    over prefix occurrences (measured 11533 -> a fraction at sf0.01,
+    pinned by test); rarity ordering concentrates prefixes on rare
+    shingles, exactly why AllPairs sorts by ascending frequency. The
+    verify stage joins candidates to per-doc sorted sets and
+    intersects arrays — bounded by candidates, no token re-shuffle."""
+    distinct_sh = sh.select(id_col, "sh").distinct()
+    dft = distinct_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    capped = distinct_sh.join(
+        dft.filter(F.col("df") <= max_doc_freq), "sh"
+    ).select(id_col, "sh", "df")
+    n = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy(id_col).orderBy("df", "sh")
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((t_num * F.col("n_sh") + t_den - 1) / t_den)
+        + 1
+    )
+    prefix = (
+        capped.join(n, id_col)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= prefix_len)
+    )
+    postings = prefix.groupBy("sh").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("docs")
+    )
+    docs = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    doc_sets = pin(
+        capped.groupBy(id_col).agg(
+            F.sort_array(F.collect_set("sh")).alias("s"),
+            F.count(F.lit(1)).alias("n_sh"),
+        ),
+        "prefix_filter_doc_sets",
+    )
+    sa = doc_sets.select(
+        F.col(id_col).alias("doc_a"), F.col("s").alias("sa"), F.col("n_sh").alias("na")
+    )
+    sb = doc_sets.select(
+        F.col(id_col).alias("doc_b"), F.col("s").alias("sb"), F.col("n_sh").alias("nb")
+    )
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        # rational-threshold filter in exact integer arithmetic:
+        # common/(na+nb-common) >= t_num/t_den
+        .filter(
+            F.col("common") * t_den >= (F.col("na") + F.col("nb") - F.col("common")) * t_num
+        )
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )
+    return out

@@ -1608,3 +1608,43 @@ def q_late_interaction(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("q_id", "doc_id", "li_score", "n_qtoks", "rnk")
     )
+
+
+@query(
+    "jaccard_prefix_filter_pairs",
+    f"""
+    WITH {{_SHINGLES_CTE}},
+    freq AS (SELECT sh AS fsh, count(*) AS df FROM sh GROUP BY sh),
+    sh2 AS (SELECT doc_id, sh FROM sh JOIN freq ON sh = fsh WHERE df <= 100),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, common,
+           round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE common * 2 >= (na.n_sh + nb.n_sh - common) * 1
+    """.replace("{_SHINGLES_CTE}", _SHINGLES_CTE.strip()),
+)
+def q_jaccard_prefix_filter(spark, sf_dir):
+    """PPJoin-style prefix-filtered Jaccard join at t = 1/2: the oracle
+    is the NAIVE EXACT all-pairs join over the same df-capped shingle
+    universe, so a hash-green result proves the prefix candidate rule
+    is COMPLETE (no qualifying pair escapes the pruned postings) as
+    well as correct — the property that lets the index skip the
+    sum(df^2) candidate blowup at corpus scale. The threshold compare
+    runs in exact integer arithmetic (common*2 >= union*1) on both
+    engines; `jaccard` is emitted rounded for the report only."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return jaccard_prefix_filter_pairs(
+        shingles(docs, parallelism=par), t_num=1, t_den=2, max_doc_freq=100
+    )

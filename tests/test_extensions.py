@@ -1006,3 +1006,61 @@ def test_nn_descent_recall_vs_exact_graph(spark, sf_dir):
     }
     recall0 = len(exact & init_only) / len(exact)
     assert recall > recall0, (recall, recall0)
+
+
+def test_prefix_filter_prunes_candidates_without_losing_pairs(spark, sf_dir):
+    """The PPJoin prefix rule must (a) generate STRICTLY fewer
+    candidate pairs than full postings-list expansion, and (b) still
+    find every pair the full expansion finds at the threshold — the
+    completeness theorem, checked empirically on top of the oracle
+    equality the registered query already pins."""
+    from commercial_rfp_data_pipeline_spark.io import load_table, release_pinned
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        jaccard_pairs,
+        jaccard_prefix_filter_pairs,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(sh, threshold=0.5, max_doc_freq=100).collect()
+    }
+    release_pinned()
+    pref_rows = jaccard_prefix_filter_pairs(
+        sh, t_num=1, t_den=2, max_doc_freq=100
+    ).collect()
+    pref = {(r.doc_a, r.doc_b) for r in pref_rows}
+    assert pref == full, (len(pref), len(full))
+
+    # candidate-stream sizes: prefix postings vs full postings
+    from pyspark.sql import functions as F
+
+    distinct_sh = sh.select("doc_id", "sh").distinct()
+    dft = distinct_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    capped = distinct_sh.join(dft.filter(F.col("df") <= 100), "sh")
+    full_cands = (
+        capped.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) / 2")).alias("c"))
+        .collect()[0]["c"]
+    )
+    n = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("df", "sh")
+    plen = F.col("n_sh") - F.floor((1 * F.col("n_sh") + 1) / 2) + 1
+    prefix = (
+        capped.join(n, "doc_id")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= plen)
+    )
+    pref_cands = (
+        prefix.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) / 2")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert pref_cands < full_cands, (pref_cands, full_cands)
+    release_pinned()
