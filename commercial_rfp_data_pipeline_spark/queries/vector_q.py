@@ -1896,3 +1896,170 @@ def q_knn_label_classification(spark, sf_dir):
             ),
         )
     )
+
+
+_FILTERED_K = 3
+_POSTFILTER_POOL = 10
+
+_FILTERED_SEARCH_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, label AS q_label
+          FROM e WHERE vec_id < {N_QUERIES}),
+    pre AS (
+      SELECT 'prefilter' AS strategy, q_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+      FROM (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim
+        FROM e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id
+      )
+    ),
+    pool AS (
+      SELECT q_id, vec_id, sim, label FROM (
+        SELECT q.q_id, e.vec_id, e.label,
+               round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 6) DESC,
+                          e.vec_id) AS grnk
+        FROM e JOIN q ON e.vec_id <> q.q_id
+      ) WHERE grnk <= {_POSTFILTER_POOL}
+    ),
+    post AS (
+      SELECT 'postfilter' AS strategy, p.q_id, p.vec_id, p.sim,
+             CAST(row_number() OVER (PARTITION BY p.q_id
+               ORDER BY p.sim DESC, p.vec_id) AS INTEGER) AS rnk
+      FROM pool p JOIN q ON q.q_id = p.q_id
+      WHERE p.label = q.q_label
+    )
+    SELECT * FROM (
+      SELECT * FROM pre WHERE rnk <= {_FILTERED_K}
+      UNION ALL
+      SELECT * FROM post WHERE rnk <= {_FILTERED_K}
+    )
+"""
+
+
+@query("filtered_vector_search", _FILTERED_SEARCH_SQL)
+def q_filtered_vector_search(spark, sf_dir):
+    """FILTERED vector search — the filterable-field + vector-query
+    combination the reference's index declares (commercial_rfp_indexer
+    .py index schema: filterable metadata fields alongside the vector
+    field), with BOTH strategies side by side so the trade is data:
+
+    - PREFILTER: restrict the corpus to the query's label first, then
+      exact top-3 within survivors — always returns k (if k matches
+      exist), the semantics a metadata-scoped search API promises.
+    - POSTFILTER: global top-10 pool first, then filter — cheaper per
+      probe on an unfiltered index, but can return FEWER than k when
+      the pool is dominated by other labels (the recall loss the
+      output makes visible: rows simply go missing).
+
+    Scale: prefilter is a label-equi-join before any similarity math —
+    on a label-partitioned (or IVF-per-label) index it prunes to the
+    matching partitions; postfilter reuses any unfiltered ANN tier and
+    filters its pool. Queries broadcast in both."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    from commercial_rfp_data_pipeline_spark.operators.vector import cosine
+
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            "q_label",
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    pre = (
+        sims.filter(F.col("label") == F.col("q_label"))
+        .withColumn("rnk", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rnk") <= _FILTERED_K)
+        .select(F.lit("prefilter").alias("strategy"), "q_id", "vec_id", "sim", "rnk")
+    )
+    post = (
+        sims.withColumn("grnk", F.row_number().over(wq))
+        .filter(F.col("grnk") <= _POSTFILTER_POOL)
+        .filter(F.col("label") == F.col("q_label"))
+        .withColumn("rnk", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rnk") <= _FILTERED_K)
+        .select(F.lit("postfilter").alias("strategy"), "q_id", "vec_id", "sim", "rnk")
+    )
+    return pre.unionByName(post)
+
+
+_PAGE_SIZE = 5
+
+_KEYSET_PAGE_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}),
+    ranked AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 6) DESC,
+                        e.vec_id) AS rnk
+      FROM e JOIN q ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim,
+           CAST(rnk - {_PAGE_SIZE} AS INTEGER) AS page_pos
+    FROM ranked
+    WHERE rnk > {_PAGE_SIZE} AND rnk <= {2 * _PAGE_SIZE}
+"""
+
+
+@query("search_keyset_pagination_page2", _KEYSET_PAGE_SQL)
+def q_keyset_pagination(spark, sf_dir):
+    """KEYSET (continuation-token) pagination of search results — how
+    a serving API returns page 2 WITHOUT re-ranking past pages or an
+    OFFSET scan: the client holds the last row's (sim, vec_id) as the
+    token, and page 2 is the top-5 rows strictly AFTER that key under
+    the total order (sim DESC, vec_id ASC). The engine computes page 2
+    through the composite keyset predicate
+    ``sim < t_sim OR (sim = t_sim AND vec_id > t_vec)``; the oracle
+    restates it as the rank range 6..10 — hash equality proves the
+    keyset predicate selects exactly the rank window (the reason
+    continuation tokens are sound).
+
+    Scale: the token join is one row per query (broadcast); the
+    predicate prunes before any sort, and the page is a per-query
+    top-5 heap over survivors — OFFSET pagination would instead rank
+    and discard every earlier page on every call."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import cosine
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    q = _queries_df(spark, sf_dir)
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    # page 1 runs once; its LAST row is the continuation token
+    token = (
+        sims.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") == _PAGE_SIZE)
+        .select("q_id", F.col("sim").alias("t_sim"), F.col("vec_id").alias("t_vec"))
+    )
+    after = (
+        sims.join(F.broadcast(token), "q_id")
+        .filter(
+            (F.col("sim") < F.col("t_sim"))
+            | ((F.col("sim") == F.col("t_sim")) & (F.col("vec_id") > F.col("t_vec")))
+        )
+        .withColumn("page_pos", F.row_number().over(wq).cast("int"))
+        .filter(F.col("page_pos") <= _PAGE_SIZE)
+    )
+    return after.select("q_id", "vec_id", "sim", "page_pos")
