@@ -1582,12 +1582,21 @@ def q_late_interaction(spark, sf_dir):
         .join(
             F.broadcast(qt.select("q_id", F.col("tok").alias("qtok"))), "q_id"
         )
+        # broadcast the embedding table: per-shingle vectors are ~100
+        # bytes x |vocab| (8 MB at sf0.1) while the interaction stream
+        # is millions of rows — broadcasting keeps the stream from
+        # shuffling twice for the two vector lookups (measured 63s ->
+        # ~20s at sf0.1); at true scale the vocab table buckets instead
         .join(
-            tokemb.select(F.col("tok").alias("qtok"), F.col("emb").alias("qe")),
+            F.broadcast(
+                tokemb.select(F.col("tok").alias("qtok"), F.col("emb").alias("qe"))
+            ),
             "qtok",
         )
         .join(
-            tokemb.select(F.col("tok").alias("dtok"), F.col("emb").alias("de")),
+            F.broadcast(
+                tokemb.select(F.col("tok").alias("dtok"), F.col("emb").alias("de"))
+            ),
             "dtok",
         )
         .select(
