@@ -1301,3 +1301,89 @@ def q_zorder_key(spark, sf_dir):
         "l_suppkey",
         zorder_key("l_partkey", "l_suppkey", 16).alias("zkey"),
     )
+
+
+_GDPR_PRED = (
+    "('0x' || substring(md5('forget:' || CAST(c_custkey AS VARCHAR)), 1, 15))"
+    "::BIGINT % 100 = 0"
+)
+
+
+@query(
+    "gdpr_cascade_delete_audit",
+    f"""
+    WITH forget AS MATERIALIZED (
+      SELECT c_custkey FROM customer WHERE {_GDPR_PRED}
+    ),
+    del_orders AS MATERIALIZED (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT count(*) FROM forget) AS n_deleted,
+           (SELECT count(*) FROM customer) - (SELECT count(*) FROM forget)
+             AS n_remaining
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM del_orders),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+           (SELECT count(*) FROM lineitem)
+             - (SELECT count(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+    """,
+)
+def q_gdpr_cascade(spark, sf_dir):
+    """Right-to-be-forgotten CASCADE: an md5-sampled ~1% of customers
+    (the deterministic stand-in for a deletion-request batch) propagates
+    down the FK graph — their orders, those orders' lineitems — and the
+    audit reports deleted/remaining per table, the compliance evidence
+    a deletion job must produce. The delete itself is the complementary
+    anti-join (semantics identical to the reconciliation family);
+    auditing the counts keeps the whole cascade oracle-checkable in one
+    result.
+
+    Scale: the forget list is request-batch-sized — it BROADCASTS into
+    a semi-join on customers and orders (fact side never shuffles);
+    the order-key set from level 2 feeds level 3 as an ordinary
+    semi-join (shuffles only if it outgrows the broadcast threshold,
+    which AQE decides from its real size)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    forget_pred = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("forget:"), F.col("c_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        == F.lit(0)
+    )
+    forget = c.filter(forget_pred).select("c_custkey")
+    del_orders = o.join(
+        F.broadcast(forget), o.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi")
+
+    def audit(tbl, deleted_df, total_df):
+        d = deleted_df.agg(F.count(F.lit(1)).alias("n_deleted"))
+        t = total_df.agg(F.count(F.lit(1)).alias("n_total"))
+        return d.crossJoin(t).select(
+            F.lit(tbl).alias("tbl"),
+            "n_deleted",
+            (F.col("n_total") - F.col("n_deleted")).alias("n_remaining"),
+        )
+
+    return (
+        audit("customer", forget, c)
+        .unionByName(audit("orders", del_orders, o))
+        .unionByName(audit("lineitem", del_li, li))
+    )

@@ -1657,3 +1657,103 @@ def q_jaccard_prefix_filter(spark, sf_dir):
     return jaccard_prefix_filter_pairs(
         shingles(docs, parallelism=par), t_num=1, t_den=2, max_doc_freq=100
     )
+
+
+_SPELL_NQ = 10
+
+_SPELL_SQL = f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT word, count(*) AS df FROM (
+        SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+      ) WHERE length(word) >= 3 GROUP BY word
+    ),
+    qterms AS MATERIALIZED (
+      -- deterministic misspellings: drop the 2nd char of the top-10
+      -- vocabulary words (guaranteed edit distance 1 from the truth)
+      SELECT substr(word, 1, 1) || substr(word, 3) AS term, word AS truth
+      FROM (
+        SELECT word, row_number() OVER (ORDER BY df DESC, word) AS r
+        FROM vocab
+      ) WHERE r <= {_SPELL_NQ}
+    ),
+    -- the oracle verifies by BRUTE FORCE (vocab x terms, levenshtein),
+    -- so hash equality also proves the engine's deletion-key candidate
+    -- generation is complete for distance <= 1
+    scored AS (
+      SELECT q.term, v.word AS corrected, levenshtein(q.term, v.word) AS dist,
+             CAST(v.df AS BIGINT) AS df
+      FROM qterms q CROSS JOIN vocab v
+      WHERE levenshtein(q.term, v.word) <= 1
+    )
+    SELECT term, corrected, CAST(dist AS INTEGER) AS dist, df FROM (
+      SELECT *, row_number() OVER (PARTITION BY term
+                ORDER BY dist, df DESC, corrected) AS rn
+      FROM scored
+    ) WHERE rn = 1
+"""
+
+
+@query("spell_correct_query_terms", _SPELL_SQL)
+def q_spell_correct(spark, sf_dir):
+    """SymSpell query spell-correction against the corpus vocabulary:
+    candidates come from matching DELETE-ONE-CHAR variant keys of the
+    query term and of each vocabulary word (exhaustive for edit
+    distance <= 1, zero UDFs — the same deletion-key blocking the
+    entity-resolution family uses), verified with levenshtein and
+    ranked SymSpell-style by (distance, frequency DESC, word). The
+    oracle scores by brute-force vocab x terms, so a hash-green result
+    proves the deletion-key candidate set is COMPLETE, not just
+    precise.
+
+    Scale: the vocabulary index (word -> delete variants) is the
+    one-time SymSpell build — O(V x avg_len) rows, shuffled once on
+    the variant key; each query term explodes into len+1 keys and
+    equi-joins the index. Nothing touches the corpus at query time."""
+    from commercial_rfp_data_pipeline_spark.operators.linkage import (
+        _deletion_keys,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = pin(
+        docs.select(F.explode(words("text")).alias("word"))
+        .filter(F.length("word") >= 3)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df")),
+        "spell_vocab",
+    )
+    wtop = Window.orderBy(F.col("df").desc(), "word")
+    qterms = (
+        vocab.withColumn("_r", F.row_number().over(wtop))
+        .filter(F.col("_r") <= _SPELL_NQ)
+        .select(
+            F.concat(
+                F.substring("word", 1, 1),
+                F.expr("substring(word, 3, length(word) - 2)"),
+            ).alias("term")
+        )
+    )
+    vkeys = vocab.select(
+        "word", "df", F.explode(_deletion_keys("word")).alias("_key")
+    )
+    qkeys = qterms.select("term", F.explode(_deletion_keys("term")).alias("_key"))
+    cand = (
+        qkeys.join(vkeys, "_key")
+        .select("term", "word", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("term", "word"))
+        .filter(F.col("dist") <= 1)
+    )
+    wr = Window.partitionBy("term").orderBy(
+        "dist", F.col("df").desc(), F.col("word")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "term",
+            F.col("word").alias("corrected"),
+            F.col("dist").cast("int").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
+    )
