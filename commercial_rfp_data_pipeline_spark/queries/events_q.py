@@ -1809,3 +1809,103 @@ def q_isotonic_fit(spark, sf_dir):
         out.join(idx, "i")
         .select(F.col("h").alias("window_start"), "y", "y_iso")
     )
+
+
+@query(
+    "revenue_touch_attribution",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('view', 'click') THEN event_type END
+               AS touch_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    carried AS (
+      SELECT *,
+             last_value(touch_type IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_conv, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_touch,
+             first_value(touch_type IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_conv, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS first_touch
+      FROM tagged
+    ),
+    conv AS (SELECT * FROM carried WHERE is_conv = 1),
+    both_models AS (
+      SELECT 'last_touch' AS model, last_touch AS touch_type, value
+      FROM conv WHERE last_touch IS NOT NULL
+      UNION ALL
+      SELECT 'first_touch', first_touch, value
+      FROM conv WHERE first_touch IS NOT NULL
+    )
+    SELECT model, touch_type,
+           count(*) AS n_conversions,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE)
+             AS attributed_revenue
+    FROM both_models
+    GROUP BY model, touch_type
+    """,
+)
+def q_revenue_attribution(spark, sf_dir):
+    """Marketing TOUCH ATTRIBUTION over the event stream: each
+    purchase's revenue is credited to the user's most recent preceding
+    view/click (last-touch) and to their earliest one (first-touch),
+    both models side by side — the funnel-economics report every
+    growth team runs. A touch at the purchase's exact timestamp counts
+    (touches order before conversions on ties, then event_id —
+    deterministic).
+
+    Scale: ONE window pass per user carries both attributions
+    (last_value/first_value IGNORE NULLS over the running frame — a
+    single user_id shuffle shared by both models, no self-join of
+    purchases against touches); the final rollup is a tiny decimal-
+    summed groupBy."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_type")
+        ).alias("touch_type"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_conv"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_conv", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = tagged.select(
+        "value",
+        "is_conv",
+        F.last("touch_type", ignorenulls=True).over(w).alias("last_touch"),
+        F.first("touch_type", ignorenulls=True).over(w).alias("first_touch"),
+    )
+    conv = carried.filter(F.col("is_conv") == 1)
+    last_m = conv.filter(F.col("last_touch").isNotNull()).select(
+        F.lit("last_touch").alias("model"),
+        F.col("last_touch").alias("touch_type"),
+        "value",
+    )
+    first_m = conv.filter(F.col("first_touch").isNotNull()).select(
+        F.lit("first_touch").alias("model"),
+        F.col("first_touch").alias("touch_type"),
+        "value",
+    )
+    return (
+        last_m.unionByName(first_m)
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+    )
