@@ -44,6 +44,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """NOTE for hot pair streams (cross joins): the two norms here are
+    per-VECTOR quantities — inlined, they re-evaluate on every PAIR.
+    Project `_norm` to a column on each side below the join and divide
+    by the attribute product instead (measured 3x on the crossmodal
+    mining cross join; an element_at-expanded "codegen friendly" dot
+    was tried and measured SLOWER than the HOF form)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 

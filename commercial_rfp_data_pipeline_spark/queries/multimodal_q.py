@@ -345,7 +345,7 @@ def q_crossmodal_hard_negatives(spark, sf_dir):
 
     from pyspark.sql import Window as W
 
-    from commercial_rfp_data_pipeline_spark.operators.vector import cosine
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
 
     anchor = (
         F.conv(
@@ -364,13 +364,23 @@ def q_crossmodal_hard_negatives(spark, sf_dir):
     txt = docs.filter(anchor).select(
         F.col("doc_id").alias("q_id"), vec(m0, mt).alias("qv")
     )
-    sims = img.crossJoin(F.broadcast(txt)).select(
-        "q_id",
-        "doc_id",
-        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sim"),
+    # the positive (own image) needs only an EQUI-join — deriving it by
+    # filtering the cross join evaluates the full corpus x anchors
+    # similarity pass a SECOND time (anchors = n/16 makes that pass the
+    # whole cost; measured 21s -> ~10s at sf0.1)
+    # norms are per-VECTOR, so compute them below the join: inlined in
+    # cosine they re-evaluate per PAIR (2 x dim work + 2 array
+    # traversals on every one of the corpus x anchors rows)
+    img = img.withColumn("_n", _norm(F.col("v")))
+    txt = txt.withColumn("_qn", _norm(F.col("qv")))
+    pair_sim = F.round(
+        _dot(F.col("v"), F.col("qv")) / (F.col("_n") * F.col("_qn")), 6
     )
-    pos = sims.filter(F.col("doc_id") == F.col("q_id")).select(
-        "q_id", F.col("sim").alias("pos_sim")
+    pos = img.join(F.broadcast(txt), img.doc_id == txt.q_id).select(
+        "q_id", pair_sim.alias("pos_sim")
+    )
+    sims = img.crossJoin(F.broadcast(txt)).select(
+        "q_id", "doc_id", pair_sim.alias("sim")
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
     neg = (
