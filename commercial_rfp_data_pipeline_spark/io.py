@@ -192,74 +192,6 @@ def save_sorted(
     )
 
 
-def zorder_key(a, b, bits: int = 16):
-    """Morton (Z-order) key: interleave the low ``bits`` bits of two
-    non-negative integer columns — bit k of ``a`` lands at position 2k,
-    bit k of ``b`` at 2k+1. Points close in BOTH dimensions map to
-    close Z values, so a range-partitioned sort on the Z key gives
-    parquet row groups tight min/max stats on BOTH columns at once —
-    the multi-dimensional clustering (Delta/Iceberg OPTIMIZE ZORDER)
-    that a single-column sort cannot provide: sorting by x alone
-    scatters y, and every y-predicate scans everything.
-
-    Plain arithmetic (shift/and/multiply on BIGINT), so the key is a
-    codegen'd expression on the engine and restatable in ANSI SQL for
-    the oracle. Inputs are taken mod 2^bits to stay in range."""
-    from pyspark.sql import functions as FF
-
-    ca = FF.pmod(
-        (FF.col(a) if isinstance(a, str) else a).cast("bigint"), FF.lit(1 << bits)
-    )
-    cb = FF.pmod(
-        (FF.col(b) if isinstance(b, str) else b).cast("bigint"), FF.lit(1 << bits)
-    )
-    z = FF.lit(0).cast("bigint")
-    for k in range(bits):
-        z = z + (FF.shiftright(ca, k).bitwiseAND(FF.lit(1))) * FF.lit(
-            1 << (2 * k)
-        ) + (FF.shiftright(cb, k).bitwiseAND(FF.lit(1))) * FF.lit(1 << (2 * k + 1))
-    return z
-
-
-def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
-    """The DuckDB restatement of :func:`zorder_key` — generated from
-    the same bit positions so the engines cannot drift."""
-    terms = []
-    for k in range(bits):
-        terms.append(f"(({a} % {1 << bits}) // {1 << k} % 2) * {1 << (2 * k)}")
-        terms.append(f"(({b} % {1 << bits}) // {1 << k} % 2) * {1 << (2 * k + 1)}")
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
-
-
-def save_zordered(
-    df: DataFrame,
-    path: str,
-    col_a: str,
-    col_b: str,
-    n_partitions: int | None = None,
-    options: dict[str, str] | None = None,
-    bits: int = 16,
-) -> None:
-    """Z-order-clustered parquet layout: range-partition + sort on the
-    Morton key of (col_a, col_b), then DROP the key — the layout, not
-    the column, is the product. Range predicates on EITHER dimension
-    (or both) prune row groups via min/max stats; see
-    test_zorder_layout_skips_on_both_dimensions for measured scan-row
-    evidence vs a single-column sort."""
-    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    from pyspark.sql import functions as FF
-
-    (
-        df.withColumn("_z", zorder_key(col_a, col_b, bits))
-        .repartitionByRange(n, FF.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .options(**(options or {}))
-        .parquet(path)
-    )
-
-
 def save_bucketed(
     df: DataFrame,
     name: str,

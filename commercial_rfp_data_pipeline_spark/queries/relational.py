@@ -1274,35 +1274,6 @@ def q_filtered_aggregates(spark, sf_dir):
     return spark.sql(_FILTERED_AGG_SQL)
 
 
-from commercial_rfp_data_pipeline_spark.io import zorder_key, zorder_key_sql
-
-
-@query(
-    "zorder_clustering_key",
-    f"""
-    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-           {zorder_key_sql('l_partkey', 'l_suppkey', 16)} AS zkey
-    FROM lineitem
-    """,
-)
-def q_zorder_key(spark, sf_dir):
-    """Morton (Z-order) clustering key over (l_partkey, l_suppkey) —
-    the value OPTIMIZE ZORDER sorts by so range predicates on EITHER
-    key prune row groups (a single-column sort scatters the other
-    dimension). Pure bit arithmetic, generated from the same bit
-    positions as the SQL restatement; the layout writer
-    (io.save_zordered) sorts by this and drops it. Scan-skipping
-    payoff is measured in test_zorder_layout_skips_on_both_dimensions."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
-        zorder_key("l_partkey", "l_suppkey", 16).alias("zkey"),
-    )
-
-
 _GDPR_PRED = (
     "('0x' || substring(md5('forget:' || CAST(c_custkey AS VARCHAR)), 1, 15))"
     "::BIGINT % 100 = 0"

@@ -62,6 +62,16 @@ DEFAULT = {
     "graph_ann_beam_topk": "embeddings",
     "kcore_copurchase": "lineitem",
     "crossmodal_retrieval_topk": "documents",
+    # round-5 additions
+    "graph_ann_hnsw_topk": "embeddings",
+    "jaccard_prefix_filter_pairs": "documents",
+    "late_interaction_maxsim_topk": "documents",
+    "crossmodal_hard_negatives": "documents",
+    "hybrid_rrf_fusion": "documents",
+    "chunk_citation_mapping": "documents",
+    "spell_correct_query_terms": "documents",
+    "gdpr_cascade_delete_audit": "customer",
+    "revenue_touch_attribution": "events",
 }
 
 

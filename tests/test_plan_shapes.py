@@ -725,46 +725,6 @@ def test_decision_stump_prefix_is_single_sort_exchange(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
-    """Z-ORDER payoff, measured: 256k points over a 512x512 grid, laid
-    out (a) sorted by x alone and (b) Z-ordered on (x, y). A narrow
-    range predicate on y — the dimension the x-sort scatters — scans
-    ~everything in layout (a) but a fraction in (b), because Morton
-    interleaving keeps BOTH columns' min/max tight per row group. The
-    multi-dimensional generalization of the zone-map test above; at
-    100 TB it is the difference between clustering helping one
-    predicate column or all of them."""
-    from commercial_rfp_data_pipeline_spark.io import save_sorted, save_zordered
-
-    df = spark.range(0, 256000).select(
-        (F.col("id") % 512).alias("x"),
-        F.floor(F.col("id") / 512).alias("y"),
-        F.col("id").alias("payload"),
-    )
-    x_path = str(tmp_path / "xsort")
-    z_path = str(tmp_path / "zord")
-    small_rg = {"parquet.block.size": str(128 * 1024)}
-    save_sorted(df, x_path, ["x"], n_partitions=2, options=small_rg)
-    save_zordered(df, z_path, "x", "y", n_partitions=2, options=small_rg, bits=9)
-    pred = "y BETWEEN 96 AND 111"
-    n_x = _scan_output_rows(spark.read.parquet(x_path).filter(pred))
-    n_z = _scan_output_rows(spark.read.parquet(z_path).filter(pred))
-    assert n_x >= 256000 * 0.9, f"x-sorted control should scan ~all rows, got {n_x}"
-    assert n_z * 4 <= n_x, f"z-order should skip most row groups: {n_z} vs {n_x}"
-    # and the x predicate still skips on the z layout (both dims work;
-    # each is weaker than a DEDICATED single-dim sort — that is the
-    # z-order trade: measured ~25-30% scanned per dimension vs 100%
-    # for the dimension a single-column sort scatters)
-    n_z_x = _scan_output_rows(
-        spark.read.parquet(z_path).filter("x BETWEEN 96 AND 111")
-    )
-    assert n_z_x * 3 <= n_x, f"z-order lost x-skipping: {n_z_x} vs {n_x}"
-    # correctness: identical result sets from both layouts
-    a = {tuple(r) for r in spark.read.parquet(x_path).filter(pred).collect()}
-    b = {tuple(r) for r in spark.read.parquet(z_path).filter(pred).collect()}
-    assert a == b
-
-
 def test_parquet_aggregate_pushdown_min_max_count(spark, tmp_path):
     """Footer-only aggregation: with parquet aggregate pushdown on,
     MIN/MAX/COUNT over an unfiltered parquet table are answered from
