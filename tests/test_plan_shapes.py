@@ -758,3 +758,45 @@ def test_parquet_aggregate_pushdown_min_max_count(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round5_queries_plan_shapes(spark, sf_dir):
+    """Plan discipline for the round-5 operators in one sweep:
+    (a) none of them evaluates a row-at-a-time Python UDF — the whole
+    batch is expressions + joins; (b) the batch-bounded sides actually
+    broadcast where the docstrings claim (late-interaction candidate/
+    query tables, GDPR forget list, hard-negative anchors, keyset
+    tokens)."""
+    from commercial_rfp_data_pipeline_spark.io import release_pinned
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    no_python = [
+        "late_interaction_maxsim_topk",
+        "crossmodal_hard_negatives",
+        "hybrid_rrf_fusion",
+        "jaccard_prefix_filter_pairs",
+        "chunk_citation_mapping",
+        "spell_correct_query_terms",
+        "gdpr_cascade_delete_audit",
+        "revenue_touch_attribution",
+        "filtered_vector_search",
+        "search_keyset_pagination_page2",
+        "graph_ann_hnsw_topk",
+    ]
+    # hnsw is absent: its per-round localCheckpoint truncates lineage,
+    # so the final plan reads Scan ExistingRDD — the beam-loop
+    # broadcasts live in the earlier jobs by design
+    broadcast_expected = {
+        "late_interaction_maxsim_topk",
+        "crossmodal_hard_negatives",
+        "gdpr_cascade_delete_audit",
+        "search_keyset_pagination_page2",
+        "filtered_vector_search",
+    }
+    for name in no_python:
+        p = plan(q[name](spark, sf_dir))
+        release_pinned()
+        assert "BatchEvalPython" not in p and "pythonUDF" not in p, name
+        if name in broadcast_expected:
+            assert "Broadcast" in p, f"{name} lost its broadcast"
