@@ -272,3 +272,70 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         F.sum(F.col("na") * F.col("nb")).alias("ip")
     )
     return per_row.agg(F.min("ip").alias("cms_estimate"))
+
+
+def spacesaving_heavy_hitters(
+    keyed: DataFrame,
+    key_col: str,
+    k: int,
+    capacity: int = 64,
+) -> DataFrame:
+    """EXACT heavy hitters (items with frequency strictly above n/k)
+    in two bounded-memory passes — the SpaceSaving candidate pattern:
+
+    1. CANDIDATES: each partition maintains a SpaceSaving summary of
+       ``capacity`` counters (replace-the-min on overflow). An item
+       absent from a partition's summary has partition frequency at
+       most part_n/capacity, so an item absent from EVERY summary has
+       global frequency at most n/capacity < n/k whenever
+       capacity > k — every true heavy hitter is guaranteed to be a
+       candidate (the completeness pigeonhole; the oracle's direct
+       GROUP BY HAVING proves it held).
+    2. VERIFY: exact recount of the candidate set only (broadcast
+       semi-join + one groupBy), then the strict n/k threshold.
+
+    Why not one exact groupBy? At 100 TB the first pass's state is
+    ``capacity`` counters per task regardless of key cardinality,
+    and the second pass shuffles only candidate rows — the classic
+    two-pass trade when the key space is too large to aggregate
+    exactly but only the head matters. Python stays on the slow path
+    exactly once (Arrow-batched, value_counts per batch folded into
+    the summary; never per-row over the corpus)."""
+    import pandas as pd
+
+    def partition_summary(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[key_col].value_counts().items():
+                c = int(c)
+                if v in counters or len(counters) < capacity:
+                    counters[v] = counters.get(v, 0) + c
+                else:
+                    # SpaceSaving replace-min: new item inherits the
+                    # minimum counter (its maximum possible undercount)
+                    mv = min(counters, key=counters.get)
+                    mc = counters.pop(mv)
+                    counters[v] = mc + c
+        yield pd.DataFrame(
+            {key_col: list(counters), "est": list(counters.values())}
+        )
+
+    schema_key = dict(keyed.dtypes)[key_col]
+    cand = (
+        keyed.select(key_col)
+        .mapInPandas(partition_summary, f"{key_col} {schema_key}, est long")
+        .select(key_col)
+        .distinct()
+    )
+    n = keyed.count()
+    exact = (
+        keyed.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * k > F.lit(n))
+    )
+    return exact.select(
+        key_col,
+        "freq",
+        F.round(F.col("freq") / F.lit(float(n)), 6).alias("share"),
+    )

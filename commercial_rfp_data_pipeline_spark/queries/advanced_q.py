@@ -705,3 +705,49 @@ def q_asof_forward(spark, sf_dir):
             ).cast("long"),
         ).alias("secs_to_error"),
     )
+
+
+# multi-heavy-hitter distribution: five head keys (~10% each) over a
+# ~500-key tail — manufactured deterministically from l_orderkey so
+# the oracle states the same mapping (same pattern as the Zipf fixture)
+_HH_KEY_SQL = (
+    "CASE WHEN l_orderkey % 10 < 5 THEN l_orderkey % 5 "
+    "ELSE 100 + l_orderkey % 499 END"
+)
+_HH_K = 16
+
+
+@query(
+    "heavy_hitters_spacesaving_exact",
+    f"""
+    WITH keyed AS (SELECT CAST({_HH_KEY_SQL} AS BIGINT) AS hot_key
+                   FROM lineitem),
+    n AS (SELECT count(*) AS n FROM keyed)
+    SELECT hot_key, count(*) AS freq,
+           round(count(*) / (SELECT CAST(n AS DOUBLE) FROM n), 6) AS share
+    FROM keyed GROUP BY hot_key
+    HAVING count(*) * {_HH_K} > (SELECT n FROM n)
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters (freq > n/16) via the SpaceSaving two-pass:
+    bounded-memory per-partition summaries (64 counters per task — the
+    state is CONSTANT regardless of key cardinality) generate a
+    candidate superset, an exact recount of candidates applies the
+    threshold. The oracle is the direct GROUP BY HAVING over all keys,
+    so hash equality proves the summary's completeness pigeonhole held
+    (capacity > k -> no heavy hitter can be evicted from every
+    partition summary). The fixture plants five ~10% head keys over a
+    ~500-key tail."""
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        spacesaving_heavy_hitters,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.when(F.col("l_orderkey") % 10 < 5, F.col("l_orderkey") % 5)
+        .otherwise(F.lit(100) + F.col("l_orderkey") % 499)
+        .cast("long")
+        .alias("hot_key")
+    )
+    return spacesaving_heavy_hitters(keyed, "hot_key", k=_HH_K, capacity=64)

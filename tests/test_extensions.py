@@ -1064,3 +1064,42 @@ def test_prefix_filter_prunes_candidates_without_losing_pairs(spark, sf_dir):
     )
     assert pref_cands < full_cands, (pref_cands, full_cands)
     release_pinned()
+
+
+def test_spacesaving_exact_under_eviction_pressure(spark):
+    """The SpaceSaving candidate pass must stay COMPLETE when the
+    summary is under real eviction pressure: 600 distinct tail keys
+    against capacity 32, with the heavy key's occurrences arriving
+    LAST within each partition (the worst case for replace-min — the
+    heavy item must displace established counters). The exact recount
+    must still return exactly the direct groupBy answer, and the
+    candidate set must stay bounded by capacity x partitions."""
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.operators.sketch import (
+        spacesaving_heavy_hitters,
+    )
+
+    # id-ordered within partitions: tail keys first (ids 0..5999 ->
+    # 600 keys x 10 rows), then 4000 rows of the single heavy key
+    df = (
+        spark.range(0, 10000, 1, 4)
+        .select(
+            F.when(F.col("id") < 6000, (F.col("id") % 600) + 1000)
+            .otherwise(F.lit(7))
+            .cast("long")
+            .alias("k")
+        )
+    )
+    got = {
+        (r.k, r.freq)
+        for r in spacesaving_heavy_hitters(df, "k", k=10, capacity=32).collect()
+    }
+    want = {
+        (r.k, r.freq)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * 10 > 10000)
+        .collect()
+    }
+    assert got == want and got == {(7, 4000)}, (got, want)
