@@ -509,6 +509,7 @@ def ivf_search(
     q_vec_col: str = "q_vec",
     cents: DataFrame | None = None,
     assigned: DataFrame | None = None,
+    match_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Full IVF top-k: corpus vectors live in their nearest-centroid
     cell (ivf_assign); each query probes its ``nprobe`` nearest cells
@@ -516,6 +517,15 @@ def ivf_search(
     choice, probe order, (sim DESC, id) ranking) so the whole ANN path
     is SQL-expressible and oracle-checked — recall loss vs knn_exact is
     a property of the probe count, not nondeterminism.
+
+    ``match_cols=(corpus_col, query_col)`` adds a metadata equality
+    filter INSIDE the probed cells (the FAISS IDSelector / filtered-
+    ANN pattern): candidates failing the predicate drop before any
+    similarity math, so a label-scoped search pays only for matching
+    rows in the probed cells — prefiltering at the inverted-list
+    level, not a post-rank filter that silently returns < k.
+    ``vectors`` (or ``assigned``) must carry ``corpus_col``;
+    ``queries`` must carry ``query_col``.
 
     Shape at scale: the centroid table is built ONCE and persisted (it
     is n_centroids rows), then broadcast to both the corpus assignment
@@ -535,21 +545,36 @@ def ivf_search(
         assigned = ivf_assign(
             vectors, n_centroids, id_col, vec_col, cents=cents
         ).select(id_col, vec_col, "cent_id", "_n")
+        if match_cols is not None and match_cols[0] not in assigned.columns:
+            # re-attach the filterable metadata column (ivf_assign's
+            # argmax carries only the vector); one narrow equi-join —
+            # a persisted index would store the column in the cell
+            # layout to begin with
+            assigned = assigned.join(
+                vectors.select(id_col, match_cols[0]), id_col
+            )
     qn = queries.withColumn("_qn", _norm(F.col(q_vec_col)))
     qj = qn.crossJoin(F.broadcast(cents))
     qsim = F.round(
         _dot(F.col(q_vec_col), F.col("cent_vec")) / (F.col("_qn") * F.col("_cn")), 6
     )
     wq = Window.partitionBy(q_id_col).orderBy(F.col("probe_sim").desc(), F.col("cent_id"))
+    probe_cols = [q_id_col, q_vec_col, "_qn", "cent_id"]
+    if match_cols is not None:
+        probe_cols.append(match_cols[1])
     probes = (
-        qj.select(q_id_col, q_vec_col, "_qn", "cent_id", qsim.alias("probe_sim"))
+        qj.select(*probe_cols, qsim.alias("probe_sim"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select(q_id_col, q_vec_col, "_qn", "cent_id")
+        .select(*probe_cols)
     )
     j = assigned.join(F.broadcast(probes), "cent_id").filter(
         F.col(id_col) != F.col(q_id_col)
     )
+    if match_cols is not None:
+        # inverted-list-level prefilter: non-matching candidates drop
+        # BEFORE any similarity math
+        j = j.filter(F.col(match_cols[0]) == F.col(match_cols[1]))
     sim = F.round(
         _dot(F.col(vec_col), F.col(q_vec_col)) / (F.col("_n") * F.col("_qn")), 6
     )

@@ -2063,3 +2063,68 @@ def q_keyset_pagination(spark, sf_dir):
         .filter(F.col("page_pos") <= _PAGE_SIZE)
     )
     return after.select("q_id", "vec_id", "sim", "page_pos")
+
+
+@query(
+    "ivf_filtered_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {_KMEANS_SQL},
+    assigned AS (
+      SELECT vec_id, label, v, cent_id FROM (
+        SELECT e.vec_id, e.label, e.v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cent_vec), 6) DESC, c.cent_id) AS rn
+        FROM e CROSS JOIN {_KM_FINAL} c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec
+          FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT q_id, q_label, q_vec, cent_id FROM (
+        SELECT q.q_id, q.q_label, q.q_vec, c.cent_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(q.q_vec, c.cent_vec), 6) DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN {_KM_FINAL} c
+      ) WHERE rn <= 2
+    ),
+    sims AS (
+      SELECT p.q_id, a.vec_id, round(list_cosine_similarity(a.v, p.q_vec), 6) AS sim
+      FROM assigned a
+      JOIN probes p ON a.cent_id = p.cent_id AND a.vec_id <> p.q_id
+                   AND a.label = p.q_label
+    )
+    SELECT q_id, vec_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def q_ivf_filtered(spark, sf_dir):
+    """FILTERED IVF ANN — the metadata-scoped vector search a real
+    index serves (Azure AI Search filterable field + vector query,
+    FAISS IDSelector): the label equality applies INSIDE the probed
+    cells, before any similarity math, so the search pays only for
+    matching rows in nprobe cells — unlike the post-rank filter whose
+    recall loss filtered_vector_search makes visible. Same trained
+    Lloyd centroids, probe order, and ranking as ivf_topk_search; the
+    oracle restates the full path including the filter placement."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import ivf_search
+
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    out = ivf_search(
+        v,
+        q,
+        n_centroids=16,
+        nprobe=2,
+        k=5,
+        match_cols=("label", "q_label"),
+    )
+    return out.select(
+        "q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk")
+    )
