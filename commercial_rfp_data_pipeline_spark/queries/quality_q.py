@@ -1013,3 +1013,103 @@ def q_classifier_roc_auc(spark, sf_dir):
             6,
         ).alias("auc"),
     ).select("n_pos", "n_neg", "auc")
+
+
+from commercial_rfp_data_pipeline_spark.queries.text_q import _SHINGLES_CTE
+
+
+@query(
+    "split_leakage_neardup",
+    f"""
+    WITH {_SHINGLES_CTE.strip()},
+    freq AS (SELECT sh AS fsh, count(*) AS df FROM sh GROUP BY sh),
+    sh2 AS (SELECT doc_id, sh FROM sh JOIN freq ON sh = fsh WHERE df <= 100),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6)
+               AS jaccard
+      FROM common
+      JOIN counts na ON na.doc_id = doc_a
+      JOIN counts nb ON nb.doc_id = doc_b
+      WHERE common * 2 >= (na.n_sh + nb.n_sh - common) * 1
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN u_hex < '{{_T80}}' THEN 'train'
+                  WHEN u_hex < '{{_T90}}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               lpad(substring(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 15),
+                    16, '0') AS u_hex
+        FROM documents
+      )
+    )
+    SELECT CASE WHEN sa.split = 'train' THEN p.doc_a ELSE p.doc_b END
+             AS train_doc,
+           CASE WHEN sa.split = 'train' THEN p.doc_b ELSE p.doc_a END
+             AS eval_doc,
+           CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END
+             AS eval_split,
+           p.jaccard
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    WHERE (sa.split = 'train') <> (sb.split = 'train')
+    """.replace("{_T80}", _T80).replace("{_T90}", _T90),
+)
+def q_split_leakage(spark, sf_dir):
+    """CROSS-SPLIT LEAKAGE audit — the eval-hygiene check a training
+    pipeline runs after splitting: every (train, val/test) document
+    pair that is a word-3-gram near-duplicate at Jaccard >= 1/2. A
+    val doc with a train near-dup inflates eval scores exactly like
+    external benchmark contamination (which benchmark_ngram_overlap
+    audits); this closes the INTERNAL half. Composes the deterministic
+    md5 split with the postings-list Jaccard pairs (rational-threshold
+    integer compare), then keeps pairs crossing the train boundary,
+    normalized to (train_doc, eval_doc, eval_split).
+
+    Scale: pair generation is the postings shape (sum(df^2)-bounded,
+    never doc x doc); the split table is a zero-shuffle narrow map
+    joined twice on the pair ids."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        dataset_split,
+        jaccard_prefix_filter_pairs,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    pairs = jaccard_prefix_filter_pairs(
+        shingles(docs, parallelism=par), t_num=1, t_den=2, max_doc_freq=100
+    ).select("doc_a", "doc_b", "jaccard")
+    splits = dataset_split(docs.select("doc_id")).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    crossed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
+    )
+    return crossed.select(
+        F.when(F.col("split_a") == "train", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("train_doc"),
+        F.when(F.col("split_a") == "train", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("eval_doc"),
+        F.when(F.col("split_a") == "train", F.col("split_b"))
+        .otherwise(F.col("split_a"))
+        .alias("eval_split"),
+        "jaccard",
+    )
