@@ -346,3 +346,139 @@ def _xxhash_buckets(
         F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).alias("b")
     ).distinct().collect()
     return sorted(r.b for r in rows)
+
+
+# ---- BM25 (keyword) index lifecycle -------------------------------
+# The text-index sibling of the IVF lifecycle above. Unlike IVF, BM25's
+# global statistics (df, n_docs, avgdl) CHANGE with every append, so
+# the layout separates immutable from mutable state:
+#   tf/    (tok, chunk_id, tf)  -- postings, append-only
+#   dl/    (chunk_id, dl)       -- doc lengths, append-only
+#   df/    (tok, df)            -- vocabulary-sized, merged per append
+#   stats/ (n_docs, sum_dl)     -- one row, rewritten per append
+# Invariant (pytest-pinned): an append produces the same index state —
+# and therefore bit-identical search scores — as a full rebuild over
+# the union, because every table is a sum of per-batch contributions.
+
+
+def _bm25_batch_tables(chunks: DataFrame):
+    from commercial_rfp_data_pipeline_spark.operators.textops import words
+
+    toks = chunks.select(
+        "chunk_id", F.explode(words("chunk")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("tok", "chunk_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("dl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return tf, dl, df
+
+
+def ensure_bm25_index(
+    spark: SparkSession, docs: DataFrame, warehouse: str
+) -> str:
+    """Build the durable BM25 index from scratch (idempotent: returns
+    the existing index untouched if present)."""
+    root = os.path.join(warehouse, "bm25")
+    try:
+        spark.read.parquet(os.path.join(root, "stats")).limit(1).collect()
+        return root
+    except Exception:
+        pass
+    chunks = chunk_text(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+    tf, dl, df = _bm25_batch_tables(chunks)
+    tf.write.mode("overwrite").parquet(os.path.join(root, "tf"))
+    dl.write.mode("overwrite").parquet(os.path.join(root, "dl"))
+    df.write.mode("overwrite").parquet(os.path.join(root, "df"))
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(os.path.join(root, "stats"))
+    return root
+
+
+def append_to_bm25_index(
+    spark: SparkSession, warehouse: str, new_docs: DataFrame
+) -> None:
+    """INCREMENTAL text-index update — the per-ingest-batch op a search
+    service runs instead of re-indexing the corpus: postings and doc
+    lengths APPEND (immutable, never rewritten), the vocabulary-sized
+    df table merges (full-outer sum — it rewrites, but it is |vocab|
+    rows, not corpus rows), and the one-row stats table accumulates.
+    Every table is a sum of per-batch contributions, so the result is
+    IDENTICAL to a from-scratch rebuild over the union (pytest pins
+    score equality) — the property that makes incremental maintenance
+    safe to run forever without drift."""
+    root = os.path.join(warehouse, "bm25")
+    chunks = chunk_text(new_docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+    tf, dl, df_new = _bm25_batch_tables(chunks)
+    tf.write.mode("append").parquet(os.path.join(root, "tf"))
+    dl.write.mode("append").parquet(os.path.join(root, "dl"))
+    df_old = spark.read.parquet(os.path.join(root, "df"))
+    merged = (
+        df_old.select("tok", F.col("df").alias("df_a"))
+        .join(df_new.select("tok", F.col("df").alias("df_b")), "tok", "full_outer")
+        .select(
+            "tok",
+            (F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0))).alias("df"),
+        )
+    )
+    # vocabulary-sized rewrite via tmp-dir swap (read and overwrite of
+    # the same path would race)
+    tmp = os.path.join(root, "df_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "df"))
+    os.rename(tmp, os.path.join(root, "df"))
+    stats_old = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
+    batch = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(stats_old["n_docs"] + batch["n"], stats_old["sum_dl"] + batch["s"])],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(os.path.join(root, "stats_tmp"))
+    shutil.rmtree(os.path.join(root, "stats"))
+    os.rename(os.path.join(root, "stats_tmp"), os.path.join(root, "stats"))
+
+
+def bm25_search_index(
+    spark: SparkSession,
+    warehouse: str,
+    query_terms: list[str],
+    k: int = 5,
+    max_df_frac: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve a term query from the durable index: df-capped terms pull
+    their postings only (an equi-join on tok — the probed rows, never
+    the corpus), Robertson-smooth idf x tf saturation per posting, one
+    candidate-bounded sum, top-k."""
+    root = os.path.join(warehouse, "bm25")
+    tf = spark.read.parquet(os.path.join(root, "tf"))
+    dl = spark.read.parquet(os.path.join(root, "dl"))
+    df = spark.read.parquet(os.path.join(root, "df"))
+    stats = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
+    terms = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    cand = (
+        tf.join(F.broadcast(terms), "tok")
+        .join(F.broadcast(df.join(F.broadcast(terms), "tok")), "tok")
+        .filter(F.col("df") <= n_docs * max_df_frac)
+        .join(dl, "chunk_id")
+    )
+    contrib = cand.select(
+        "chunk_id",
+        (
+            F.log(1 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy("chunk_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "chunk_id")
+        .limit(k)
+    )

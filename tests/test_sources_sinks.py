@@ -1234,3 +1234,59 @@ def test_watermark_drops_late_rows_with_metric_evidence(spark, tmp_path):
     got = {(r.w, r["count"]) for r in spark.read.parquet(out).collect()}
     assert (t0, 1) in got, got  # on-time count only — straggler excluded
     assert (t0, 2) not in got
+
+
+def test_bm25_index_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """The BM25 lifecycle invariant: build on 80% of the corpus, append
+    the other 20%, and the index state must equal a from-scratch build
+    over the union — df counts identical, stats identical, and search
+    scores for a probe query identical to 6dp. This is what makes
+    incremental maintenance safe to run forever: every table is a sum
+    of per-batch contributions, so appends cannot drift."""
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        append_to_bm25_index,
+        bm25_search_index,
+        ensure_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 5 != 0)
+    rest = docs.filter(F.col("doc_id") % 5 == 0)
+
+    inc_wh = str(tmp_path / "wh_inc")
+    full_wh = str(tmp_path / "wh_full")
+    ensure_bm25_index(spark, first, inc_wh)
+    append_to_bm25_index(spark, inc_wh, rest)
+    ensure_bm25_index(spark, docs, full_wh)
+
+    import os
+
+    for tbl in ("df", "stats"):
+        a = {
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(inc_wh, "bm25", tbl)).collect()
+        }
+        b = {
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(full_wh, "bm25", tbl)).collect()
+        }
+        assert a == b, f"{tbl} diverged after append"
+
+    # probe with the corpus's most frequent terms
+    terms = [
+        r.tok
+        for r in spark.read.parquet(os.path.join(full_wh, "bm25", "df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(5)
+        .collect()
+    ]
+    got = {
+        (r.chunk_id, r.bm25)
+        for r in bm25_search_index(spark, inc_wh, terms, k=5).collect()
+    }
+    want = {
+        (r.chunk_id, r.bm25)
+        for r in bm25_search_index(spark, full_wh, terms, k=5).collect()
+    }
+    assert got == want and len(got) == 5, (got, want)
