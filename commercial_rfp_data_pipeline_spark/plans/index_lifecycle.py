@@ -14,6 +14,8 @@ LSH path available for scale.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -351,14 +353,44 @@ def _xxhash_buckets(
 # ---- BM25 (keyword) index lifecycle -------------------------------
 # The text-index sibling of the IVF lifecycle above. Unlike IVF, BM25's
 # global statistics (df, n_docs, avgdl) CHANGE with every append, so
-# the layout separates immutable from mutable state:
-#   tf/    (tok, chunk_id, tf)  -- postings, append-only
-#   dl/    (chunk_id, dl)       -- doc lengths, append-only
-#   df/    (tok, df)            -- vocabulary-sized, merged per append
-#   stats/ (n_docs, sum_dl)     -- one row, rewritten per append
+# the layout keys every table by the batch that produced it and commits
+# through a manifest (the mini Delta-log discipline):
+#   tf/<key>/    (tok, chunk_id, tf)  -- postings, one dir per batch
+#   dl/<key>/    (chunk_id, dl)       -- doc lengths, one dir per batch
+#   df/<key>/    (tok, df)            -- merged vocabulary AS OF <key>
+#   stats/<key>/ (n_docs, sum_dl)     -- one row, accumulated AS OF <key>
+#   MANIFEST.json {batches: [...], df: key, stats: key}
+# Readers load ONLY the dirs the manifest lists, so an append is ATOMIC
+# (stage every table, then one os.replace of the manifest — a crash at
+# any earlier point leaves invisible orphan dirs that the retry simply
+# overwrites) and IDEMPOTENT (the batch key is content-derived; a
+# replayed append whose key is already in the manifest is a no-op).
+# Contract: distinct append batches must carry DISJOINT chunk_ids —
+# postings are per-batch contributions, so overlapping ids across two
+# different batches would double-count (the same batch replayed is
+# safe; a different batch with the same ids is a caller bug).
 # Invariant (pytest-pinned): an append produces the same index state —
 # and therefore bit-identical search scores — as a full rebuild over
 # the union, because every table is a sum of per-batch contributions.
+
+
+def _bm25_manifest(root: str) -> dict | None:
+    try:
+        with open(os.path.join(root, "MANIFEST.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _bm25_commit(root: str, manifest: dict) -> None:
+    """Single atomic commit point: tmp write + os.replace (POSIX rename
+    atomicity) — everything staged before this call is invisible until
+    it lands, so no reader ever sees postings without their matching
+    df/stats."""
+    tmp = os.path.join(root, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(root, "MANIFEST.json"))
 
 
 def _bm25_batch_tables(chunks: DataFrame):
@@ -379,19 +411,18 @@ def ensure_bm25_index(
     """Build the durable BM25 index from scratch (idempotent: returns
     the existing index untouched if present)."""
     root = os.path.join(warehouse, "bm25")
-    try:
-        spark.read.parquet(os.path.join(root, "stats")).limit(1).collect()
+    if _bm25_manifest(root) is not None:
         return root
-    except Exception:
-        pass
     chunks = chunk_text(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
     tf, dl, df = _bm25_batch_tables(chunks)
-    tf.write.mode("overwrite").parquet(os.path.join(root, "tf"))
-    dl.write.mode("overwrite").parquet(os.path.join(root, "dl"))
-    df.write.mode("overwrite").parquet(os.path.join(root, "df"))
+    key = "base"
+    tf.write.mode("overwrite").parquet(os.path.join(root, "tf", key))
+    dl.write.mode("overwrite").parquet(os.path.join(root, "dl", key))
+    df.write.mode("overwrite").parquet(os.path.join(root, "df", key))
     dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(os.path.join(root, "stats"))
+    ).write.mode("overwrite").parquet(os.path.join(root, "stats", key))
+    _bm25_commit(root, {"batches": [key], "df": key, "stats": key})
     return root
 
 
@@ -399,46 +430,79 @@ def append_to_bm25_index(
     spark: SparkSession, warehouse: str, new_docs: DataFrame
 ) -> None:
     """INCREMENTAL text-index update — the per-ingest-batch op a search
-    service runs instead of re-indexing the corpus: postings and doc
-    lengths APPEND (immutable, never rewritten), the vocabulary-sized
-    df table merges (full-outer sum — it rewrites, but it is |vocab|
-    rows, not corpus rows), and the one-row stats table accumulates.
-    Every table is a sum of per-batch contributions, so the result is
-    IDENTICAL to a from-scratch rebuild over the union (pytest pins
-    score equality) — the property that makes incremental maintenance
-    safe to run forever without drift."""
+    service runs instead of re-indexing the corpus: the batch's postings
+    and doc lengths land as new per-batch dirs (immutable, never
+    rewritten), the vocabulary-sized df table merges into a NEW version
+    dir (full-outer sum — |vocab| rows, not corpus rows), the one-row
+    stats accumulate into a new version dir, and the whole batch becomes
+    visible through ONE atomic manifest replace. A crash at any earlier
+    point leaves orphan dirs no reader loads; re-running the same append
+    (retry, at-least-once scheduler) is a no-op because the batch key is
+    derived from the batch's content. Every table is a sum of per-batch
+    contributions, so the result is IDENTICAL to a from-scratch rebuild
+    over the union (pytest pins score equality) — the property that
+    makes incremental maintenance safe to run forever without drift."""
     root = os.path.join(warehouse, "bm25")
+    manifest = _bm25_manifest(root)
+    if manifest is None:
+        raise ValueError(
+            f"append_to_bm25_index: no index at {root} — run "
+            "ensure_bm25_index first"
+        )
     chunks = chunk_text(new_docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
     tf, dl, df_new = _bm25_batch_tables(chunks)
-    tf.write.mode("append").parquet(os.path.join(root, "tf"))
-    dl.write.mode("append").parquet(os.path.join(root, "dl"))
-    df_old = spark.read.parquet(os.path.join(root, "df"))
-    merged = (
+    # content-derived batch key: order-insensitive over chunk_ids, so
+    # the same batch re-submitted through any partitioning replays to
+    # the same key and is dropped as already-applied
+    sig = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("chunk_id")).alias("h"),
+        F.sum("dl").alias("s"),
+    ).collect()[0]
+    key = hashlib.md5(f"{sig['n']}:{sig['h']}".encode()).hexdigest()[:16]
+    if key in manifest["batches"]:
+        return  # replayed append — already committed, no-op
+    # stage (overwrite clears partials from a previously crashed attempt)
+    tf.write.mode("overwrite").parquet(os.path.join(root, "tf", key))
+    dl.write.mode("overwrite").parquet(os.path.join(root, "dl", key))
+    df_old = spark.read.parquet(os.path.join(root, "df", manifest["df"]))
+    (
         df_old.select("tok", F.col("df").alias("df_a"))
         .join(df_new.select("tok", F.col("df").alias("df_b")), "tok", "full_outer")
         .select(
             "tok",
             (F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0))).alias("df"),
         )
-    )
-    # vocabulary-sized rewrite via tmp-dir swap (read and overwrite of
-    # the same path would race)
-    tmp = os.path.join(root, "df_tmp")
-    merged.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(os.path.join(root, "df"))
-    os.rename(tmp, os.path.join(root, "df"))
-    stats_old = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
-    batch = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).write.mode("overwrite").parquet(os.path.join(root, "df", key))
+    stats_old = spark.read.parquet(
+        os.path.join(root, "stats", manifest["stats"])
     ).collect()[0]
     spark.createDataFrame(
-        [(stats_old["n_docs"] + batch["n"], stats_old["sum_dl"] + batch["s"])],
+        [(stats_old["n_docs"] + sig["n"], stats_old["sum_dl"] + sig["s"])],
         "n_docs long, sum_dl long",
-    ).write.mode("overwrite").parquet(os.path.join(root, "stats_tmp"))
-    shutil.rmtree(os.path.join(root, "stats"))
-    os.rename(os.path.join(root, "stats_tmp"), os.path.join(root, "stats"))
+    ).write.mode("overwrite").parquet(os.path.join(root, "stats", key))
+    _bm25_commit(
+        root,
+        {"batches": manifest["batches"] + [key], "df": key, "stats": key},
+    )
+
+
+def bm25_tables(spark: SparkSession, warehouse: str):
+    """Manifest-resolved view of the live index state:
+    (tf, dl, df, stats) DataFrames over exactly the committed dirs."""
+    root = os.path.join(warehouse, "bm25")
+    manifest = _bm25_manifest(root)
+    if manifest is None:
+        raise ValueError(f"bm25_tables: no index at {root}")
+    tf = spark.read.parquet(
+        *[os.path.join(root, "tf", k) for k in manifest["batches"]]
+    )
+    dl = spark.read.parquet(
+        *[os.path.join(root, "dl", k) for k in manifest["batches"]]
+    )
+    df = spark.read.parquet(os.path.join(root, "df", manifest["df"]))
+    stats = spark.read.parquet(os.path.join(root, "stats", manifest["stats"]))
+    return tf, dl, df, stats
 
 
 def bm25_search_index(
@@ -454,11 +518,10 @@ def bm25_search_index(
     their postings only (an equi-join on tok — the probed rows, never
     the corpus), Robertson-smooth idf x tf saturation per posting, one
     candidate-bounded sum, top-k."""
-    root = os.path.join(warehouse, "bm25")
-    tf = spark.read.parquet(os.path.join(root, "tf"))
-    dl = spark.read.parquet(os.path.join(root, "dl"))
-    df = spark.read.parquet(os.path.join(root, "df"))
-    stats = spark.read.parquet(os.path.join(root, "stats")).collect()[0]
+    # readers load ONLY manifest-listed dirs — orphans from crashed
+    # appends are invisible by construction
+    tf, dl, df, stats_df = bm25_tables(spark, warehouse)
+    stats = stats_df.collect()[0]
     n_docs, avgdl = stats["n_docs"], stats["sum_dl"] / stats["n_docs"]
     terms = spark.createDataFrame([(t,) for t in query_terms], "tok string")
     cand = (

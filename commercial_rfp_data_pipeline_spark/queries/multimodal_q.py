@@ -280,10 +280,7 @@ def q_crossmodal_retrieval(spark, sf_dir):
     )
 
 
-_HN_ANCHOR = (
-    "('0x' || substring(md5('hn:' || CAST(doc_id AS VARCHAR)), 1, 15))"
-    "::BIGINT % 16 = 0"
-)
+_HN_BATCH = 32  # anchor minibatch size — CONSTANT, corpus-independent
 
 _HARDNEG_SQL = f"""
     WITH d AS (
@@ -291,9 +288,14 @@ _HARDNEG_SQL = f"""
              md5('img:' || text) AS mi, md5('txt:' || text) AS mt
       FROM documents
     ),
+    anchors AS (
+      SELECT doc_id FROM d
+      ORDER BY md5('hn:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT {_HN_BATCH}
+    ),
     img AS (SELECT doc_id, {_duck_vec('m0', 'mi')} AS v FROM d),
-    txt AS (SELECT doc_id AS q_id, {_duck_vec('m0', 'mt')} AS qv
-            FROM d WHERE {_HN_ANCHOR}),
+    txt AS (SELECT d.doc_id AS q_id, {_duck_vec('m0', 'mt')} AS qv
+            FROM d JOIN anchors a ON a.doc_id = d.doc_id),
     sims AS (
       SELECT t.q_id, i.doc_id,
              round(list_cosine_similarity(i.v, t.qv), 6) AS sim
@@ -319,16 +321,17 @@ def q_crossmodal_hard_negatives(spark, sf_dir):
     triples: per anchor caption, the 3 most-similar NON-own images
     (hardest negatives) with the positive's similarity and the margin
     (neg_sim - pos_sim, the quantity a triplet/InfoNCE loss pushes
-    negative). Anchors are an md5 hash-coin sample (~1/16 of docs) —
-    the deterministic stand-in for a training minibatch; in production
-    mining runs per batch, so the anchor side stays broadcastable by
-    construction.
+    negative). Anchors are a CONSTANT-size minibatch (the 32 doc_ids
+    ranking first by an md5 hash order — a deterministic pseudo-random
+    draw, TakeOrderedAndProject in Spark, ORDER BY md5 LIMIT in the
+    oracle), so the anchor side is corpus-independent by construction:
+    at 100x the data the cross join is still 32 x n, never n/16 x n.
 
     Scale: identical shape to crossmodal_retrieval_topk / knn_exact —
-    the bounded anchor batch broadcasts, the image corpus streams once,
-    per-anchor top-3 heaps are the only shuffled rows; swap in real
-    CLIP towers via the mapInPandas embedder seam without touching the
-    mining plan."""
+    the constant anchor batch broadcasts, the image corpus streams
+    once, per-anchor top-3 heaps are the only shuffled rows; swap in
+    real CLIP towers via the mapInPandas embedder seam without touching
+    the mining plan."""
     docs = load_table(spark, sf_dir, "documents")
     m0 = F.md5(F.col("text"))
     mi = F.md5(F.concat(F.lit("img:"), F.col("text")))
@@ -347,27 +350,25 @@ def q_crossmodal_hard_negatives(spark, sf_dir):
 
     from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
 
-    anchor = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("hn:"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 16
-        == F.lit(0)
+    anchors = (
+        docs.select(
+            "doc_id",
+            F.md5(
+                F.concat(F.lit("hn:"), F.col("doc_id").cast("string"))
+            ).alias("_hk"),
+        )
+        .orderBy("_hk", "doc_id")
+        .limit(_HN_BATCH)
+        .select("doc_id")
     )
     img = docs.select("doc_id", vec(m0, mi).alias("v"))
-    txt = docs.filter(anchor).select(
+    txt = docs.join(F.broadcast(anchors), "doc_id").select(
         F.col("doc_id").alias("q_id"), vec(m0, mt).alias("qv")
     )
     # the positive (own image) needs only an EQUI-join — deriving it by
     # filtering the cross join evaluates the full corpus x anchors
-    # similarity pass a SECOND time (anchors = n/16 makes that pass the
-    # whole cost; measured 21s -> ~10s at sf0.1)
+    # similarity pass a SECOND time (measured 21s -> ~10s at sf0.1
+    # back when anchors were n/16; still the right shape at 32)
     # norms are per-VECTOR, so compute them below the join: inlined in
     # cosine they re-evaluate per PAIR (2 x dim work + 2 array
     # traversals on every one of the corpus x anchors rows)

@@ -1247,6 +1247,7 @@ def test_bm25_index_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
         append_to_bm25_index,
         bm25_search_index,
+        bm25_tables,
         ensure_bm25_index,
     )
 
@@ -1260,24 +1261,19 @@ def test_bm25_index_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     append_to_bm25_index(spark, inc_wh, rest)
     ensure_bm25_index(spark, docs, full_wh)
 
-    import os
-
+    inc_tbls = dict(zip(("tf", "dl", "df", "stats"), bm25_tables(spark, inc_wh)))
+    full_tbls = dict(
+        zip(("tf", "dl", "df", "stats"), bm25_tables(spark, full_wh))
+    )
     for tbl in ("df", "stats"):
-        a = {
-            tuple(r)
-            for r in spark.read.parquet(os.path.join(inc_wh, "bm25", tbl)).collect()
-        }
-        b = {
-            tuple(r)
-            for r in spark.read.parquet(os.path.join(full_wh, "bm25", tbl)).collect()
-        }
+        a = {tuple(r) for r in inc_tbls[tbl].collect()}
+        b = {tuple(r) for r in full_tbls[tbl].collect()}
         assert a == b, f"{tbl} diverged after append"
 
     # probe with the corpus's most frequent terms
     terms = [
         r.tok
-        for r in spark.read.parquet(os.path.join(full_wh, "bm25", "df"))
-        .orderBy(F.col("df").desc(), "tok")
+        for r in full_tbls["df"].orderBy(F.col("df").desc(), "tok")
         .limit(5)
         .collect()
     ]
@@ -1290,3 +1286,59 @@ def test_bm25_index_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
         for r in bm25_search_index(spark, full_wh, terms, k=5).collect()
     }
     assert got == want and len(got) == 5, (got, want)
+
+
+def test_bm25_append_idempotent_and_crash_safe(spark, sf_dir, tmp_path):
+    """The ADVICE-r5 atomicity contract: (a) replaying the SAME append
+    batch is a no-op (content-derived batch key already in the
+    manifest) — postings, df, and stats are unchanged; (b) a crash
+    BEFORE the manifest commit leaves the staged dirs invisible —
+    readers see exactly the pre-append state, and the retried append
+    repairs and commits."""
+    import json
+    import os
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        append_to_bm25_index,
+        bm25_tables,
+        ensure_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 5 != 0)
+    rest = docs.filter(F.col("doc_id") % 5 == 0)
+    wh = str(tmp_path / "wh")
+    root = os.path.join(wh, "bm25")
+    ensure_bm25_index(spark, first, wh)
+
+    def state():
+        tf, dl, df, stats = bm25_tables(spark, wh)
+        return (
+            {tuple(r) for r in df.collect()},
+            {tuple(r) for r in stats.collect()},
+            tf.count(),
+            dl.count(),
+        )
+
+    append_to_bm25_index(spark, wh, rest)
+    once = state()
+    manifest_once = json.load(open(os.path.join(root, "MANIFEST.json")))
+    # (a) replay the exact same batch — must be a committed-state no-op
+    append_to_bm25_index(spark, wh, rest)
+    assert state() == once
+    assert json.load(open(os.path.join(root, "MANIFEST.json"))) == manifest_once
+
+    # (b) simulate a crash before commit: stage a new batch's dirs by
+    # hand (what a crashed append leaves behind) and check readers
+    # ignore them entirely
+    extra = docs.filter(F.col("doc_id") % 5 == 1).limit(3)
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        _bm25_batch_tables,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
+
+    tf_o, dl_o, _ = _bm25_batch_tables(chunk_text(extra, size=2000, overlap=500))
+    tf_o.write.mode("overwrite").parquet(os.path.join(root, "tf", "orphan"))
+    dl_o.write.mode("overwrite").parquet(os.path.join(root, "dl", "orphan"))
+    assert state() == once, "orphan staged dirs leaked into reads"
