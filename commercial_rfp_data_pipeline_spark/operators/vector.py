@@ -539,13 +539,30 @@ def ivf_search(
     ``cents``/``assigned``)."""
     from commercial_rfp_data_pipeline_spark.io import pin
 
+    if match_cols is not None:
+        # validate the contract up front with a descriptive error —
+        # an AnalysisException deep in the probe join is not a usable
+        # diagnosis for "your assigned table lacks the metadata column"
+        corpus_src = assigned if assigned is not None else vectors
+        if match_cols[0] not in corpus_src.columns:
+            raise ValueError(
+                f"ivf_search: match_cols[0]={match_cols[0]!r} not in the "
+                f"{'assigned' if assigned is not None else 'vectors'} "
+                f"columns {corpus_src.columns} — a filtered search needs "
+                "the metadata column stored alongside the cell layout"
+            )
+        if match_cols[1] not in queries.columns:
+            raise ValueError(
+                f"ivf_search: match_cols[1]={match_cols[1]!r} not in the "
+                f"queries columns {queries.columns}"
+            )
     if cents is None:
         cents = pin(ivf_centroids(vectors, n_centroids, id_col, vec_col))
     if assigned is None:
         assigned = ivf_assign(
             vectors, n_centroids, id_col, vec_col, cents=cents
         ).select(id_col, vec_col, "cent_id", "_n")
-        if match_cols is not None and match_cols[0] not in assigned.columns:
+        if match_cols is not None:
             # re-attach the filterable metadata column (ivf_assign's
             # argmax carries only the vector); one narrow equi-join —
             # a persisted index would store the column in the cell
@@ -553,28 +570,36 @@ def ivf_search(
             assigned = assigned.join(
                 vectors.select(id_col, match_cols[0]), id_col
             )
+    if match_cols is not None:
+        # distinct internal aliases: if the corpus and query metadata
+        # columns share a name, the post-join equality would otherwise
+        # be an ambiguous reference
+        assigned = assigned.withColumn("_mc_c", F.col(match_cols[0]))
     qn = queries.withColumn("_qn", _norm(F.col(q_vec_col)))
     qj = qn.crossJoin(F.broadcast(cents))
     qsim = F.round(
         _dot(F.col(q_vec_col), F.col("cent_vec")) / (F.col("_qn") * F.col("_cn")), 6
     )
     wq = Window.partitionBy(q_id_col).orderBy(F.col("probe_sim").desc(), F.col("cent_id"))
-    probe_cols = [q_id_col, q_vec_col, "_qn", "cent_id"]
+    probe_exprs = [F.col(q_id_col), F.col(q_vec_col), F.col("_qn"), F.col("cent_id")]
+    probe_names = [q_id_col, q_vec_col, "_qn", "cent_id"]
     if match_cols is not None:
-        probe_cols.append(match_cols[1])
+        probe_exprs.append(F.col(match_cols[1]).alias("_mc_q"))
+        probe_names.append("_mc_q")
     probes = (
-        qj.select(*probe_cols, qsim.alias("probe_sim"))
+        qj.select(*probe_exprs, qsim.alias("probe_sim"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select(*probe_cols)
+        .select(*probe_names)
     )
     j = assigned.join(F.broadcast(probes), "cent_id").filter(
         F.col(id_col) != F.col(q_id_col)
     )
     if match_cols is not None:
         # inverted-list-level prefilter: non-matching candidates drop
-        # BEFORE any similarity math
-        j = j.filter(F.col(match_cols[0]) == F.col(match_cols[1]))
+        # BEFORE any similarity math (aliased sides, so same-named
+        # corpus/query metadata columns cannot collide)
+        j = j.filter(F.col("_mc_c") == F.col("_mc_q"))
     sim = F.round(
         _dot(F.col(vec_col), F.col(q_vec_col)) / (F.col("_n") * F.col("_qn")), 6
     )

@@ -230,6 +230,63 @@ def session_topk(spark, store_path: str, k: int = 3) -> DataFrame:
     )
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path, jvm) for ``path`` — works for any scheme the
+    session supports (local, hdfs, s3a...), so the sink's bookkeeping
+    follows the data instead of assuming a local filesystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _hadoop_exists(spark, path: str) -> bool:
+    fs, p, _ = _hadoop_fs(spark, path)
+    return fs.exists(p)
+
+
+def _write_latest_pointer(spark, root_path: str, batch_id: int) -> None:
+    """Atomically (create tmp + rename) record the newest committed
+    snapshot id. The pointer — not a max() scan over directory names —
+    is what readers follow, so restarting the sink with a FRESH
+    checkpoint over an old root_path (batch ids reset to 0) serves the
+    new run's snapshot instead of a stale higher-numbered one."""
+    fs, tmp, jvm = _hadoop_fs(spark, os.path.join(root_path, "LATEST.tmp"))
+    out = fs.create(tmp, True)
+    out.write(str(batch_id).encode("utf-8"))
+    out.close()
+    dst = jvm.org.apache.hadoop.fs.Path(os.path.join(root_path, "LATEST"))
+    fs.delete(dst, False)  # hadoop rename refuses to overwrite
+    fs.rename(tmp, dst)
+
+
+def _read_latest_pointer(spark, root_path: str) -> int | None:
+    fs, p, jvm = _hadoop_fs(spark, os.path.join(root_path, "LATEST"))
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return int(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def _prune_batch_dirs(spark, dirpath: str, current: int) -> None:
+    """Keep only batch_id=current and current-1 (the retry of batch N
+    re-reads N-1's state, so N-1 must survive until N+1 lands); also
+    drop ids ABOVE current — leftovers of an abandoned earlier run
+    against the same root_path. Bounds on-disk state at 2 batches."""
+    fs, p, _ = _hadoop_fs(spark, dirpath)
+    if not fs.exists(p):
+        return
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid < current - 1 or bid > current:
+            fs.delete(st.getPath(), True)
+
+
 def session_topk_update_sink(
     events: DataFrame,
     root_path: str,
@@ -287,10 +344,13 @@ def session_topk_update_sink(
     )
 
     def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
-        try:
-            return spark.read.schema(schema).parquet(path)
-        except Exception:
+        # only a MISSING path means "first batch" — an IO/permission/
+        # corruption error while loading real state must fail the
+        # streaming query, not silently reset every open session (the
+        # reset would still write a plausible-looking snapshot)
+        if not _hadoop_exists(spark, path):
             return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(path)
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
@@ -376,6 +436,12 @@ def session_topk_update_sink(
         snapshot.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
+        # pointer LAST (write order: state, closed, out, pointer) — the
+        # pointer only ever names a fully-written snapshot; then bound
+        # on-disk state to two batches per dir
+        _write_latest_pointer(spark, root_path, batch_id)
+        for d in (state_dir, closed_dir, out_dir):
+            _prune_batch_dirs(spark, d, batch_id)
 
     return (
         events.writeStream.foreachBatch(write_batch)
@@ -388,14 +454,19 @@ def session_topk_update_sink(
 
 def session_update_topk_latest(spark, root_path: str) -> DataFrame:
     """The most recent update-mode top-k snapshot written by
-    :func:`session_topk_update_sink` (reads only the latest batch_id
-    directory — k rows)."""
+    :func:`session_topk_update_sink` (reads only the snapshot the
+    LATEST pointer names — k rows). The pointer, not a max() over
+    directory names, decides: a fresh-checkpoint restart over an old
+    root_path resets batch ids, and the pointer tracks the NEW run
+    while stale higher-numbered dirs are pruned away."""
     out_dir = os.path.join(root_path, "out")
-    latest = max(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(out_dir)
-        if d.startswith("batch_id=")
-    )
+    latest = _read_latest_pointer(spark, root_path)
+    if latest is None:  # pre-pointer layout: fall back to the dir scan
+        latest = max(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(out_dir)
+            if d.startswith("batch_id=")
+        )
     return spark.read.parquet(os.path.join(out_dir, f"batch_id={latest}"))
 
 

@@ -85,6 +85,56 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert all(r.sim <= top1[r.q_id] for r in ivf_rows)
 
 
+def test_ivf_search_match_cols_same_name_and_contract(spark, sf_dir):
+    """ADVICE-r5: (a) match_cols works when the corpus and query
+    metadata columns share a NAME (internal aliasing — previously an
+    ambiguous-reference AnalysisException); (b) an externally-supplied
+    ``assigned`` missing the column fails up front with a descriptive
+    ValueError, not a deep join error."""
+    import pytest
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_search,
+    )
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    q = (
+        v.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            "label",  # SAME name as the corpus column
+        )
+    )
+    got = ivf_search(v, q, k=3, match_cols=("label", "label")).collect()
+    assert got, "same-name filtered search returned nothing"
+    # every hit honors the filter: corpus label == query label
+    lbl = {r.vec_id: r.label for r in v.select("vec_id", "label").collect()}
+    for r in got:
+        assert lbl[r.vec_id] == lbl[r.q_id], r
+
+    # distinct-name spelling must give identical results
+    q2 = q.withColumnRenamed("label", "q_label")
+    got2 = ivf_search(v, q2, k=3, match_cols=("label", "q_label")).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in got2}
+
+    # external assigned WITHOUT the metadata column -> loud contract
+    cents = ivf_centroids(v, 16, "vec_id", "embedding")
+    bare = ivf_assign(v, cents=cents).select(
+        "vec_id", "embedding", "cent_id", "_n"
+    )
+    with pytest.raises(ValueError, match="match_cols"):
+        ivf_search(
+            None, q2, cents=cents, assigned=bare,
+            match_cols=("label", "q_label"),
+        )
+
+
 def test_simhash_banding_exhaustive(spark, sf_dir):
     """The 4x4-bit band join must find EXACTLY the all-pairs Hamming<=3
     set (pigeonhole), under different partitionings."""

@@ -1083,6 +1083,66 @@ def test_session_topk_update_mode_merge_and_batch_parity(spark, tmp_path):
     }
     assert snap2 == want, (snap2, want)
 
+    # state is bounded: only the last two batch dirs survive per
+    # bookkeeping dir, and LATEST names the newest snapshot
+    import os as _os
+
+    for sub in ("state", "closedtopk", "out"):
+        ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(_os.path.join(root, sub))
+            if d.startswith("batch_id=")
+        )
+        assert len(ids) <= 2, (sub, ids)
+    assert _os.path.exists(_os.path.join(root, "LATEST"))
+
+
+def test_session_update_sink_fresh_checkpoint_restart(spark, tmp_path):
+    """ADVICE-r5: restarting the sink with a FRESH checkpoint over the
+    same root_path resets batch ids to 0 — the LATEST pointer must then
+    serve the NEW run's snapshot, not a stale higher-numbered directory
+    left by the first run."""
+    import datetime as dt
+
+    from commercial_rfp_data_pipeline_spark.streaming.sinks import (
+        session_topk_update_sink,
+        session_update_topk_latest,
+    )
+
+    schema = "ts timestamp, user_id long"
+    root = str(tmp_path / "root")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def run(src, ckpt, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = session_topk_update_sink(
+            stream, root, ckpt, gap_minutes=30, k=3, evict_delay_minutes=60
+        )
+        q.awaitTermination(120)
+
+    # run 1: two drains so the old run's ids reach batch_id=1
+    src1, ckpt1 = str(tmp_path / "src1"), str(tmp_path / "ck1")
+    run(src1, ckpt1, [(t0, 1), (t0 + dt.timedelta(minutes=1), 1)])
+    run(src1, ckpt1, [(t0 + dt.timedelta(minutes=2), 1)])
+    old = {
+        (r.user_id, r.n_events)
+        for r in session_update_topk_latest(spark, root).collect()
+    }
+    assert old == {(1, 3)}, old
+
+    # run 2: fresh checkpoint + fresh source, SAME root — ids restart
+    # at 0, which is lower than run 1's latest
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ck2")
+    run(src2, ckpt2, [(t0, 7)])
+    got = {
+        (r.user_id, r.n_events)
+        for r in session_update_topk_latest(spark, root).collect()
+    }
+    assert got == {(7, 1)}, got
+
 
 def test_graph_index_lifecycle_and_pruned_hops(spark, sf_dir, tmp_path):
     """ensure_graph_index materializes the m-NN graph partitioned by
