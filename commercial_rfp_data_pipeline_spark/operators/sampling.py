@@ -273,3 +273,93 @@ def weighted_sample(
         F.round("_key", 6).alias("sample_key"),
         F.row_number().over(w_rnk).cast("int").alias("rnk"),
     )
+
+
+def recipe_rebalance(
+    df: DataFrame,
+    weight_raw,
+    group_col: str = "source",
+    budget_num: int = 6,
+    budget_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "recipe",
+) -> DataFrame:
+    """Per-source data-recipe rebalancing — DoReMi-style static
+    re-weighting: given integer per-source weights (``weight_raw``, a
+    Column over ``df``, constant within each group) and a token budget
+    ``B = (budget_num * total_tokens) div budget_den``, assign each
+    source its integer token allocation ``B_s = (B * w_s) div sum(w)``
+    and realize it as ``epochs + partial``: every doc repeats
+    ``B_s div T_s`` times (sources whose allocation exceeds their
+    supply loop over their data — the LLaMA-style epochs-per-source
+    move), plus one extra copy for the md5-rank prefix of docs whose
+    cumulative token count fills the remainder ``B_s mod T_s``. All
+    arithmetic is INTEGER (div/mod), so the realized mix is exact and
+    engine-independent — no float sampling-rate boundary fuzz.
+
+    Output: (id, group, n_tok, n_copies) for docs with n_copies >= 1.
+    Realized per-source token share then tracks the target share to
+    within one document's tokens (the partial-prefix granularity).
+
+    Shape at scale: group totals are one map-side-combining groupBy
+    (groups-sized, broadcast back); the only corpus-wide pass is the
+    ranked remainder take, which uses ``distributed_prefix_sum`` over
+    (group, md5, id) order — NOT a per-group cumulative window, which
+    would funnel a billion-doc source through one task. Weights and
+    budget stay int64: safe while budget_num * total_tokens * max(w)
+    < 2^63 (~10^18 — a 100-TB corpus is ~10^13 tokens)."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import token_count
+
+    d = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(text_col).alias("n_tok"),
+        weight_raw.cast("long").alias("_w"),
+    )
+    tot = d.groupBy(group_col).agg(
+        F.sum("n_tok").alias("_T"), F.max("_w").alias("_w")
+    )
+    grand = tot.agg(F.sum("_T").alias("_TT"), F.sum("_w").alias("_WT"))
+    plan = (
+        tot.crossJoin(F.broadcast(grand))
+        .select(
+            group_col,
+            "_T",
+            F.expr(
+                f"((({budget_num} * _TT) div {budget_den}) * _w) div _WT"
+            ).alias("_B"),
+        )
+        .select(
+            group_col,
+            F.col("_B").alias("target_tokens"),
+            F.expr("_B div _T").alias("_e"),
+            F.expr("_B % _T").alias("_r"),
+        )
+    )
+    hk = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    ranked = distributed_prefix_sum(
+        d.withColumn("_hk", hk),
+        {"tok": F.col("n_tok")},
+        [F.col(group_col), F.col("_hk"), F.col(id_col)],
+    )
+    start = ranked.groupBy(group_col).agg(F.min("tok_before").alias("_s0"))
+    out = (
+        ranked.join(F.broadcast(start), group_col)
+        .join(F.broadcast(plan), group_col)
+        .withColumn(
+            "n_copies",
+            (
+                F.col("_e")
+                + F.when(
+                    F.col("tok_before") - F.col("_s0") < F.col("_r"), 1
+                ).otherwise(0)
+            ).cast("int"),
+        )
+    )
+    return out.filter(F.col("n_copies") >= 1).select(
+        id_col, group_col, "n_tok", "n_copies", "target_tokens"
+    )

@@ -1095,6 +1095,143 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+# ---- per-source data-recipe rebalancing (DoReMi-style) ------------
+# Integer-exact allocation: budget B = (6 * total_tokens) div 5 (>100%
+# of supply, so high-weight sources repeat — the epochs-per-source
+# move), per-source weight w = 1 + (source index mod 4), allocation
+# B_s = (B * w_s) div sum(w), realized as (B_s div T_s) full epochs +
+# an md5-rank token-prefix for the remainder. All div/mod — no float
+# sampling rates, so both engines realize the identical mix.
+_RECIPE_CTES = f"""
+    d AS (
+      SELECT doc_id, source,
+             CASE WHEN length({_NORM}) = 0 THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tok,
+             1 + (CAST(substring(source, 4) AS BIGINT) % 4) AS w
+      FROM documents
+    ),
+    tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t, max(w) AS w
+            FROM d GROUP BY source),
+    grand AS (SELECT CAST(sum(t) AS BIGINT) AS tt,
+                     CAST(sum(w) AS BIGINT) AS wt FROM tot),
+    plan AS (
+      SELECT source, t, (((6 * tt) // 5) * w) // wt AS b
+      FROM tot CROSS JOIN grand
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               PARTITION BY source
+               ORDER BY md5('recipe:' || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bef
+      FROM d
+    ),
+    cop AS (
+      SELECT r.doc_id, r.source, r.n_tok,
+             CAST((p.b // p.t)
+                  + CASE WHEN r.bef < (p.b % p.t) THEN 1 ELSE 0 END
+               AS INTEGER) AS n_copies,
+             p.b AS target_tokens
+      FROM ranked r JOIN plan p USING (source)
+    )
+"""
+
+
+def _recipe_weight():
+    return 1 + (F.substring("source", 4, 8).cast("long") % 4)
+
+
+@query(
+    "data_recipe_rebalance",
+    f"""
+    WITH {_RECIPE_CTES.strip()}
+    SELECT doc_id, source, n_tok, n_copies, target_tokens
+    FROM cop WHERE n_copies >= 1
+    """,
+)
+def q_data_recipe_rebalance(spark, sf_dir):
+    """DoReMi-style per-source recipe rebalancing at the document
+    level: every kept doc carries its repetition count (n_copies —
+    full epochs for over-allocated sources plus the md5-prefix partial
+    epoch). The engine's prefix sums run DISTRIBUTED
+    (distributed_prefix_sum over (source, md5, id) order); the oracle
+    states the same take as a naive per-source cumulative window."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import (
+        recipe_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return recipe_rebalance(docs, weight_raw=_recipe_weight())
+
+
+@query(
+    "data_recipe_share_audit",
+    f"""
+    WITH {_RECIPE_CTES.strip()},
+    reald AS (
+      SELECT source, CAST(sum(n_copies * n_tok) AS BIGINT) AS realized_tokens
+      FROM cop GROUP BY source
+    )
+    SELECT p.source, p.t AS avail_tokens, p.b AS target_tokens,
+           p.b // p.t AS epochs, realized_tokens,
+           round(CAST(p.b AS DOUBLE)
+                 / (SELECT CAST(sum(b) AS DOUBLE) FROM plan), 6)
+             AS target_share,
+           round(CAST(realized_tokens AS DOUBLE)
+                 / (SELECT CAST(sum(realized_tokens) AS DOUBLE) FROM reald),
+                 6) AS realized_share,
+           abs(CAST(p.b AS DOUBLE)
+                 / (SELECT CAST(sum(b) AS DOUBLE) FROM plan)
+               - CAST(realized_tokens AS DOUBLE)
+                 / (SELECT CAST(sum(realized_tokens) AS DOUBLE) FROM reald))
+             <= 0.02 AS within_tol
+    FROM plan p JOIN reald USING (source)
+    """,
+)
+def q_data_recipe_share_audit(spark, sf_dir):
+    """The rebalancing acceptance check: per source, the realized token
+    share (epochs + partial prefix actually emitted) against the target
+    share, with a 2%-of-mix tolerance verdict — the granularity bound
+    is one document's tokens per source, far inside the tolerance. This
+    is the query a data-recipe change ships with."""
+    from commercial_rfp_data_pipeline_spark.operators.sampling import (
+        recipe_rebalance,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    reb = recipe_rebalance(docs, weight_raw=_recipe_weight())
+    real = reb.groupBy("source").agg(
+        F.sum(F.col("n_copies").cast("long") * F.col("n_tok"))
+        .cast("long")
+        .alias("realized_tokens"),
+        F.max("target_tokens").alias("target_tokens"),
+    )
+    avail = (
+        docs.select("source", token_count("text").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("avail_tokens"))
+    )
+    grand = real.agg(
+        F.sum("realized_tokens").cast("double").alias("_rt"),
+        F.sum("target_tokens").cast("double").alias("_bt"),
+    )
+    j = real.join(avail, "source").crossJoin(F.broadcast(grand))
+    t_share = F.col("target_tokens").cast("double") / F.col("_bt")
+    r_share = F.col("realized_tokens").cast("double") / F.col("_rt")
+    return j.select(
+        "source",
+        "avail_tokens",
+        "target_tokens",
+        F.expr("target_tokens div avail_tokens").alias("epochs"),
+        "realized_tokens",
+        F.round(t_share, 6).alias("target_share"),
+        F.round(r_share, 6).alias("realized_share"),
+        (F.abs(t_share - r_share) <= 0.02).alias("within_tol"),
+    )
+
+
 @query(
     "containment_pairs_quote_detect",
     f"""
