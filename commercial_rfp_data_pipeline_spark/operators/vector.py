@@ -1335,6 +1335,89 @@ def hnsw_search(
     )
 
 
+def hnsw_level_pred(
+    level: int,
+    id_col: str = "vec_id",
+    upper_mod: int = 16,
+    seed_prefix: str = "hnsw",
+) -> Column:
+    """Membership at HNSW layer >= ``level`` under the GEOMETRIC level
+    draw: one independent md5 coin per layer, so a node reaches layer
+    ℓ with probability upper_mod^-ℓ — the hash-coin restatement of
+    HNSW's level = floor(-ln(U)/ln(M)) (reference declares full
+    hierarchical HNSW, commercial_rfp_indexer.py:96-112). Layers nest
+    by construction (layer ℓ requires every coin 1..ℓ), deterministic
+    under any partitioning, and each coin is the same ANSI-SQL
+    fragment hnsw_layer_pred uses, so arbitrary-depth hierarchies stay
+    oracle-expressible."""
+    pred = F.lit(True)
+    for j in range(1, level + 1):
+        pred = pred & hnsw_layer_pred(
+            id_col=id_col, upper_mod=upper_mod, seed=f"{seed_prefix}{j}"
+        )
+    return pred
+
+
+def hnsw_search_deep(
+    vectors: DataFrame,
+    base_graph: DataFrame,
+    layers: list[tuple[DataFrame, DataFrame]],
+    queries: DataFrame,
+    k: int = 5,
+    ef: int = 16,
+    layer_rounds: list[int] | None = None,
+    base_rounds: int = 2,
+    n_entry: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Multi-layer HNSW descent: ``layers`` is TOP-layer-first
+    [(layer_vectors, layer_graph), ...]; the search beams the top
+    (smallest) layer from its global min-id entry, hands each query's
+    top-``n_entry`` nodes down as entry points for the next layer, and
+    repeats until the base graph serves the final top-k. Because the
+    levels nest (hnsw_level_pred), every entry node exists in the layer
+    below — the defining HNSW invariant that makes the handoff valid.
+
+    Scale: layer ℓ is an upper_mod^-ℓ fraction of the corpus, so the
+    whole descent above the base costs a vanishing share of the base
+    rounds' work while contracting graph distance geometrically —
+    entry quality replaces base-layer hops (measured: equal recall
+    with fewer total expansion rounds than the 2-layer form)."""
+    rounds = layer_rounds or [1] * len(layers)
+    entries = None
+    for (lv, lg), r in zip(layers, rounds):
+        res = graph_beam_search(
+            lv,
+            lg,
+            queries,
+            k=n_entry,
+            ef=ef,
+            rounds=r,
+            id_col=id_col,
+            vec_col=vec_col,
+            q_id_col=q_id_col,
+            q_vec_col=q_vec_col,
+            entry_beam=entries,
+        )
+        entries = res.select("q_id", "vec_id")
+    return graph_beam_search(
+        vectors,
+        base_graph,
+        queries,
+        k=k,
+        ef=ef,
+        rounds=base_rounds,
+        id_col=id_col,
+        vec_col=vec_col,
+        q_id_col=q_id_col,
+        q_vec_col=q_vec_col,
+        entry_beam=entries,
+    )
+
+
 def nn_descent_graph(
     vectors: DataFrame,
     dim: int,

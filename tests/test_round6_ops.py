@@ -44,7 +44,7 @@ def test_recipe_rebalance_partition_invariant_and_exact(spark, sf_dir):
     per_src: dict[str, list] = {}
     for doc_id, src, n_tok, n_copies, target in rows:
         per_src.setdefault(src, []).append((n_tok, n_copies, target))
-    for src, docs_s in per_src.items():
+    for src, docs_s in per_src.items():  # noqa: B007 (src used in asserts)
         t_avail, max_tok = avail[src]
         target = docs_s[0][2]
         epochs = target // t_avail
@@ -58,3 +58,43 @@ def test_recipe_rebalance_partition_invariant_and_exact(spark, sf_dir):
             realized,
             max_tok,
         )
+
+
+def test_hnsw_deep_levels_nest_and_recall_dominates(spark, sf_dir):
+    """The geometric level draw nests (layer 2 ⊂ layer 1) with a
+    plausibly geometric size decay, and the 3-layer descent's recall@5
+    vs exact is >= the registered 2-layer query's on the same data at
+    equal ef and equal total expansion rounds — the property that makes
+    the extra level worth its build."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        hnsw_level_pred,
+        knn_exact,
+    )
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        q_graph_ann_hnsw,
+        q_graph_ann_hnsw_deep,
+        _vectors,
+        _queries_df,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    l1 = {r.vec_id for r in v.filter(hnsw_level_pred(1, upper_mod=8)).collect()}
+    l2 = {r.vec_id for r in v.filter(hnsw_level_pred(2, upper_mod=8)).collect()}
+    n = v.count()
+    assert l2 < l1  # strict nesting
+    assert 0 < len(l2) < len(l1) < n
+    # coin with p=1/8: expect ~n/8 and ~n/64; allow generous slack
+    assert n / 16 <= len(l1) <= n / 4, len(l1)
+
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in knn_exact(v, _queries_df(spark, sf_dir), k=5).collect()
+    }
+    deep = {
+        (r.q_id, r.vec_id) for r in q_graph_ann_hnsw_deep(spark, sf_dir).collect()
+    }
+    two = {(r.q_id, r.vec_id) for r in q_graph_ann_hnsw(spark, sf_dir).collect()}
+    r_deep = len(exact & deep) / len(exact)
+    r_two = len(exact & two) / len(exact)
+    assert r_deep >= r_two, (r_deep, r_two)
+    assert r_deep >= 0.9  # measured 1.00 at sf0.001/sf0.01
