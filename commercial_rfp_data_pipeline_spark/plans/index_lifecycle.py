@@ -545,3 +545,110 @@ def bm25_search_index(
         .orderBy(F.col("bm25").desc(), "chunk_id")
         .limit(k)
     )
+
+
+# ---- semantic cache (serving-path result reuse) --------------------
+# Durable (query-embedding -> result) store: an incoming query whose
+# embedding matches a cached one at >= threshold cosine serves the
+# STORED result without touching the search pipeline; misses fall
+# through and their fresh results are appended for the next caller.
+# Same commit discipline as the BM25 index: per-batch entry dirs,
+# content-derived batch keys, one atomic manifest replace — appends
+# are crash-safe and replay-idempotent (_bm25_manifest/_bm25_commit
+# are root-generic and reused verbatim).
+
+
+def semantic_cache_put(
+    spark: SparkSession, warehouse: str, entries: DataFrame
+) -> None:
+    """Append (cache_id, q_vec, result_id, result_sim) rows. The batch
+    key derives from the entry ids (order-insensitive), so re-putting
+    the same batch — an at-least-once serving loop retrying — is a
+    committed-state no-op. Distinct batches must carry disjoint
+    cache_ids (same contract as BM25 postings)."""
+    root = os.path.join(warehouse, "semcache")
+    manifest = _bm25_manifest(root) or {"batches": []}
+    sig = entries.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("cache_id")).alias("h"),
+    ).collect()[0]
+    key = hashlib.md5(f"{sig['n']}:{sig['h']}".encode()).hexdigest()[:16]
+    if key in manifest["batches"]:
+        return
+    entries.write.mode("overwrite").parquet(
+        os.path.join(root, "entries", key)
+    )
+    _bm25_commit(root, {"batches": manifest["batches"] + [key]})
+
+
+def semantic_cache_entries(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Manifest-resolved live cache (empty frame if never written)."""
+    root = os.path.join(warehouse, "semcache")
+    manifest = _bm25_manifest(root)
+    schema = (
+        "cache_id long, q_vec array<double>, result_id long, "
+        "result_sim double"
+    )
+    if manifest is None or not manifest["batches"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, "entries", k) for k in manifest["batches"]]
+    )
+
+
+def semantic_cache_lookup(
+    spark: SparkSession,
+    warehouse: str,
+    queries: DataFrame,
+    threshold: float = 0.98,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Match incoming query embeddings against the cache: per query,
+    the best cached entry by cosine (max_by, ties to the lower
+    cache_id) with ``hit = sim >= threshold`` and the stored result for
+    hits (null served_id on a miss — the caller falls through to the
+    real search and should put() the fresh result back).
+
+    Shape at scale: the cache is the SMALL side by design (bounded by
+    what's worth caching) — broadcast into the incoming query stream,
+    one narrow argmax, no shuffle of the corpus at all. That is the
+    entire economics of a semantic cache: a hit costs |cache| dot
+    products instead of a corpus-wide search."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    cache = semantic_cache_entries(spark, warehouse).withColumn(
+        "_cn", _norm(F.col("q_vec"))
+    )
+    qn = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    sim = F.round(
+        _dot(F.col("_qv"), F.col("q_vec")) / (F.col("_qn") * F.col("_cn")), 6
+    )
+    scored = qn.join(F.broadcast(cache)).select(
+        "q_id", "cache_id", "result_id", sim.alias("sim")
+    )
+    best = scored.groupBy("q_id").agg(
+        F.max_by(
+            F.struct("cache_id", "result_id", "sim"),
+            F.struct(F.col("sim"), (-F.col("cache_id")).alias("_neg")),
+        ).alias("_b")
+    )
+    hit = F.col("_b.sim") >= F.lit(threshold)
+    matched = best.select(
+        "q_id",
+        F.col("_b.cache_id").alias("cache_id"),
+        F.col("_b.sim").alias("cache_sim"),
+        hit.alias("hit"),
+        F.when(hit, F.col("_b.result_id")).alias("served_id"),
+    )
+    # every incoming query gets a row — an empty or undersized cache
+    # reads as misses, not as vanished queries
+    return qn.select("q_id").join(matched, "q_id", "left").select(
+        "q_id",
+        "cache_id",
+        "cache_sim",
+        F.coalesce("hit", F.lit(False)).alias("hit"),
+        "served_id",
+    )

@@ -629,3 +629,193 @@ def q_hybrid_rrf(spark, sf_dir):
         fused.withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---- semantic cache hit/miss audit ---------------------------------
+# Stateless restatement of the durable semantic cache's serving
+# decision (plans.index_lifecycle.semantic_cache_lookup): cached
+# queries are embeddings 0..7 with their exact top-1 over the DISJOINT
+# corpus (vec_id >= 20) as stored results; the incoming log replays
+# 0..3 verbatim (sim 1.0 hits), sends deterministic PARAPHRASES of
+# 4..7 (alternating +-8% element scaling, cosine ~0.997 — above the
+# 0.98 threshold), and 4 novel queries 8..11 (max cosine vs cache
+# ~0.35 — misses). Hits serve the stored result; misses fall through
+# to a fresh exact search. served_matches_fresh exposes the cache's
+# approximation error query-by-query.
+_SEMCACHE_TAU = 0.98
+_SEMCACHE_PERTURB_SQL = (
+    "list_transform(v, (x, i) -> x * (CASE WHEN i % 2 = 1 "
+    "THEN 1.08 ELSE 0.92 END)::DOUBLE)"
+)
+
+_SEMCACHE_SQL = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+    cache_q AS (SELECT vec_id AS cache_id, v FROM e WHERE vec_id < 8),
+    cres AS (
+      SELECT cache_id, vec_id AS result_id FROM (
+        SELECT c.cache_id, corpus.vec_id,
+               row_number() OVER (PARTITION BY c.cache_id
+                 ORDER BY round(list_cosine_similarity(corpus.v, c.v), 6)
+                   DESC, corpus.vec_id) AS rn
+        FROM cache_q c CROSS JOIN corpus
+      ) WHERE rn = 1
+    ),
+    incoming AS (
+      SELECT vec_id AS q_id, v AS qv, 'replay' AS kind
+      FROM e WHERE vec_id < 4
+      UNION ALL
+      SELECT vec_id + 1000, {_SEMCACHE_PERTURB_SQL}, 'paraphrase'
+      FROM e WHERE vec_id >= 4 AND vec_id < 8
+      UNION ALL
+      SELECT vec_id, v, 'novel' FROM e WHERE vec_id >= 8 AND vec_id < 12
+    ),
+    best AS (
+      SELECT q_id, kind, qv, cache_id, sim FROM (
+        SELECT i.q_id, i.kind, i.qv, c.cache_id,
+               round(list_cosine_similarity(i.qv, c.v), 6) AS sim,
+               row_number() OVER (PARTITION BY i.q_id
+                 ORDER BY round(list_cosine_similarity(i.qv, c.v), 6)
+                   DESC, c.cache_id) AS rn
+        FROM incoming i CROSS JOIN cache_q c
+      ) WHERE rn = 1
+    ),
+    fresh AS (
+      SELECT q_id, vec_id AS fresh_id FROM (
+        SELECT i.q_id, corpus.vec_id,
+               row_number() OVER (PARTITION BY i.q_id
+                 ORDER BY round(list_cosine_similarity(corpus.v, i.qv), 6)
+                   DESC, corpus.vec_id) AS rn
+        FROM incoming i CROSS JOIN corpus
+      ) WHERE rn = 1
+    )
+    SELECT b.q_id, b.kind, b.cache_id, b.sim AS cache_sim,
+           b.sim >= {_SEMCACHE_TAU} AS hit,
+           CASE WHEN b.sim >= {_SEMCACHE_TAU} THEN r.result_id
+                ELSE f.fresh_id END AS served_id,
+           f.fresh_id,
+           (CASE WHEN b.sim >= {_SEMCACHE_TAU} THEN r.result_id
+                 ELSE f.fresh_id END = f.fresh_id) AS served_matches_fresh
+    FROM best b
+    JOIN cres r ON r.cache_id = b.cache_id
+    JOIN fresh f ON f.q_id = b.q_id
+"""
+
+
+@query("semantic_cache_hit_audit", _SEMCACHE_SQL)
+def q_semantic_cache_hit_audit(spark, sf_dir):
+    """Semantic-cache serving audit over a deterministic replayed query
+    log: exact replays hit at sim 1.0, paraphrases (deterministic +-8%
+    element scaling) hit just above the 0.98 threshold, novel queries
+    miss and fall through to the fresh corpus search —
+    served_matches_fresh shows per query whether the cache's stored
+    answer equals what the live search would return (the cache's
+    approximation error, visible instead of silent). The durable
+    twin (semantic_cache_put/lookup, manifest-committed like the BM25
+    index) is pytest-pinned to the same hit pattern."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 20)
+    cache_q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cache_id"), "v"
+    )
+
+    def top1(queries, qid, qv):
+        qn = queries.select(
+            qid, F.col(qv).alias("_tqv")
+        ).withColumn("_qn", _norm(F.col("_tqv")))
+        cn = corpus.withColumn("_cn", _norm(F.col("v")))
+        sim = F.round(
+            _dot(F.col("_tqv"), F.col("v")) / (F.col("_qn") * F.col("_cn")), 6
+        )
+        scored = cn.join(F.broadcast(qn)).select(
+            qid, "vec_id", sim.alias("_s")
+        )
+        return scored.groupBy(qid).agg(
+            F.max_by(
+                F.struct("vec_id", "_s"),
+                F.struct(F.col("_s"), (-F.col("vec_id")).alias("_n")),
+            ).alias("_b")
+        ).select(qid, F.col("_b.vec_id").alias("top_id"))
+
+    cres = top1(cache_q, "cache_id", "v").withColumnRenamed(
+        "top_id", "result_id"
+    )
+    # Spark's transform index is 0-based, DuckDB's lambda index is
+    # 1-based: i%2==0 here IS the oracle's i%2=1 elements
+    perturb = F.transform(
+        "v",
+        lambda x, i: x
+        * F.when(i % 2 == 0, F.lit(1.08)).otherwise(F.lit(0.92)),
+    )
+    incoming = (
+        e.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.lit("replay").alias("kind"),
+        )
+        .unionByName(
+            e.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)).select(
+                (F.col("vec_id") + 1000).alias("q_id"),
+                perturb.alias("qv"),
+                F.lit("paraphrase").alias("kind"),
+            )
+        )
+        .unionByName(
+            e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12)).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("qv"),
+                F.lit("novel").alias("kind"),
+            )
+        )
+    )
+    inc = incoming.withColumn("_qn", _norm(F.col("qv")))
+    cn = cache_q.withColumn("_cn", _norm(F.col("v")))
+    csim = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("_qn") * F.col("_cn")), 6
+    )
+    scored = inc.join(F.broadcast(cn)).select(
+        "q_id", "kind", "qv", "cache_id", csim.alias("sim")
+    )
+    best = (
+        scored.groupBy("q_id")
+        .agg(
+            F.max_by(
+                F.struct("kind", "qv", "cache_id", "sim"),
+                F.struct(F.col("sim"), (-F.col("cache_id")).alias("_n")),
+            ).alias("_b")
+        )
+        .select(
+            "q_id",
+            F.col("_b.kind").alias("kind"),
+            F.col("_b.qv").alias("qv"),
+            F.col("_b.cache_id").alias("cache_id"),
+            F.col("_b.sim").alias("cache_sim"),
+        )
+    )
+    fresh = top1(incoming.select("q_id", "qv"), "q_id", "qv").withColumnRenamed(
+        "top_id", "fresh_id"
+    )
+    hit = F.col("cache_sim") >= F.lit(_SEMCACHE_TAU)
+    served = F.when(hit, F.col("result_id")).otherwise(F.col("fresh_id"))
+    return (
+        best.join(F.broadcast(cres), "cache_id")
+        .join(fresh, "q_id")
+        .select(
+            "q_id",
+            "kind",
+            "cache_id",
+            "cache_sim",
+            hit.alias("hit"),
+            served.alias("served_id"),
+            "fresh_id",
+            (served == F.col("fresh_id")).alias("served_matches_fresh"),
+        )
+    )

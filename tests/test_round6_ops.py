@@ -98,3 +98,90 @@ def test_hnsw_deep_levels_nest_and_recall_dominates(spark, sf_dir):
     r_two = len(exact & two) / len(exact)
     assert r_deep >= r_two, (r_deep, r_two)
     assert r_deep >= 0.9  # measured 1.00 at sf0.001/sf0.01
+
+
+def test_semantic_cache_durable_replay_hit_rate(spark, sf_dir, tmp_path):
+    """The durable semantic cache on a replayed query log: pass 1 over
+    an empty cache misses everything; after putting the (query, result)
+    pairs, the replay hits every exact query at sim 1.0, deterministic
+    paraphrases hit above the 0.98 threshold, and novel queries still
+    miss (hit rate 8/12 exactly on this log). Re-putting the same batch
+    is a committed-state no-op (content-keyed manifest, as BM25)."""
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        semantic_cache_entries,
+        semantic_cache_lookup,
+        semantic_cache_put,
+    )
+    from commercial_rfp_data_pipeline_spark.queries.pipeline_q import (
+        q_semantic_cache_hit_audit,
+    )
+
+    wh = str(tmp_path / "wh")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    # the audit query's stateless restatement is the ground truth for
+    # what the durable path must reproduce
+    audit = {r.q_id: r for r in q_semantic_cache_hit_audit(spark, sf_dir).collect()}
+
+    perturb = F.transform(
+        "v", lambda x, i: x * F.when(i % 2 == 0, F.lit(1.08)).otherwise(F.lit(0.92))
+    )
+    incoming = (
+        e.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
+        .unionByName(
+            e.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8)).select(
+                (F.col("vec_id") + 1000).alias("q_id"), perturb.alias("q_vec")
+            )
+        )
+        .unionByName(
+            e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12)).select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+            )
+        )
+    )
+
+    # pass 1: empty cache — every query misses but still gets a row
+    miss = semantic_cache_lookup(spark, wh, incoming).collect()
+    assert len(miss) == 12 and not any(r.hit for r in miss)
+
+    # warm the cache with queries 0..7 and their audit-derived results
+    cached_results = {
+        r.cache_id: r.served_id for r in audit.values() if r.kind == "replay"
+    }
+    # replay rows cover cache ids 0..3; take 4..7's stored results from
+    # the paraphrase rows (their cache_id is the underlying query)
+    for r in audit.values():
+        if r.kind == "paraphrase":
+            cached_results[r.cache_id] = r.served_id
+    entries = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cache_id"), F.col("v").alias("q_vec"))
+        .join(
+            spark.createDataFrame(
+                [(int(k), int(v)) for k, v in cached_results.items()],
+                "cache_id long, result_id long",
+            ),
+            "cache_id",
+        )
+        .withColumn("result_sim", F.lit(1.0))
+    )
+    semantic_cache_put(spark, wh, entries)
+    got = {r.q_id: r for r in semantic_cache_lookup(spark, wh, incoming).collect()}
+    assert len(got) == 12
+    hits = {q for q, r in got.items() if r.hit}
+    assert hits == {0, 1, 2, 3, 1004, 1005, 1006, 1007}, hits  # 8/12
+    for q in (0, 1, 2, 3):
+        assert got[q].cache_sim == 1.0 and got[q].cache_id == q
+    # served results agree with the stateless audit query's decision
+    for q, r in got.items():
+        assert bool(r.hit) == bool(audit[q].hit), q
+        if r.hit:
+            assert r.served_id == audit[q].served_id, q
+
+    # replayed put: committed state unchanged
+    n_before = semantic_cache_entries(spark, wh).count()
+    semantic_cache_put(spark, wh, entries)
+    assert semantic_cache_entries(spark, wh).count() == n_before == 8
