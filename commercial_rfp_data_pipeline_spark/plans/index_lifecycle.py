@@ -652,3 +652,175 @@ def semantic_cache_lookup(
         F.coalesce("hit", F.lit(False)).alias("hit"),
         "served_id",
     )
+
+
+# ---- IVF maintenance: drift detection + bounded re-cluster ---------
+# append_to_ivf_index assigns new vectors to FROZEN centroids — cheap,
+# but an append-heavy workload whose new vectors don't match the
+# trained density (new domain, new modality) piles them into whatever
+# cells are least-bad, recall decays, and the classic fix is a full
+# retrain. These two functions are the bounded middle path an ANN
+# service actually runs: measure per-cell drift (cosine between the
+# stored centroid and its members' current mean), then re-Lloyd ONLY
+# the drifted cells over ONLY their members and rewrite ONLY those
+# partitions (dynamic partition overwrite) — never touching the
+# healthy majority of the index.
+
+
+def ivf_cell_drift(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Per-cell drift report: (cent_id, n_members, drift) where drift
+    = 1 - cos(centroid, member mean), rounded 6dp. A freshly trained
+    cell sits near 0 (its centroid IS a member mean); appended mass
+    pulls the mean away. One corpus scan, k x dim aggregate — the
+    cheap health check to run after every append batch."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    cents = spark.read.parquet(os.path.join(warehouse, "ivf_centroids"))
+    cells = spark.read.parquet(os.path.join(warehouse, "ivf_cells"))
+    comp = cells.select("cent_id", F.posexplode("embedding").alias("idx", "x"))
+    means = (
+        comp.groupBy("cent_id", "idx")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("cent_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                lambda s: s["m"],
+            ).alias("mean_vec")
+        )
+    )
+    counts = cells.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_members"))
+    j = cents.join(means, "cent_id").join(counts, "cent_id")
+    cos = _dot(F.col("cent_vec"), F.col("mean_vec")) / (
+        _norm(F.col("cent_vec")) * _norm(F.col("mean_vec"))
+    )
+    return j.select(
+        "cent_id",
+        "n_members",
+        F.round(F.lit(1.0) - cos, 6).alias("drift"),
+    )
+
+
+def ivf_maintain(
+    spark: SparkSession,
+    warehouse: str,
+    drift_threshold: float = 0.05,
+    lloyd_rounds: int = 2,
+) -> dict:
+    """Bounded re-cluster of drifted cells: the drifted centroids are
+    re-Lloyd'd over the union of THEIR members only (init = current
+    centroids, fixed rounds, same deterministic max_by/mean arithmetic
+    as ivf_centroids), members re-partition among the NEW drifted-
+    family centroids, and dynamic partition overwrite rewrites exactly
+    the drifted cent_id partitions. Healthy cells: untouched files,
+    untouched centroid rows. Returns {"n_drifted", "n_reassigned",
+    "drifted_ids"}.
+
+    Scale: cost is proportional to the drifted mass, not the index —
+    the whole point versus a retrain. The centroid table rewrite is k
+    rows (collected, race-free against its own read)."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    cents_path = os.path.join(warehouse, "ivf_centroids")
+    cells_path = os.path.join(warehouse, "ivf_cells")
+    drifted_ids = [
+        r.cent_id
+        for r in ivf_cell_drift(spark, warehouse)
+        .filter(F.col("drift") > drift_threshold)
+        .collect()
+    ]
+    if not drifted_ids:
+        return {"n_drifted": 0, "n_reassigned": 0, "drifted_ids": []}
+
+    cents_rows = spark.read.parquet(cents_path).collect()
+    members = spark.read.parquet(cells_path).filter(
+        F.col("cent_id").isin(drifted_ids)
+    ).select("chunk_id", "embedding", "_n")
+    fam_init = spark.createDataFrame(
+        [
+            (r["cent_id"], [float(x) for x in r["cent_vec"]])
+            for r in cents_rows
+            if r["cent_id"] in set(drifted_ids)
+        ],
+        "cent_id long, cent_vec array<double>",
+    )
+    fam = fam_init.withColumn("_cn", _norm(F.col("cent_vec")))
+
+    def assign(c):
+        j = members.crossJoin(F.broadcast(c))
+        sim = F.round(
+            _dot(F.col("embedding"), F.col("cent_vec"))
+            / (F.col("_n") * F.col("_cn")),
+            6,
+        )
+        best = (
+            j.select("chunk_id", "embedding", "_n", "cent_id", sim.alias("s"))
+            .groupBy("chunk_id")
+            .agg(
+                F.max_by(
+                    F.struct("cent_id", "embedding", "_n"),
+                    F.struct(F.col("s"), (-F.col("cent_id")).alias("_g")),
+                ).alias("_b")
+            )
+        )
+        return best.select(
+            "chunk_id",
+            F.col("_b.embedding").alias("embedding"),
+            F.col("_b._n").alias("_n"),
+            F.col("_b.cent_id").alias("cent_id"),
+        )
+
+    for _ in range(max(1, lloyd_rounds)):
+        assigned = assign(fam)
+        means = (
+            assigned.select("cent_id", F.posexplode("embedding").alias("idx", "x"))
+            .groupBy("cent_id", "idx")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent_vec")
+            )
+        )
+        fam = (
+            fam_init.select("cent_id", F.col("cent_vec").alias("_iv"))
+            .join(means, "cent_id", "left")
+            .select("cent_id", F.coalesce("cent_vec", "_iv").alias("cent_vec"))
+            .withColumn("_cn", _norm(F.col("cent_vec")))
+        )
+    final = assign(fam).localCheckpoint()
+    n_reassigned = final.count()
+
+    # centroid table: replace the drifted rows (k rows — rebuild from
+    # the collected copy, race-free vs the path we overwrite)
+    new_fam = {r["cent_id"]: r["cent_vec"] for r in fam.collect()}
+    merged = [
+        (
+            r["cent_id"],
+            [float(x) for x in new_fam.get(r["cent_id"], r["cent_vec"])],
+        )
+        for r in cents_rows
+    ]
+    out_c = spark.createDataFrame(
+        merged, "cent_id long, cent_vec array<double>"
+    ).withColumn("_cn", _norm(F.col("cent_vec")))
+    out_c.write.mode("overwrite").parquet(cents_path)
+
+    # rewrite ONLY the drifted partitions: members stay within the
+    # drifted family by construction, so dynamic overwrite of exactly
+    # those cent_id dirs is a complete, bounded commit
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        final.select("chunk_id", "embedding", "_n", "cent_id").write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(cells_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "n_drifted": len(drifted_ids),
+        "n_reassigned": n_reassigned,
+        "drifted_ids": sorted(drifted_ids),
+    }
