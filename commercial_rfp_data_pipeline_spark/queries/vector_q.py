@@ -2262,3 +2262,155 @@ def q_ivf_filtered(spark, sf_dir):
     return out.select(
         "q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+# ---- matryoshka tiered-retrieval eval ------------------------------
+# Serving an embedding index at a TRUNCATED dimension is the standard
+# memory/latency tier (Matryoshka representation learning: the prefix
+# dims carry most of the signal — for random synthetic vectors they
+# don't, which the eval makes visible). Per tier d in {64,32,16,8}:
+# rank the corpus by cosine over the FIRST d dims, grade against the
+# full-dim exact top-5 (rel 3/2/2/1/1), and emit per-query recall@5,
+# nDCG@5, MRR. Discounts are 6dp LITERALS (1/log2(i+1)) embedded in
+# both engines — transcendental functions differ in the last ulp
+# across engines; literals make the arithmetic bit-identical.
+_MAT_TIERS = (64, 32, 16, 8)
+_MAT_DISC = (1.0, 0.63093, 0.5, 0.430677, 0.386853)
+_MAT_IDCG = 11.21032  # 7*d1 + 3*d2 + 3*d3 + 1*d4 + 1*d5
+_MAT_REL_SQL = "CASE WHEN rnk = 1 THEN 3 WHEN rnk <= 3 THEN 2 ELSE 1 END"
+_MAT_DISC_SQL = (
+    "CASE rnk "
+    + " ".join(f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_MAT_DISC))
+    + " END"
+)
+
+_MAT_SQL = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    gt AS MATERIALIZED (
+      SELECT q_id, vec_id, {_MAT_REL_SQL} AS rel FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 6)
+                   DESC, e.vec_id) AS rnk
+        FROM e JOIN q ON e.vec_id <> q.q_id
+      ) WHERE rnk <= 5
+    ),
+    tiers AS (SELECT unnest([{", ".join(str(t) for t in _MAT_TIERS)}]) AS tier),
+    sys AS MATERIALIZED (
+      SELECT tier, q_id, vec_id, rnk FROM (
+        SELECT t.tier, q.q_id, e.vec_id,
+               row_number() OVER (PARTITION BY t.tier, q.q_id
+                 ORDER BY round(list_cosine_similarity(
+                   e.v[1:t.tier], q.q_vec[1:t.tier]), 6) DESC, e.vec_id)
+                 AS rnk
+        FROM tiers t CROSS JOIN q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rnk <= 5
+    ),
+    graded AS (
+      SELECT s.tier, s.q_id, s.rnk, coalesce(g.rel, 0) AS rel
+      FROM sys s LEFT JOIN gt g ON g.q_id = s.q_id AND g.vec_id = s.vec_id
+    )
+    SELECT tier, q_id,
+           round(CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 5, 6) AS recall5,
+           round(sum((power(2, rel) - 1) * ({_MAT_DISC_SQL}))
+                 / {_MAT_IDCG}, 6) AS ndcg5,
+           round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rnk END), 0.0), 6)
+             AS mrr
+    FROM graded GROUP BY tier, q_id
+"""
+
+
+@query("matryoshka_tier_retrieval_eval", _MAT_SQL)
+def q_matryoshka_tier_eval(spark, sf_dir):
+    """Dimension-truncation serving tiers, measured: per (tier, query)
+    the recall@5, nDCG@5 (graded 3/2/2/1/1 against the full-dim exact
+    top-5, literal log2 discounts) and MRR of ranking by the embedding
+    PREFIX only — the eval a serving stack runs before turning on a
+    matryoshka/PCA memory tier. One corpus pass per tier with the tier
+    table broadcast-expanded; every metric is per-query (no cross-row
+    float averaging, so both engines agree bit-for-bit)."""
+    e = _vectors(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    def ranked(vec_expr, qvec_expr, extra_keys):
+        sim = F.round(
+            _dot(vec_expr, qvec_expr)
+            / (_norm(vec_expr) * _norm(qvec_expr)),
+            6,
+        )
+        w = Window.partitionBy(*extra_keys, "q_id").orderBy(
+            F.col("_s").desc(), F.col("vec_id")
+        )
+        return sim, w
+
+    # ground truth: full-dim exact top-5 with graded relevance
+    j = e.join(F.broadcast(q), e.vec_id != q.q_id)
+    sim, w = ranked(F.col("v"), F.col("q_vec"), [])
+    gt = (
+        j.select("q_id", "vec_id", sim.alias("_s"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "q_id",
+            "vec_id",
+            F.when(F.col("rnk") == 1, 3)
+            .when(F.col("rnk") <= 3, 2)
+            .otherwise(1)
+            .alias("rel"),
+        )
+    )
+    tiers = spark.createDataFrame(
+        [(t,) for t in _MAT_TIERS], "tier int"
+    )
+    jt = e.join(F.broadcast(q), e.vec_id != q.q_id).join(F.broadcast(tiers))
+    tsim, tw = ranked(
+        F.slice(F.col("v"), 1, F.col("tier")),
+        F.slice(F.col("q_vec"), 1, F.col("tier")),
+        ["tier"],
+    )
+    sys_rank = (
+        jt.select("tier", "q_id", "vec_id", tsim.alias("_s"))
+        .withColumn("rnk", F.row_number().over(tw))
+        .filter(F.col("rnk") <= 5)
+    )
+    graded = sys_rank.join(gt, ["q_id", "vec_id"], "left").select(
+        "tier", "q_id", "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    disc = F.col("rnk").cast("int")
+    disc_expr = None
+    for i, d in enumerate(_MAT_DISC):
+        cond = disc == (i + 1)
+        disc_expr = (
+            F.when(cond, F.lit(d))
+            if disc_expr is None
+            else disc_expr.when(cond, F.lit(d))
+        )
+    return graded.groupBy("tier", "q_id").agg(
+        F.round(
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("double")
+            / 5,
+            6,
+        ).alias("recall5"),
+        F.round(
+            F.sum((F.pow(F.lit(2.0), F.col("rel")) - 1) * disc_expr)
+            / F.lit(_MAT_IDCG),
+            6,
+        ).alias("ndcg5"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0)
+                / F.min(F.when(F.col("rel") > 0, F.col("rnk"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mrr"),
+    )
