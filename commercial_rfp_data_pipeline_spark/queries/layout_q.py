@@ -38,3 +38,163 @@ def q_zorder_key(spark, sf_dir):
     return zorder_key(li, _ZCOLS).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zkey"
     )
+
+
+# ---- consistent-hash shard rebalance audit --------------------------
+# The data-layout move behind every resharding: keys live on an
+# md5-hex ring owned by virtual nodes (16 per shard); adding a shard
+# must move ONLY the keys the new shard's vnodes capture — no key ever
+# migrates between surviving shards (the defining consistent-hashing
+# property, and the reason reshards are O(moved keys), not O(corpus)).
+_CH_SHARDS_BEFORE = 8
+_CH_VNODES = 16
+
+_CH_SQL = f"""
+    WITH vn AS MATERIALIZED (
+      SELECT s.s, v.v,
+             md5('vn:' || CAST(s.s AS VARCHAR) || ':'
+                 || CAST(v.v AS VARCHAR)) AS pos
+      FROM (SELECT unnest(generate_series(0, {_CH_SHARDS_BEFORE})) AS s) s,
+           (SELECT unnest(generate_series(0, {_CH_VNODES - 1})) AS v) v
+    ),
+    keys AS (
+      SELECT doc_id, md5('key:' || CAST(doc_id AS VARCHAR)) AS kpos
+      FROM documents
+    ),
+    bsucc AS (
+      SELECT k.doc_id, min(v.pos) AS spos
+      FROM keys k LEFT JOIN vn v
+        ON v.s < {_CH_SHARDS_BEFORE} AND v.pos >= k.kpos
+      GROUP BY k.doc_id
+    ),
+    bmin AS (SELECT min(pos) AS mpos FROM vn WHERE s < {_CH_SHARDS_BEFORE}),
+    before AS (
+      SELECT b.doc_id, v.s AS shard_before
+      FROM bsucc b CROSS JOIN bmin m
+      JOIN vn v ON v.s < {_CH_SHARDS_BEFORE}
+        AND v.pos = coalesce(b.spos, m.mpos)
+    ),
+    asucc AS (
+      SELECT k.doc_id, min(v.pos) AS spos
+      FROM keys k LEFT JOIN vn v ON v.pos >= k.kpos
+      GROUP BY k.doc_id
+    ),
+    amin AS (SELECT min(pos) AS mpos FROM vn),
+    aftr AS (
+      SELECT a.doc_id, v.s AS shard_after
+      FROM asucc a CROSS JOIN amin m
+      JOIN vn v ON v.pos = coalesce(a.spos, m.mpos)
+    ),
+    moves AS (
+      SELECT b.doc_id, b.shard_before, a.shard_after
+      FROM before b JOIN aftr a USING (doc_id)
+    )
+    SELECT s.shard,
+           CAST(sum(CASE WHEN shard_before = s.shard THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN shard_after = s.shard THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_after,
+           CAST(sum(CASE WHEN shard_after = s.shard
+                          AND shard_before <> s.shard THEN 1 ELSE 0 END)
+             AS BIGINT) AS gained,
+           CAST(sum(CASE WHEN shard_before = s.shard
+                          AND shard_after <> s.shard THEN 1 ELSE 0 END)
+             AS BIGINT) AS lost
+    FROM (SELECT unnest(generate_series(0, {_CH_SHARDS_BEFORE})) AS shard) s
+    CROSS JOIN moves
+    GROUP BY s.shard
+"""
+
+
+@query("consistent_hash_rebalance_audit", _CH_SQL)
+def q_consistent_hash_rebalance(spark, sf_dir):
+    """Per-shard movement audit for adding shard 8 to an 8-shard
+    consistent-hash ring (16 md5 vnodes per shard, successor-with-wrap
+    ownership — the same ring arithmetic as contrastive_negatives'
+    bucketed successor): n_before/n_after plus gained/lost per shard.
+    The consistent-hashing contract is visible in the result — every
+    surviving shard has gained = 0 (keys only ever move TO the new
+    shard), and the new shard's gain is its entire occupancy, ~1/9 of
+    the corpus at 16 vnodes.
+
+    Scale: the vnode ring is config-sized (144 rows, broadcast); the
+    successor is a broadcast theta-join + per-key min — one corpus
+    pass per ring, no shuffle beyond the per-key aggregate."""
+    from pyspark.sql import functions as F
+
+    spark_vn = spark.createDataFrame(
+        [
+            (s, v)
+            for s in range(_CH_SHARDS_BEFORE + 1)
+            for v in range(_CH_VNODES)
+        ],
+        "s int, v int",
+    ).select(
+        "s",
+        "v",
+        F.md5(
+            F.concat(
+                F.lit("vn:"),
+                F.col("s").cast("string"),
+                F.lit(":"),
+                F.col("v").cast("string"),
+            )
+        ).alias("pos"),
+    )
+    keys = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("key:"), F.col("doc_id").cast("string"))).alias(
+            "kpos"
+        ),
+    )
+
+    def owner(ring):
+        ring = ring.select("s", "pos")
+        succ = (
+            keys.join(
+                F.broadcast(ring), F.col("pos") >= F.col("kpos"), "left"
+            )
+            .groupBy("doc_id")
+            .agg(F.min("pos").alias("spos"))
+        )
+        mn = ring.agg(F.min("pos").alias("mpos"))
+        return (
+            succ.crossJoin(F.broadcast(mn))
+            .select(
+                "doc_id", F.coalesce("spos", "mpos").alias("opos")
+            )
+            .join(F.broadcast(ring), F.col("pos") == F.col("opos"))
+            .select("doc_id", F.col("s").alias("shard_owner"))
+        )
+
+    before = owner(
+        spark_vn.filter(F.col("s") < _CH_SHARDS_BEFORE)
+    ).withColumnRenamed("shard_owner", "shard_before")
+    after = owner(spark_vn).withColumnRenamed("shard_owner", "shard_after")
+    moves = before.join(after, "doc_id")
+    shards = spark.createDataFrame(
+        [(s,) for s in range(_CH_SHARDS_BEFORE + 1)], "shard int"
+    )
+    j = shards.crossJoin(moves)
+    return j.groupBy("shard").agg(
+        F.sum(
+            F.when(F.col("shard_before") == F.col("shard"), 1).otherwise(0)
+        ).cast("bigint").alias("n_before"),
+        F.sum(
+            F.when(F.col("shard_after") == F.col("shard"), 1).otherwise(0)
+        ).cast("bigint").alias("n_after"),
+        F.sum(
+            F.when(
+                (F.col("shard_after") == F.col("shard"))
+                & (F.col("shard_before") != F.col("shard")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("gained"),
+        F.sum(
+            F.when(
+                (F.col("shard_before") == F.col("shard"))
+                & (F.col("shard_after") != F.col("shard")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("lost"),
+    )

@@ -308,3 +308,26 @@ def test_ivf_maintain_drift_bounded_recluster(spark, sf_dir, tmp_path):
     r_rebuild = len(exact & got) / len(exact)
     assert r_after >= r_before, (r_after, r_before)
     assert r_after >= r_rebuild, (r_after, r_rebuild)
+
+
+def test_consistent_hash_minimal_movement(spark, sf_dir):
+    """The consistent-hashing contract on the rebalance audit: no
+    surviving shard gains a single key (movement is exclusively toward
+    the added shard), total occupancy is conserved, and the new shard
+    captures a plausibly fair slice (between a third and three times
+    the fair 1/9 share with 16 vnodes)."""
+    from commercial_rfp_data_pipeline_spark.queries.layout_q import (
+        q_consistent_hash_rebalance,
+    )
+
+    rows = {r.shard: r for r in q_consistent_hash_rebalance(spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_before for r in rows.values()) == n
+    assert sum(r.n_after for r in rows.values()) == n
+    for s, r in rows.items():
+        if s < 8:
+            assert r.gained == 0, (s, r)
+        else:
+            assert r.n_before == 0 and r.gained == r.n_after > 0
+    moved = rows[8].n_after
+    assert n / 27 <= moved <= n / 3, moved
