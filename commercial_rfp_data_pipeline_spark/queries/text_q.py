@@ -1894,3 +1894,169 @@ def q_spell_correct(spark, sf_dir):
             F.col("df").cast("long").alias("df"),
         )
     )
+
+
+# ---- LSH banding parameter sweep ------------------------------------
+# The config-CHOOSING op minhash_band_eval measures one point of:
+# sweep rows-per-band r over the same 8 minhashes (b = 8/r bands) and
+# emit each config's measured candidate volume + precision/recall
+# against exact Jaccard >= 0.2 truth, next to the theoretical S-curve
+# collision probability 1-(1-tau^r)^b at tau = 0.2 (embedded as 6dp
+# literals — config math, not data math). r=1 is the recall-greedy
+# end (any shared minhash collides), r=8 the precision-greedy end.
+_LSH_SWEEP_CONFIGS = ((1, 8, 0.832228), (2, 4, 0.150653), (4, 2, 0.003197), (8, 1, 0.000003))
+
+
+def _lsh_sweep_cfg_sql(r: int, b: int, theory: float) -> str:
+    return f"""
+    bands_{r} AS (
+      SELECT doc_id, seed // {r} AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS band_val
+      FROM minh GROUP BY doc_id, seed // {r}
+    ),
+    cand_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{r} a JOIN bands_{r} b
+        ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    ),
+    m_{r} AS (
+      SELECT {r} AS rows_per_band, {b} AS n_bands,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_{r}) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM cand_{r} JOIN truth USING (doc_a, doc_b)) AS n_tp,
+             CAST({theory} AS DOUBLE) AS theory_p_at_tau
+    )"""
+
+
+_LSH_SWEEP_SQL = f"""
+    WITH {_SHINGLES_CTE.strip()},
+    freq AS (SELECT sh AS fsh, count(*) AS df FROM sh GROUP BY sh),
+    sh2 AS (SELECT doc_id, sh FROM sh JOIN freq ON sh = fsh WHERE df <= 100),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts na ON na.doc_id = doc_a
+      JOIN counts nb ON nb.doc_id = doc_b
+      WHERE round(common / CAST(na.n_sh + nb.n_sh - common AS DOUBLE), 6) >= 0.2
+    ),
+    hashed AS (
+      SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || ':' || sh) AS h
+      FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+    ),
+    minh AS MATERIALIZED (
+      SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed
+    ),
+    {",".join(_lsh_sweep_cfg_sql(r, b, t) for r, b, t in _LSH_SWEEP_CONFIGS)},
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+    allm AS ({" UNION ALL ".join(f"SELECT * FROM m_{r}" for r, _, _ in _LSH_SWEEP_CONFIGS)})
+    SELECT rows_per_band, n_bands, n_candidates, nt.n AS n_true, n_tp,
+           round(CASE WHEN n_candidates = 0 THEN 0.0
+                      ELSE n_tp / CAST(n_candidates AS DOUBLE) END, 6)
+             AS precision,
+           round(CASE WHEN nt.n = 0 THEN 0.0
+                      ELSE n_tp / CAST(nt.n AS DOUBLE) END, 6) AS recall,
+           theory_p_at_tau
+    FROM allm CROSS JOIN nt
+"""
+
+
+@query("lsh_banding_parameter_sweep", _LSH_SWEEP_SQL)
+def q_lsh_banding_parameter_sweep(spark, sf_dir):
+    """Banding-config sweep over the SAME 8 minhashes: for rows-per-
+    band r in {{1,2,4,8}} (b = 8/r bands), measured candidate volume,
+    precision and recall against exact 3-gram Jaccard >= 0.2 truth,
+    plus the textbook S-curve collision probability at the threshold —
+    the table a dedup pipeline reads to pick its banding before
+    committing a corpus-scale run. Signatures and truth are computed
+    ONCE and pinned; each config adds only its band groupBy and
+    bucket self-join (candidate-bounded, never all-pairs)."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        jaccard_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from commercial_rfp_data_pipeline_spark.io import pin
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    sh = shingles(docs, parallelism=par)
+    truth = pin(
+        jaccard_pairs(sh, threshold=0.2, max_doc_freq=100).select(
+            "doc_a", "doc_b"
+        ),
+        "lsh_sweep_truth",
+    )
+    sigs = pin(minhash_signatures(sh), "lsh_sweep_sigs")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+
+    per_cfg = []
+    for r, b, theory in _LSH_SWEEP_CONFIGS:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{s}") for s in range(k * r, (k + 1) * r)]
+                        )
+                    ).alias("band_val"),
+                )
+                for k in range(b)
+            ]
+        )
+        bands = pin(
+            sigs.select(
+                "doc_id", F.explode(band_structs).alias("bv")
+            ).select("doc_id", "bv.band", "bv.band_val"),
+            f"lsh_sweep_bands_{r}",
+        )
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+        bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+        cand = (
+            a.join(bb, ["band", "band_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        tp = cand.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tp")
+        )
+        per_cfg.append(
+            nc.crossJoin(tp).select(
+                F.lit(r).alias("rows_per_band"),
+                F.lit(b).alias("n_bands"),
+                "n_candidates",
+                "n_tp",
+                F.lit(theory).alias("theory_p_at_tau"),
+            )
+        )
+    allm = per_cfg[0]
+    for c in per_cfg[1:]:
+        allm = allm.unionByName(c)
+    return allm.crossJoin(F.broadcast(nt)).select(
+        "rows_per_band",
+        "n_bands",
+        "n_candidates",
+        "n_true",
+        "n_tp",
+        F.round(
+            F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+                F.col("n_tp") / F.col("n_candidates").cast("double")
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_true") == 0, F.lit(0.0)).otherwise(
+                F.col("n_tp") / F.col("n_true").cast("double")
+            ),
+            6,
+        ).alias("recall"),
+        "theory_p_at_tau",
+    )
