@@ -2414,3 +2414,108 @@ def q_matryoshka_tier_eval(spark, sf_dir):
             6,
         ).alias("mrr"),
     )
+
+
+# ---- two-stage retrieval: cheap recall + exact rerank ---------------
+# The canonical serving funnel: stage 1 ranks the corpus by the CHEAP
+# signal (here the 16-dim embedding prefix — the matryoshka memory
+# tier) and keeps 20 candidates; stage 2 re-scores ONLY those 20 with
+# the expensive exact full-dim cosine and emits the top 3. rank_delta
+# shows the rerank doing its job (stage-1 positions reshuffled by the
+# better signal); the whole funnel never scores corpus x full-dim.
+_RERANK_COARSE_DIM = 16
+_RERANK_STAGE1_K = 20
+_RERANK_K = 3
+
+_RERANK_SQL = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    stage1 AS MATERIALIZED (
+      SELECT q_id, vec_id, sim_coarse, rnk_stage1 FROM (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(
+                 e.v[1:{_RERANK_COARSE_DIM}],
+                 q.q_vec[1:{_RERANK_COARSE_DIM}]), 6) AS sim_coarse,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(
+                   e.v[1:{_RERANK_COARSE_DIM}],
+                   q.q_vec[1:{_RERANK_COARSE_DIM}]), 6) DESC, e.vec_id)
+                 AS rnk_stage1
+        FROM e JOIN q ON e.vec_id <> q.q_id
+      ) WHERE rnk_stage1 <= {_RERANK_STAGE1_K}
+    )
+    SELECT q_id, vec_id, sim_coarse, CAST(rnk_stage1 AS INTEGER) AS rnk_stage1,
+           sim_full, CAST(rnk_final AS INTEGER) AS rnk_final,
+           CAST(rnk_stage1 - rnk_final AS INTEGER) AS rank_delta
+    FROM (
+      SELECT s.*, round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim_full,
+             row_number() OVER (PARTITION BY s.q_id
+               ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 6) DESC,
+                        s.vec_id) AS rnk_final
+      FROM stage1 s
+      JOIN e ON e.vec_id = s.vec_id
+      JOIN q ON q.q_id = s.q_id
+    ) WHERE rnk_final <= {_RERANK_K}
+"""
+
+
+@query("two_stage_rerank_topk", _RERANK_SQL)
+def q_two_stage_rerank(spark, sf_dir):
+    """Two-stage serving funnel: a 16-dim-prefix cosine recalls 20
+    candidates per query (the cheap tier the matryoshka eval grades),
+    then ONLY those 20 are re-scored by the exact full-dim cosine —
+    top-3 out, with both stages' similarities and ranks and the
+    rank_delta the rerank produced. Stage-2 cost is queries x 20
+    full-dim dot products regardless of corpus size — the funnel shape
+    every production retrieval stack runs (recall cheap, rank exact)."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    cv = F.slice(F.col("v"), 1, _RERANK_COARSE_DIM)
+    cq = F.slice(F.col("q_vec"), 1, _RERANK_COARSE_DIM)
+    sim_c = F.round(_dot(cv, cq) / (_norm(cv) * _norm(cq)), 6)
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.col("sim_coarse").desc(), F.col("vec_id")
+    )
+    stage1 = (
+        e.join(F.broadcast(q), e.vec_id != q.q_id)
+        .select("q_id", "vec_id", sim_c.alias("sim_coarse"))
+        .withColumn("rnk_stage1", F.row_number().over(w1))
+        .filter(F.col("rnk_stage1") <= _RERANK_STAGE1_K)
+    )
+    # stage 2 touches ONLY the candidate rows: equi-joins back to the
+    # vectors, never a second corpus-wide similarity pass
+    sim_f = F.round(
+        _dot(F.col("v"), F.col("q_vec")) / (_norm(F.col("v")) * _norm(F.col("q_vec"))),
+        6,
+    )
+    w2 = Window.partitionBy("q_id").orderBy(
+        F.col("sim_full").desc(), F.col("vec_id")
+    )
+    return (
+        stage1.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "sim_coarse",
+            F.col("rnk_stage1").cast("int").alias("rnk_stage1"),
+            sim_f.alias("sim_full"),
+        )
+        .withColumn("rnk_final", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk_final") <= _RERANK_K)
+        .withColumn(
+            "rank_delta",
+            (F.col("rnk_stage1") - F.col("rnk_final")).cast("int"),
+        )
+    )
