@@ -2060,3 +2060,116 @@ def q_lsh_banding_parameter_sweep(spark, sf_dir):
         ).alias("recall"),
         "theory_p_at_tau",
     )
+
+
+# ---- small-to-big window retrieval -----------------------------------
+# The RAG pattern: index FINE chunks (precise keyword/embedding match,
+# low dilution) but serve the surrounding COARSE window (pos +-1 fine
+# chunks of the same parent), so generation gets context the retrieval
+# granularity would have cut off. Fine chunks: 60 chars, no overlap
+# (windows must tile, or neighbors double-count text). Score = number
+# of query terms present in the fine chunk's token set — integer,
+# engine-exact.
+_S2B_TERMS = ("table", "query", "spark")
+_S2B_SIZE = 60
+_S2B_K = 5
+
+_S2B_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             1 + (greatest(length(text) - {_S2B_SIZE}, 0) + {_S2B_SIZE - 1})
+                 // {_S2B_SIZE} AS n_chunks
+      FROM documents
+    ),
+    fine AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id,
+             CAST(doc_id AS VARCHAR) AS parent_id,
+             CAST(pos AS INTEGER) AS pos,
+             substring(text, 1 + pos * {_S2B_SIZE}, {_S2B_SIZE}) AS chunk
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(0, n_chunks - 1)) AS pos
+            FROM base)
+    ),
+    scored AS (
+      SELECT chunk_id, parent_id, pos,
+             len(list_filter([{", ".join(repr(t) for t in _S2B_TERMS)}],
+                 t -> list_contains(string_split(lower(trim(
+                   regexp_replace(chunk, '\\s+', ' ', 'g'))), ' '), t)))
+               AS n_hits
+      FROM fine
+    ),
+    top AS (
+      SELECT chunk_id, parent_id, pos, CAST(n_hits AS INTEGER) AS n_hits,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (
+        SELECT *, row_number() OVER (
+          ORDER BY n_hits DESC, chunk_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_S2B_K}
+    )
+    SELECT t.chunk_id, t.parent_id, t.pos, t.n_hits, t.rnk,
+           string_agg(n.chunk, ' ' ORDER BY n.pos) AS window_text
+    FROM top t JOIN fine n
+      ON n.parent_id = t.parent_id AND abs(n.pos - t.pos) <= 1
+    GROUP BY t.chunk_id, t.parent_id, t.pos, t.n_hits, t.rnk
+"""
+
+
+@query("small_to_big_window_retrieval", _S2B_SQL)
+def q_small_to_big_window(spark, sf_dir):
+    """Small-to-big retrieval: keyword-score FINE 60-char chunks (hit
+    count over the query terms — precise, dilution-free matching), take
+    the global top-5, and serve each winner's pos+-1 WINDOW within its
+    parent document (the context the fine granularity would starve a
+    generator of). Tiling chunks (no overlap) keep the window a clean
+    concatenation. The expansion join touches only k winners x 3
+    neighbors — retrieval granularity and serving granularity decouple
+    at zero corpus-scale cost."""
+    from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
+    from commercial_rfp_data_pipeline_spark.operators.textops import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    fine = pin(
+        chunk_text(docs, size=_S2B_SIZE, overlap=0), "s2b_fine_chunks"
+    )
+    toks = words(F.col("chunk"))
+    n_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(t) for t in _S2B_TERMS]),
+            lambda t: F.array_contains(toks, t),
+        )
+    )
+    # TakeOrderedAndProject (per-partition heaps), NOT a global
+    # row_number window that would funnel every chunk through one task;
+    # the rank window then runs over k rows only
+    w = Window.orderBy(F.col("n_hits").desc(), F.col("chunk_id"))
+    top = (
+        fine.select(
+            "chunk_id", "parent_id", "pos", n_hits.cast("int").alias("n_hits")
+        )
+        .orderBy(F.col("n_hits").desc(), F.col("chunk_id"))
+        .limit(_S2B_K)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+    )
+    nbr = fine.select(
+        F.col("parent_id").alias("_p"),
+        F.col("pos").alias("_np"),
+        F.col("chunk").alias("_nc"),
+    )
+    return (
+        top.join(
+            nbr,
+            (F.col("_p") == F.col("parent_id"))
+            & (F.abs(F.col("_np") - F.col("pos")) <= 1),
+        )
+        .groupBy("chunk_id", "parent_id", "pos", "n_hits", "rnk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_np", "_nc"))),
+                    lambda s: s["_nc"],
+                ),
+                " ",
+            ).alias("window_text")
+        )
+    )
