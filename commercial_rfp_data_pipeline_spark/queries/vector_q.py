@@ -2332,7 +2332,9 @@ def q_matryoshka_tier_eval(spark, sf_dir):
     the recall@5, nDCG@5 (graded 3/2/2/1/1 against the full-dim exact
     top-5, literal log2 discounts) and MRR of ranking by the embedding
     PREFIX only — the eval a serving stack runs before turning on a
-    matryoshka/PCA memory tier. One corpus pass per tier with the tier
+    matryoshka/PCA memory tier. Generalizes the single-point
+    ``matryoshka_truncation_eval`` (one 16-dim tier, recall only) into
+    the 4-tier graded-metric sweep that actually picks the tier. One corpus pass per tier with the tier
     table broadcast-expanded; every metric is per-query (no cross-row
     float averaging, so both engines agree bit-for-bit)."""
     e = _vectors(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
@@ -2471,7 +2473,10 @@ def q_two_stage_rerank(spark, sf_dir):
     top-3 out, with both stages' similarities and ranks and the
     rank_delta the rerank produced. Stage-2 cost is queries x 20
     full-dim dot products regardless of corpus size — the funnel shape
-    every production retrieval stack runs (recall cheap, rank exact)."""
+    every production retrieval stack runs (recall cheap, rank exact).
+    The inverse funnel of ``crossencoder_rerank_topk`` (exact-cosine
+    shortlist refined by a cross-encoder blend): there stage 2 ADDS a
+    signal; here stage 1 REMOVES cost."""
     from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
 
     e = load_table(spark, sf_dir, "embeddings").select(

@@ -331,3 +331,46 @@ def test_consistent_hash_minimal_movement(spark, sf_dir):
             assert r.n_before == 0 and r.gained == r.n_after > 0
     moved = rows[8].n_after
     assert n / 27 <= moved <= n / 3, moved
+
+
+def test_round6_queries_plan_shapes(spark, sf_dir):
+    """Plan discipline for the round-6 queries in one sweep: no
+    row-at-a-time Python UDF anywhere, broadcasts where the docstrings
+    claim them (query/cache/anchor/ring/tier sides), and the global
+    top-k in small_to_big is TakeOrdered, not a single-task window."""
+    from commercial_rfp_data_pipeline_spark.io import release_pinned
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "extended"
+        )
+
+    q = all_queries()
+    names = [
+        "data_recipe_rebalance",
+        "data_recipe_share_audit",
+        "semantic_cache_hit_audit",
+        "matryoshka_tier_retrieval_eval",
+        "two_stage_rerank_topk",
+        "lsh_banding_parameter_sweep",
+        "consistent_hash_rebalance_audit",
+        "small_to_big_window_retrieval",
+        "crossmodal_hard_negatives",
+    ]
+    broadcast_expected = {
+        "semantic_cache_hit_audit",
+        "matryoshka_tier_retrieval_eval",
+        "two_stage_rerank_topk",
+        "consistent_hash_rebalance_audit",
+        "crossmodal_hard_negatives",
+    }
+    for name in names:
+        p = plan(q[name](spark, sf_dir))
+        release_pinned()
+        assert "BatchEvalPython" not in p and "pythonUDF" not in p, name
+        if name in broadcast_expected:
+            assert "Broadcast" in p, f"{name} lost its broadcast"
+    p = plan(q["small_to_big_window_retrieval"](spark, sf_dir))
+    release_pinned()
+    assert "TakeOrdered" in p, "global top-k regressed to a window"
