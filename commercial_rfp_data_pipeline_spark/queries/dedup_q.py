@@ -5,6 +5,7 @@ exact-dedup path of the LLM-pipeline dedup family. Fuzzy dedup
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.io import load_table
@@ -286,4 +287,77 @@ def q_incremental_corpus_dedup(spark, sf_dir):
             .otherwise(F.lit("new"))
             .alias("status"),
         )
+    )
+
+
+# ---- soft dedup retention (sqrt schedule) ----------------------------
+
+
+@query(
+    "dedup_soft_retention_sqrt",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(substr(lower(trim(regexp_replace(CAST(text AS VARCHAR),
+                 '\\s+', ' ', 'g'))), 1, 40)) AS fp
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, fp,
+             CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_members,
+             row_number() OVER (
+               PARTITION BY fp
+               ORDER BY md5('soft:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rank_in_cluster
+      FROM fp
+    )
+    SELECT doc_id, fp, n_members,
+           CAST(rank_in_cluster AS INTEGER) AS rank_in_cluster,
+           CAST(ceil(sqrt(CAST(n_members AS DOUBLE))) AS BIGINT)
+             AS keep_quota,
+           rank_in_cluster
+             <= CAST(ceil(sqrt(CAST(n_members AS DOUBLE))) AS BIGINT)
+             AS kept
+    FROM sized
+    """,
+)
+def q_dedup_soft_retention(spark, sf_dir):
+    """Soft deduplication with a sqrt retention schedule: instead of
+    keeping exactly one survivor per duplicate cluster (dedup_survivors)
+    or all members, keep ceil(sqrt(n)) of each n-member cluster — the
+    production compromise (RefinedWeb/Gopher-style) that damps the
+    over-represented template mass without erasing natural frequency
+    signal. Selection within a cluster is an md5 lottery (deterministic,
+    id-stable); every doc row comes back with its cluster size, lottery
+    rank, quota and kept flag, so the downstream filter is `WHERE kept`.
+
+    Scale: one shuffle on the content fingerprint; the quota is a
+    per-row expression over the windowed cluster size — no second pass,
+    no driver state. sqrt/ceil on exact integer inputs is
+    cross-engine-stable (n <= 2^52)."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", F.md5(F.substring(norm_text("text"), 1, 40)).alias("fp")
+    )
+    w_sz = Window.partitionBy("fp")
+    w_rk = Window.partitionBy("fp").orderBy(
+        F.md5(F.concat(F.lit("soft:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    sized = fp.select(
+        "doc_id",
+        "fp",
+        F.count(F.lit(1)).over(w_sz).cast("bigint").alias("n_members"),
+        F.row_number().over(w_rk).cast("int").alias("rank_in_cluster"),
+    )
+    quota = F.ceil(F.sqrt(F.col("n_members").cast("double"))).cast("bigint")
+    return sized.select(
+        "doc_id",
+        "fp",
+        "n_members",
+        "rank_in_cluster",
+        quota.alias("keep_quota"),
+        (F.col("rank_in_cluster") <= quota).alias("kept"),
     )

@@ -4,6 +4,8 @@ scale/interleave loops."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from commercial_rfp_data_pipeline_spark.io import load_table
 from commercial_rfp_data_pipeline_spark.operators.layout import (
     zorder_key,
@@ -197,4 +199,101 @@ def q_consistent_hash_rebalance(spark, sf_dir):
                 1,
             ).otherwise(0)
         ).cast("bigint").alias("lost"),
+    )
+
+
+# ---- compaction bin-packing (the small-files problem) ----------------
+# At 100 TB the dominant table-maintenance op is compaction: thousands
+# of small ingest files must be coalesced into ~target-size files
+# WITHOUT destroying the date clustering readers prune on. The
+# distributed-friendly plan is the cumulative-sum assignment: order the
+# file manifest by its cluster key, prefix-sum the bytes, and assign
+# bin = bytes_before DIV target. Unlike first-fit-decreasing this needs
+# no sequential state, keeps date ranges contiguous per output file,
+# and bounds every bin below target + max_file_bytes.
+_COMPACT_TARGET = 64_000  # bytes per output file
+
+
+_COMPACT_SQL = f"""
+    WITH files AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(length(o_orderpriority) + 96) AS BIGINT) AS file_bytes
+      FROM orders
+      GROUP BY 1
+    ),
+    packed AS (
+      SELECT day, file_bytes,
+             CAST(coalesce(sum(file_bytes) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bytes_before
+      FROM files
+    )
+    SELECT CAST(bytes_before // {_COMPACT_TARGET} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(file_bytes) AS BIGINT) AS bin_bytes,
+           CAST(sum(CASE WHEN file_bytes < {_COMPACT_TARGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS small_files_in,
+           min(day) AS first_day,
+           max(day) AS last_day
+    FROM packed
+    GROUP BY 1
+"""
+
+
+@query("compaction_bin_packing", _COMPACT_SQL)
+def q_compaction_bin_packing(spark, sf_dir):
+    """Compaction plan for a per-day ingest layout: one simulated file
+    per o_orderdate (bytes = sum of priority-string lengths + row overhead),
+    packed into ~64 KB output files by cumulative-bytes DIV target in
+    day order. Per output bin: file count, total bytes, how many small
+    files it absorbed, and its contiguous [first_day, last_day] range
+    — the property that keeps date-predicate pruning effective after
+    the rewrite (what Delta/Iceberg OPTIMIZE preserves via sort-order
+    compaction).
+
+    Scale: the file manifest is metadata-sized (one row per file, ~10^5
+    rows for a 100 TB table), built by one map-side-combined groupBy;
+    the prefix sum is the distributed two-pass form (per-range local
+    sums + broadcast offsets), never a single-partition window over
+    the data plane."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.length("o_orderpriority") + F.lit(96))
+        .cast("bigint")
+        .alias("file_bytes")
+    )
+    packed = distributed_prefix_sum(
+        files,
+        values={"bytes": F.col("file_bytes")},
+        order_by=[F.col("day")],
+    )
+    return (
+        packed.select(
+            "day",
+            "file_bytes",
+            F.col("bytes_before").cast("bigint").alias("bytes_before"),
+        )
+        .groupBy(
+            (F.col("bytes_before") / F.lit(_COMPACT_TARGET))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("file_bytes").cast("bigint").alias("bin_bytes"),
+            F.sum(
+                F.when(F.col("file_bytes") < _COMPACT_TARGET, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("small_files_in"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
     )

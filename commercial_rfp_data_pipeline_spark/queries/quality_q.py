@@ -1113,3 +1113,193 @@ def q_split_leakage(spark, sf_dir):
         .alias("eval_split"),
         "jaccard",
     )
+
+
+# ---- group-aware (leakage-safe) dataset split ------------------------
+# dataset_split_80_10_10 splits BY DOCUMENT, so exact near-dups can
+# land on both sides of the train boundary — the leakage
+# split_leakage_neardup measures after the fact. The group-aware form
+# PREVENTS it by construction: the md5 coin is drawn on the content
+# FINGERPRINT, so every member of a duplicate group inherits the same
+# split. The audit proves it from the data (straddling_groups computed
+# by re-grouping, not assumed) and shows the doc-share cost: group
+# splitting keeps ~80/10/10 in GROUPS, and the doc shares drift by
+# exactly the duplicate-mass skew.
+
+
+@query(
+    "group_aware_split_audit",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             md5(substr(lower(trim(regexp_replace(CAST(text AS VARCHAR),
+                 '\\s+', ' ', 'g'))), 1, 40)) AS fp
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, fp,
+             CASE WHEN u_hex < '{t80}' THEN 'train'
+                  WHEN u_hex < '{t90}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, fp,
+                   lpad(substring(md5('gsplit' || fp), 1, 15), 16, '0')
+                     AS u_hex
+            FROM g)
+    ),
+    leaked AS (
+      SELECT CAST(count(*) AS BIGINT) AS straddling_groups
+      FROM (SELECT fp FROM s GROUP BY fp
+            HAVING count(DISTINCT split) > 1)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+    SELECT s.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT s.fp) AS BIGINT) AS n_groups,
+           round(count(*) / CAST(max(tot.n) AS DOUBLE), 6) AS doc_share,
+           CAST(max(leaked.straddling_groups) AS BIGINT)
+             AS straddling_groups
+    FROM s CROSS JOIN tot CROSS JOIN leaked
+    GROUP BY s.split
+    """.format(t80=_T80, t90=_T90),
+)
+def q_group_aware_split(spark, sf_dir):
+    """Leakage-safe 80/10/10 split: the split coin is drawn on the
+    content fingerprint (40-char normalized prefix — the same grouping
+    key as exact_dup_groups_by_fingerprint), so duplicate groups never
+    straddle splits. Output per split: docs, groups, realized doc
+    share, and the measured straddling-group count (0 by construction
+    — but computed from the assignment, which is the audit).
+
+    Scale: one narrow fingerprint map (no shuffle), the split is a
+    content-hash coin (no shuffle), and the audit is one groupBy(fp)
+    plus a three-row aggregate; the leaked/total singletons broadcast."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        dataset_split,
+        norm_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.md5(F.substring(norm_text("text"), 1, 40)).alias("fp")
+    )
+    s = dataset_split(g, id_col="fp", seed="gsplit")
+    leaked = (
+        s.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("bigint").alias("straddling_groups"))
+    )
+    tot = s.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            F.round(F.col("n_docs") / F.col("n").cast("double"), 6).alias(
+                "doc_share"
+            ),
+            "straddling_groups",
+        )
+    )
+
+
+# ---- curriculum schedule (difficulty-phased training order) ----------
+
+
+@query(
+    "curriculum_schedule_phases",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(CAST(text AS VARCHAR),
+               '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN length(t) = 0 THEN 0
+                  ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_words
+      FROM base
+    ),
+    diff AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE round(CAST(n_chars AS DOUBLE) / n_words, 6)
+             END AS difficulty
+      FROM feat
+    ),
+    ordered AS (
+      SELECT doc_id, n_words, difficulty,
+             CAST(row_number() OVER (ORDER BY difficulty, doc_id) - 1
+               AS BIGINT) AS ordinal,
+             CAST(count(*) OVER () AS BIGINT) AS n_total
+      FROM diff
+    )
+    SELECT doc_id, difficulty, ordinal,
+           CAST((ordinal * 3) // n_total AS INTEGER) AS phase
+    FROM ordered
+    """,
+)
+def q_curriculum_schedule(spark, sf_dir):
+    """Curriculum-learning delivery order: documents sorted easy→hard
+    by mean word length (chars per whitespace word — the cheap
+    difficulty proxy), assigned a global ordinal and one of three
+    equal-mass phases by integer arithmetic (ordinal*3 div n). The
+    training loader consumes phase 0 first — the schedule Bengio 2009
+    curricula and staged pre-training runs use.
+
+    Scale: the oracle states the naive global row_number; the engine
+    computes the ordinal with distributed_prefix_sum (range-partitioned
+    local sums + broadcast offsets — same discipline as
+    epoch_shuffle_positions), so no single-partition window touches the
+    data plane; n_total broadcasts from a one-row aggregate."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        norm_text,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = norm_text("text")
+    feat = docs.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars"),
+        token_count("text").cast("bigint").alias("n_words"),
+    )
+    diff = feat.select(
+        "doc_id",
+        F.when(F.col("n_words") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("n_chars").cast("double") / F.col("n_words"), 6)
+        )
+        .alias("difficulty"),
+    )
+    ordered = distributed_prefix_sum(
+        diff,
+        values={"one": F.lit(1).cast("bigint")},
+        order_by=[F.col("difficulty"), F.col("doc_id")],
+    ).select(
+        "doc_id",
+        "difficulty",
+        F.col("one_before").cast("bigint").alias("ordinal"),
+    )
+    n_total = diff.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return ordered.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "difficulty",
+        "ordinal",
+        ((F.col("ordinal") * 3) / F.col("n_total"))
+        .cast("bigint")
+        .cast("int")
+        .alias("phase"),
+    )

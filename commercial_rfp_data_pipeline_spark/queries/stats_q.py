@@ -1700,3 +1700,59 @@ def q_conformal_coverage(spark, sf_dir):
             "coverage",
         )
     )
+
+
+@query(
+    "l_diversity_audit",
+    """
+    WITH quasi AS (
+      SELECT c_nationkey,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS INTEGER)
+               AS balance_band,
+             c_mktsegment
+      FROM customer
+    ),
+    groups AS (
+      SELECT c_nationkey, balance_band,
+             CAST(count(*) AS BIGINT) AS group_size,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+               AS distinct_sensitive
+      FROM quasi GROUP BY 1, 2
+    )
+    SELECT c_nationkey, balance_band, group_size, distinct_sensitive,
+           distinct_sensitive < 3 AS violates_l3
+    FROM groups
+    """,
+)
+def q_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit — k-anonymity's stronger sibling
+    (Machanavajjhala 2007): a quasi-identifier class can be large
+    enough for k yet still leak if everyone in it shares the same
+    SENSITIVE value. Here the quasi-identifier is (nation, balance
+    band) and the sensitive attribute is the market segment: each
+    class reports its size and distinct-sensitive count, flagged below
+    l=3. Runs next to k_anonymity_audit in the release gate.
+
+    Scale: one groupBy on the quasi-identifier with a distinct-count
+    aggregate; output is one row per equivalence class."""
+    c = load_table(spark, sf_dir, "customer")
+    quasi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000)
+        .cast("int")
+        .alias("balance_band"),
+        "c_mktsegment",
+    )
+    groups = quasi.groupBy("c_nationkey", "balance_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias(
+            "distinct_sensitive"
+        ),
+    )
+    return groups.select(
+        "c_nationkey",
+        "balance_band",
+        "group_size",
+        "distinct_sensitive",
+        (F.col("distinct_sensitive") < 3).alias("violates_l3"),
+    )

@@ -2173,3 +2173,271 @@ def q_small_to_big_window(spark, sf_dir):
             ).alias("window_text")
         )
     )
+
+
+# ---- pseudo-relevance-feedback query expansion (RM-style) ------------
+# The classic two-pass retrieval trick (Rocchio/RM): retrieve with the
+# original terms, mine expansion terms from the top feedback docs,
+# retrieve again with the widened weighted term set. Every score is an
+# exact-decimal sum of 6-dp idf contributions, so ordering and hashes
+# are order-independent on both engines.
+_PRF_QIDS = (3, 7, 11)  # query documents
+_PRF_ORIG_K = 3  # original terms per query (its top tf-idf terms)
+_PRF_FB_DOCS = 3  # feedback docs
+_PRF_EXP_K = 5  # expansion terms
+_PRF_TOPK = 5
+
+_PRF_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    idf AS (SELECT tok, round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+            FROM dfreq CROSS JOIN nd),
+    orig AS (
+      SELECT q_id, tok, idf FROM (
+        SELECT tf.doc_id AS q_id, tf.tok, i.idf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY round(tf.tf * i.idf, 6) DESC, tf.tok) AS rn
+        FROM tf JOIN idf i USING (tok)
+        WHERE tf.doc_id IN {_PRF_QIDS!r}
+      ) WHERE rn <= {_PRF_ORIG_K}
+    ),
+    s1 AS (
+      SELECT o.q_id, tf.doc_id,
+             CAST(sum(CAST(o.idf AS DECIMAL(18,6))) AS DOUBLE) AS s1score
+      FROM orig o JOIN tf ON tf.tok = o.tok AND tf.doc_id <> o.q_id
+      GROUP BY o.q_id, tf.doc_id
+    ),
+    fb AS (
+      SELECT q_id, doc_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY s1score DESC, doc_id) AS rn
+        FROM s1
+      ) WHERE rn <= {_PRF_FB_DOCS}
+    ),
+    expsc AS (
+      SELECT f.q_id, tf.tok,
+             CAST(sum(CAST(round(tf.tf * i.idf, 6) AS DECIMAL(18,6)))
+               AS DOUBLE) AS esc
+      FROM fb f
+      JOIN tf ON tf.doc_id = f.doc_id
+      JOIN idf i ON i.tok = tf.tok
+      WHERE NOT EXISTS (SELECT 1 FROM orig o
+                        WHERE o.q_id = f.q_id AND o.tok = tf.tok)
+      GROUP BY f.q_id, tf.tok
+    ),
+    expt AS (
+      SELECT q_id, tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY esc DESC, tok) AS rn
+        FROM expsc
+      ) WHERE rn <= {_PRF_EXP_K}
+    ),
+    terms AS (
+      SELECT q_id, tok, CAST(1.0 AS DECIMAL(2,1)) AS w FROM orig
+      UNION ALL
+      SELECT q_id, tok, CAST(0.5 AS DECIMAL(2,1)) AS w FROM expt
+    ),
+    s2 AS (
+      SELECT tm.q_id, tf.doc_id,
+             CAST(sum(tm.w * CAST(i.idf AS DECIMAL(18,6))) AS DOUBLE)
+               AS score,
+             CAST(sum(CASE WHEN tm.w = CAST(1.0 AS DECIMAL(2,1))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_orig_matched,
+             CAST(sum(CASE WHEN tm.w < CAST(1.0 AS DECIMAL(2,1))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_exp_matched
+      FROM terms tm
+      JOIN tf ON tf.tok = tm.tok AND tf.doc_id <> tm.q_id
+      JOIN idf i ON i.tok = tm.tok
+      GROUP BY tm.q_id, tf.doc_id
+    )
+    SELECT q_id, doc_id, score, n_orig_matched, n_exp_matched,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, doc_id) AS rnk
+      FROM s2
+    ) WHERE rnk <= {_PRF_TOPK}
+"""
+
+
+@query("prf_query_expansion_topk", _PRF_SQL)
+def q_prf_query_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval: each query doc's top-3
+    tf-idf terms retrieve 3 feedback docs (idf-sum scoring); the
+    feedback docs' best 5 non-query terms (summed tf-idf) join the
+    term set at half weight; the expanded weighted set re-scores the
+    corpus and the top-5 come out with how many original vs expansion
+    terms each hit matched. Scores are exact-decimal sums of 6-dp idf
+    contributions — order-independent under any partitioning.
+
+    Scale: term posting lists are the only join fanout (idf-capped
+    vocabulary, same shape as the BM25 serving path); the feedback and
+    expansion frames are queries x K rows; no stage ever touches
+    corpus x corpus."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm_text("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = pin(tf)
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = pin(
+        dfreq.crossJoin(F.broadcast(nd)).select(
+            "tok",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("idf"),
+        )
+    )
+    w_orig = Window.partitionBy("q_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    orig = (
+        tf.filter(F.col("doc_id").isin(*_PRF_QIDS))
+        .join(idf, "tok")
+        .select(
+            F.col("doc_id").alias("q_id"),
+            "tok",
+            "idf",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+        )
+        .withColumn("rn", F.row_number().over(w_orig))
+        .filter(F.col("rn") <= _PRF_ORIG_K)
+        .select("q_id", "tok", "idf")
+    )
+    orig = pin(orig)
+    s1 = (
+        orig.join(tf, "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.sum(F.col("idf").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s1score")
+        )
+    )
+    w_fb = Window.partitionBy("q_id").orderBy(
+        F.col("s1score").desc(), F.col("doc_id")
+    )
+    fb = (
+        s1.withColumn("rn", F.row_number().over(w_fb))
+        .filter(F.col("rn") <= _PRF_FB_DOCS)
+        .select("q_id", "doc_id")
+    )
+    expsc = (
+        fb.join(tf, "doc_id")
+        .join(idf, "tok")
+        .join(orig.select("q_id", "tok"), ["q_id", "tok"], "left_anti")
+        .groupBy("q_id", "tok")
+        .agg(
+            F.sum(
+                F.round(F.col("tf") * F.col("idf"), 6).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("esc")
+        )
+    )
+    w_exp = Window.partitionBy("q_id").orderBy(F.col("esc").desc(), F.col("tok"))
+    expt = (
+        expsc.withColumn("rn", F.row_number().over(w_exp))
+        .filter(F.col("rn") <= _PRF_EXP_K)
+        .select("q_id", "tok")
+    )
+    one = F.lit(1.0).cast("decimal(2,1)")
+    half = F.lit(0.5).cast("decimal(2,1)")
+    terms = orig.select("q_id", "tok", one.alias("w")).unionByName(
+        expt.select("q_id", "tok", half.alias("w"))
+    )
+    s2 = (
+        terms.join(tf, "tok")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(idf, "tok")
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("idf").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score"),
+            F.sum(F.when(F.col("w") == one, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orig_matched"),
+            F.sum(F.when(F.col("w") < one, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exp_matched"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        s2.withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= _PRF_TOPK)
+    )
+
+
+# ---- tokenizer fertility by language ---------------------------------
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_NORM} AS t FROM documents
+    ),
+    counted AS (
+      SELECT lang,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN length(t) = 0 THEN 0
+                  ELSE len(string_split(t, ' ')) END AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(t,
+               '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+'))
+               AS BIGINT) AS n_bpe
+      FROM base
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 6) AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 6)
+             AS chars_per_token
+    FROM counted
+    GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and chars per token — the metric multilingual-corpus work
+    tracks because a high-fertility language pays more compute per
+    word (and over-counts against a token budget). Corpus-level ratios
+    of exact integer sums, so the division is engine-identical.
+
+    Scale: one narrow per-doc count map + one lang groupBy with
+    map-side combine; output is one row per language."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        bpe_token_count,
+        norm_text,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang",
+        F.length(norm_text("text")).cast("bigint").alias("n_chars"),
+        token_count("text").cast("bigint").alias("n_words"),
+        bpe_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+    return counted.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+        ).alias("chars_per_token"),
+    )

@@ -2524,3 +2524,326 @@ def q_two_stage_rerank(spark, sf_dir):
             (F.col("rnk_stage1") - F.col("rnk_final")).cast("int"),
         )
     )
+
+
+# ---- MMR diversified retrieval --------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): re-rank
+# a bounded candidate shortlist so each pick trades query relevance
+# against redundancy with what's already picked. The greedy loop is
+# sequential BY DEFINITION, so the scale discipline is the funnel: the
+# corpus is touched once (stage-1 shortlist); the K selection rounds
+# run over queries x C candidate rows (bounded, pinned), never the
+# corpus.
+_MMR_C = 12  # shortlist size per query
+_MMR_K = 5  # diversified picks per query
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_score_sql(rel: str, ms: str) -> str:
+    """MMR score in EXACT decimal arithmetic: the 6-dp similarities are
+    exact DECIMAL(9,6) values, 0.7/0.3 are exact DECIMAL(2,1), so
+    0.7*rel - 0.3*maxsim is exact at 7 dp and casts to the identical
+    double on both engines. (A double-side round(0.7*rel, 6) failed
+    here for real: 0.7 * 0.371485 = 0.2600395-epsilon, which Spark's
+    HALF_UP decimal-string round sends UP and DuckDB's binary round
+    sends DOWN.)"""
+    return (
+        f"CAST(CAST({_MMR_LAMBDA} AS DECIMAL(2,1))"
+        f" * CAST({rel} AS DECIMAL(9,6))"
+        f" - CAST({round(1.0 - _MMR_LAMBDA, 6)} AS DECIMAL(2,1))"
+        f" * CAST({ms} AS DECIMAL(9,6)) AS DOUBLE)"
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy-selection CTE chain (K fixed steps). Every
+    similarity is rounded to 6 dp BEFORE entering the score arithmetic,
+    and the MMR score is exact decimal arithmetic on both engines, so
+    ordering and hashes match exactly."""
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT q_id, vec_id, rel FROM (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(e.v, q.q_vec), 6) AS rel,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 6) DESC,
+                          e.vec_id) AS rn
+        FROM e JOIN q ON e.vec_id <> q.q_id
+      ) WHERE rn <= {_MMR_C}
+    ),
+    cv AS (SELECT c.q_id, c.vec_id, c.rel, e.v
+           FROM cand c JOIN e ON e.vec_id = c.vec_id),
+    pairs AS (
+      SELECT a.q_id, a.vec_id AS d_id, b.vec_id AS s_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS psim
+      FROM cv a JOIN cv b
+        ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+      SELECT q_id, vec_id, 1 AS step, rel,
+             0.0 AS max_sim_selected,
+             {_mmr_score_sql("rel", "0.0")} AS mmr
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+            FROM cand) WHERE rn = 1
+    )"""
+    ]
+    prev = "sel1"
+    for step in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+    rem{step} AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                        WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id)
+    ),
+    ms{step} AS (
+      SELECT p.q_id, p.d_id AS vec_id, max(p.psim) AS max_sim_selected
+      FROM pairs p JOIN {prev} s
+        ON s.q_id = p.q_id AND s.vec_id = p.s_id
+      GROUP BY p.q_id, p.d_id
+    ),
+    pick{step} AS (
+      SELECT q_id, vec_id, {step} AS step, rel, max_sim_selected,
+             {_mmr_score_sql("rel", "max_sim_selected")} AS mmr
+      FROM (
+        SELECT r.q_id, r.vec_id, r.rel, m.max_sim_selected,
+               row_number() OVER (
+                 PARTITION BY r.q_id
+                 ORDER BY {_mmr_score_sql("r.rel", "m.max_sim_selected")}
+                          DESC,
+                          r.vec_id) AS rn
+        FROM rem{step} r
+        JOIN ms{step} m ON m.q_id = r.q_id AND m.vec_id = r.vec_id
+      ) WHERE rn = 1
+    ),
+    sel{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{step})"""
+        )
+        prev = f"sel{step}"
+    parts.append(
+        f"""
+    SELECT q_id, vec_id, CAST(step AS INTEGER) AS step, rel,
+           max_sim_selected, mmr
+    FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@query("mmr_diversified_topk", _mmr_oracle_sql())
+def q_mmr_diversified(spark, sf_dir):
+    """MMR re-ranking: per query, a 12-candidate cosine shortlist is
+    greedily reduced to 5 picks maximizing 0.7*relevance - 0.3*max
+    similarity to already-picked docs — the standard redundancy
+    control in retrieval serving (and in training-data selection,
+    where it picks diverse exemplars instead of five paraphrases of
+    the same document).
+
+    Scale: the corpus is scanned ONCE for the shortlist (same funnel
+    as two_stage_rerank_topk); the candidate and pair frames are
+    queries x C and queries x C^2 rows (bounded by config, pinned),
+    and each of the K-1 greedy rounds is a join over those pinned
+    frames only — selection cost is independent of corpus size."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    lam = F.lit(_MMR_LAMBDA).cast("decimal(2,1)")
+    mu = F.lit(round(1.0 - _MMR_LAMBDA, 6)).cast("decimal(2,1)")
+
+    def _mmr_score(rel_col, ms_col):
+        # exact decimal arithmetic, cast once to double — see
+        # _mmr_score_sql for why a double-side round() is NOT safe here
+        return (
+            lam * rel_col.cast("decimal(9,6)")
+            - mu * ms_col.cast("decimal(9,6)")
+        ).cast("double")
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    rel = F.round(
+        _dot(F.col("v"), F.col("q_vec"))
+        / (_norm(F.col("v")) * _norm(F.col("q_vec"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
+    cand = pin(
+        e.join(F.broadcast(q), e.vec_id != q.q_id)
+        .select("q_id", "vec_id", rel.alias("rel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_C)
+        .drop("rn")
+    )
+    cv = cand.join(e, "vec_id").select("q_id", "vec_id", "rel", "v")
+    a, b = cv.alias("a"), cv.alias("b")
+    psim = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        6,
+    )
+    pairs = pin(
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.vec_id").alias("d_id"),
+            F.col("b.vec_id").alias("s_id"),
+            psim.alias("psim"),
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "vec_id",
+            F.lit(1).alias("step"),
+            "rel",
+            F.lit(0.0).alias("max_sim_selected"),
+            _mmr_score(F.col("rel"), F.lit(0.0)).alias("mmr"),
+        )
+    )
+    for step in range(2, _MMR_K + 1):
+        sel_keys = selected.select("q_id", "vec_id")
+        remaining = cand.join(sel_keys, ["q_id", "vec_id"], "left_anti")
+        maxsim = (
+            pairs.join(
+                sel_keys.withColumnRenamed("vec_id", "s_id"), ["q_id", "s_id"]
+            )
+            .groupBy("q_id", F.col("d_id").alias("vec_id"))
+            .agg(F.max("psim").alias("max_sim_selected"))
+        )
+        score = _mmr_score(F.col("rel"), F.col("max_sim_selected"))
+        ws = Window.partitionBy("q_id").orderBy(
+            F.col("mmr").desc(), F.col("vec_id")
+        )
+        picked = (
+            remaining.join(maxsim, ["q_id", "vec_id"])
+            .withColumn("mmr", score)
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(
+                "q_id",
+                "vec_id",
+                F.lit(step).alias("step"),
+                "rel",
+                "max_sim_selected",
+                "mmr",
+            )
+        )
+        selected = selected.unionByName(picked)
+    return selected.withColumn("step", F.col("step").cast("int"))
+
+
+# ---- context budget packing (RAG prompt assembly) --------------------
+# The serving step between retrieval and the LLM call: the ranked
+# shortlist must fit a fixed context-token budget. The deterministic
+# distributed form is prefix packing — admit candidates in rank order
+# while the running token total stays within budget (the greedy-skip
+# variant is sequential state; prefix packing is what production RAG
+# stacks run because it never reorders by size, preserving rank).
+_CTX_C = 20  # shortlist per query
+_CTX_BUDGET = 1200  # token budget per prompt
+
+_CTX_SQL = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {N_QUERIES}),
+    toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(lower(trim(regexp_replace(
+                    CAST(text AS VARCHAR), '\\s+', ' ', 'g')))) = 0 THEN 0
+                  ELSE len(string_split(lower(trim(regexp_replace(
+                    CAST(text AS VARCHAR), '\\s+', ' ', 'g'))), ' '))
+             END AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cand AS (
+      SELECT q_id, vec_id, sim, rnk FROM (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(e.v, q.q_vec), 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_cosine_similarity(e.v, q.q_vec), 6)
+                          DESC, e.vec_id) AS rnk
+        FROM e JOIN q ON e.vec_id <> q.q_id
+      ) WHERE rnk <= {_CTX_C}
+    ),
+    costed AS (
+      SELECT c.q_id, c.vec_id, c.sim, c.rnk, t.n_tokens,
+             CAST(sum(t.n_tokens) OVER (
+               PARTITION BY c.q_id ORDER BY c.rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM cand c JOIN toks t ON t.doc_id = c.vec_id
+    )
+    SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk, sim,
+           n_tokens, cum_tokens
+    FROM costed WHERE cum_tokens <= {_CTX_BUDGET}
+"""
+
+
+@query("context_budget_packing", _CTX_SQL)
+def q_context_budget_packing(spark, sf_dir):
+    """Prompt-context packing: the cosine top-20 shortlist per query is
+    admitted in rank order while the running whitespace-token total
+    stays within the 1200-token budget (token counts equi-join from
+    the aligned documents table). Output rows are exactly the packed
+    context with per-doc and cumulative token costs.
+
+    Scale: the corpus is scanned once for the shortlist; token costs
+    attach by equi-join on the candidate rows only (never a corpus
+    token pass per query); the prefix sum runs inside a per-query
+    window over <= 20 rows."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import token_count
+    from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    sim = F.round(
+        _dot(F.col("v"), F.col("q_vec"))
+        / (_norm(F.col("v")) * _norm(F.col("q_vec"))),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    cand = (
+        e.join(F.broadcast(q), e.vec_id != q.q_id)
+        .select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CTX_C)
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    wc = (
+        Window.partitionBy("q_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cand.join(toks, "vec_id")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wc).cast("bigint"))
+        .filter(F.col("cum_tokens") <= _CTX_BUDGET)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "sim",
+            "n_tokens",
+            "cum_tokens",
+        )
+    )

@@ -374,3 +374,355 @@ def test_round6_queries_plan_shapes(spark, sf_dir):
     p = plan(q["small_to_big_window_retrieval"](spark, sf_dir))
     release_pinned()
     assert "TakeOrdered" in p, "global top-k regressed to a window"
+
+
+# ---- round-6 second wave: retrieval/layout/graph/split additions -----
+
+
+def test_mmr_picks_are_shortlist_consistent(spark, sf_dir):
+    """MMR invariants recomputed from first principles: 5 distinct
+    picks per query, the step-1 pick IS the relevance argmax, every
+    pick comes from the top-12 shortlist, and each step's
+    max_sim_selected equals the true max pairwise similarity to the
+    earlier picks (recomputed from the raw vectors)."""
+    import math
+
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["mmr_diversified_topk"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert len(by_q) == 5
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r.step)
+        assert [r.step for r in rows] == [1, 2, 3, 4, 5]
+        picks = [r.vec_id for r in rows]
+        assert len(set(picks)) == 5
+        # shortlist membership + relevance argmax for step 1
+        qv = [float(x) for x in emb[q_id]]
+        sims = sorted(
+            (
+                (cos([float(x) for x in emb[v]], qv), -v)
+                for v in emb
+                if v != q_id
+            ),
+            reverse=True,
+        )
+        shortlist = {-nv for _, nv in sims[:12]}
+        assert set(picks) <= shortlist
+        assert rows[0].vec_id == -sims[0][1]
+        # max_sim_selected recomputed from raw vectors
+        for i, r in enumerate(rows[1:], start=1):
+            prev = picks[:i]
+            expect = max(
+                cos(
+                    [float(x) for x in emb[r.vec_id]],
+                    [float(x) for x in emb[p]],
+                )
+                for p in prev
+            )
+            assert abs(r.max_sim_selected - expect) < 1e-9, (q_id, r.step)
+
+
+def test_compaction_bins_bounded_and_contiguous(spark, sf_dir):
+    """Every output bin stays below target + max_file_bytes (the
+    cumsum-assignment bound), bins cover all files exactly once, and
+    day ranges are non-overlapping in bin order — the property that
+    keeps date pruning effective after the rewrite."""
+    from commercial_rfp_data_pipeline_spark.queries.layout_q import (
+        _COMPACT_TARGET,
+    )
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(F.length("o_orderpriority") + F.lit(96))).alias("b"))
+        .agg(
+            F.count("*").alias("n"),
+            F.max("b").alias("mx"),
+            F.sum("b").alias("tot"),
+        )
+        .collect()[0]
+    )
+    bins = all_queries()["compaction_bin_packing"](spark, sf_dir).collect()
+    assert sum(r.n_files for r in bins) == files.n
+    assert sum(r.bin_bytes for r in bins) == files.tot
+    for r in bins:
+        assert r.bin_bytes < _COMPACT_TARGET + files.mx, r
+    bins.sort(key=lambda r: r.bin)
+    for a, b in zip(bins, bins[1:]):
+        assert a.last_day < b.first_day
+
+
+def test_link_prediction_predicts_only_new_edges(spark, sf_dir):
+    """Every predicted pair is genuinely non-adjacent (recomputed from
+    the edge set), anchored at a seed, and carries a positive
+    exact-decimal RA score consistent with its common-neighbor count
+    (score <= n_common since every 1/deg <= 1, deg >= 1)."""
+    from commercial_rfp_data_pipeline_spark.queries.graph_q import _LP_SEEDS
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .collect()
+    }
+    out = all_queries()["link_prediction_resource_alloc"](
+        spark, sf_dir
+    ).collect()
+    assert out
+    for r in out:
+        assert r.u in _LP_SEEDS
+        assert (min(r.u, r.v), max(r.u, r.v)) not in edges, r
+        assert 0 < r.ra_score <= r.n_common + 1e-9
+        assert 1 <= r.rnk <= 5
+
+
+def test_group_aware_split_blocks_leakage(spark, sf_dir):
+    """The group-aware split never straddles a duplicate group (the
+    audit column, recomputed here too), covers every doc exactly once,
+    and — the reason it exists — the doc-ID split DOES straddle
+    duplicate groups on the same corpus whenever multi-doc groups
+    exist."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        dataset_split,
+        norm_text,
+    )
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["group_aware_split_audit"](spark, sf_dir).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.straddling_groups == 0 for r in rows)
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-5
+
+    # contrast: the id-keyed split leaks when multi-doc groups exist
+    fp = F.md5(F.substring(norm_text("text"), 1, 40)).alias("fp")
+    id_split = dataset_split(docs.select("doc_id", fp))
+    straddle = (
+        id_split.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    multi = (
+        docs.select(fp).groupBy("fp").count().filter(F.col("count") > 4)
+    ).count()
+    if multi > 0:
+        assert straddle > 0, "expected the naive split to leak"
+
+
+def test_context_packing_prefix_and_budget(spark, sf_dir):
+    """Packed context per query is a rank PREFIX (never skips a
+    better-ranked doc), stays within the token budget, and cum_tokens
+    is the exact running sum of per-doc token counts."""
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        _CTX_BUDGET,
+    )
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["context_budget_packing"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert by_q
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1)), q_id
+        run = 0
+        for r in rows:
+            run += r.n_tokens
+            assert r.cum_tokens == run
+        assert run <= _CTX_BUDGET
+
+
+def test_prf_expansion_widens_the_match_set(spark, sf_dir):
+    """PRF sanity: all three query docs produce results, hits never
+    include the query doc itself, the per-hit matched-term counts stay
+    within the configured budgets, and at least one top hit matched an
+    EXPANSION term (the feedback loop did something)."""
+    from commercial_rfp_data_pipeline_spark.queries.text_q import (
+        _PRF_EXP_K,
+        _PRF_ORIG_K,
+        _PRF_QIDS,
+    )
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    out = all_queries()["prf_query_expansion_topk"](spark, sf_dir).collect()
+    assert {r.q_id for r in out} == set(_PRF_QIDS)
+    for r in out:
+        assert r.doc_id != r.q_id
+        assert 0 <= r.n_orig_matched <= _PRF_ORIG_K
+        assert 0 <= r.n_exp_matched <= _PRF_EXP_K
+        assert r.n_orig_matched + r.n_exp_matched >= 1
+        assert r.score > 0
+    assert any(r.n_exp_matched > 0 for r in out)
+
+
+def test_round6b_queries_plan_shapes(spark, sf_dir):
+    """Plan discipline for the second-wave round-6 queries: no
+    row-at-a-time Python UDFs, and the bounded sides the docstrings
+    promise to broadcast are actually broadcast."""
+    from commercial_rfp_data_pipeline_spark.io import release_pinned
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "extended"
+        )
+
+    q = all_queries()
+    names = [
+        "mmr_diversified_topk",
+        "compaction_bin_packing",
+        "link_prediction_resource_alloc",
+        "group_aware_split_audit",
+        "context_budget_packing",
+        "prf_query_expansion_topk",
+    ]
+    broadcast_expected = {
+        "mmr_diversified_topk",  # query vectors + tiny greedy frames
+        "context_budget_packing",  # query vectors
+        "group_aware_split_audit",  # leaked/total singletons
+    }
+    for name in names:
+        p = plan(q[name](spark, sf_dir))
+        release_pinned()
+        assert "BatchEvalPython" not in p and "pythonUDF" not in p, name
+        if name in broadcast_expected:
+            assert "Broadcast" in p, f"{name} lost its broadcast"
+
+
+def test_soft_retention_quota_and_determinism(spark, sf_dir):
+    """sqrt soft retention: per-cluster kept count equals
+    ceil(sqrt(n)), singletons always survive, kept docs are a strict
+    superset of one-survivor dedup in count, and the output is
+    repartition-invariant (md5 lottery, no partition state)."""
+    import math
+
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()["dedup_soft_retention_sqrt"]
+    rows = q(spark, sf_dir).collect()
+    by_fp: dict[str, list] = {}
+    for r in rows:
+        by_fp.setdefault(r.fp, []).append(r)
+    for fp, members in by_fp.items():
+        n = len(members)
+        assert all(r.n_members == n for r in members)
+        kept = [r for r in members if r.kept]
+        assert len(kept) == math.ceil(math.sqrt(n)), fp
+        assert {r.rank_in_cluster for r in members} == set(range(1, n + 1))
+        if n == 1:
+            assert members[0].kept
+    # repartition invariance: the md5 lottery is a pure row function
+    again = {
+        (r.doc_id, r.kept, r.rank_in_cluster) for r in q(spark, sf_dir).collect()
+    }
+    assert again == {(r.doc_id, r.kept, r.rank_in_cluster) for r in rows}
+
+
+def test_l_diversity_stricter_than_k(spark, sf_dir):
+    """l-diversity recomputed: distinct_sensitive is the true distinct
+    segment count per (nation, band) class, never exceeds group_size,
+    and the violates flag matches l=3."""
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["l_diversity_audit"](spark, sf_dir).collect()
+    assert rows
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("decimal(12,2)") / 1000)
+        .cast("int")
+        .alias("band"),
+        "c_mktsegment",
+    ).collect()
+    truth: dict[tuple, set] = {}
+    for r in c:
+        truth.setdefault((r.c_nationkey, r.band), set()).add(r.c_mktsegment)
+    for r in rows:
+        t = truth[(r.c_nationkey, r.balance_band)]
+        assert r.distinct_sensitive == len(t)
+        assert r.distinct_sensitive <= r.group_size
+        assert r.violates_l3 == (len(t) < 3)
+
+
+def test_tokenizer_fertility_ratios_consistent(spark, sf_dir):
+    """Fertility rows recomputed from per-doc counts: ratios equal the
+    corpus-level integer-sum division, fertility >= 1 (BPE never emits
+    fewer tokens than words on normalized text), every lang covered."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        bpe_token_count,
+        token_count,
+    )
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["tokenizer_fertility_by_lang"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        r.lang: (r.w, r.b)
+        for r in docs.select(
+            "lang",
+            token_count("text").alias("nw"),
+            bpe_token_count("text").alias("nb"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("nw").alias("w"), F.sum("nb").alias("b"))
+        .collect()
+    }
+    assert {r.lang for r in rows} == set(truth)
+    for r in rows:
+        w, b = truth[r.lang]
+        assert (r.total_words, r.total_bpe_tokens) == (w, b)
+        assert abs(r.fertility - round(b / w, 6)) < 1e-9
+        assert r.fertility >= 1.0
+
+
+def test_curriculum_phases_are_equal_mass_and_ordered(spark, sf_dir):
+    """Curriculum schedule: ordinals are a permutation of 0..n-1 in
+    (difficulty, doc_id) order, phases are the 3 integer-arithmetic
+    buckets (sizes differ by <= 1), and difficulty never decreases
+    across phase boundaries."""
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["curriculum_schedule_phases"](spark, sf_dir).collect()
+    n = len(rows)
+    rows.sort(key=lambda r: r.ordinal)
+    assert [r.ordinal for r in rows] == list(range(n))
+    assert rows == sorted(rows, key=lambda r: (r.difficulty, r.doc_id))
+    sizes = {}
+    for r in rows:
+        assert r.phase == (r.ordinal * 3) // n
+        sizes[r.phase] = sizes.get(r.phase, 0) + 1
+    assert set(sizes) == {0, 1, 2}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert max(r.difficulty for r in rows if r.phase == 0) <= min(
+        r.difficulty for r in rows if r.phase == 2
+    )
