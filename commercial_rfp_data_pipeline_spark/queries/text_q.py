@@ -2441,3 +2441,93 @@ def q_tokenizer_fertility(spark, sf_dir):
             F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---- code-switch (mixed-language document) detection -----------------
+
+_CS_CHUNK_CTE = """
+csbase AS (
+  SELECT doc_id, text,
+         1 + (greatest(length(text) - 120, 0) + 89) // 90 AS n_chunks
+  FROM documents
+),
+cschunks AS (
+  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id,
+         doc_id AS parent_id,
+         substr(text, 1 + pos * 90, 120) AS chunk
+  FROM (SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS pos
+        FROM csbase)
+)
+"""
+
+
+def _cs_oracle() -> str:
+    cvotes = _lang_votes_sql()
+    return f"""
+    WITH {_LANG_CTE.strip()},
+    {_CS_CHUNK_CTE.strip()},
+    cw AS (
+      SELECT chunk_id, parent_id,
+             string_split(lower(trim(regexp_replace(chunk, '\\s+', ' ',
+               'g'))), ' ') AS w
+      FROM cschunks
+    ),
+    cv AS (SELECT chunk_id, parent_id, {cvotes} FROM cw),
+    cp AS (SELECT chunk_id, parent_id, {_lang_case_sql()} AS chunk_pred
+           FROM cv)
+    SELECT l.doc_id, l.lang_pred,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN cp.chunk_pred <> l.lang_pred
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+           round(sum(CASE WHEN cp.chunk_pred <> l.lang_pred
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS disagree_frac,
+           (sum(CASE WHEN cp.chunk_pred <> l.lang_pred THEN 1 ELSE 0 END)
+              / CAST(count(*) AS DOUBLE)) >= 0.3 AS is_code_switched
+    FROM cp JOIN langs l ON l.doc_id = cp.parent_id
+    GROUP BY l.doc_id, l.lang_pred
+    """
+
+
+@query("code_switch_detection", _cs_oracle())
+def q_code_switch_detection(spark, sf_dir):
+    """Mixed-language (code-switch) detection: the doc-level stopword
+    lang-id is re-run on every 120/30 chunk, and a document whose
+    chunks disagree with its own label on >= 30% of chunks is flagged —
+    the curation step that catches concatenated multilingual crawl
+    pages a doc-level classifier papers over. Both the chunker and the
+    vote/argmax chains are the SAME generated logic as chunk_documents
+    and lang_id_heuristic, composed.
+
+    Scale: chunking is posexplode (no shuffle), per-chunk votes are
+    narrow expressions, and the only shuffle is the groupBy(parent) —
+    one pass over the chunk stream."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_pred = lang_id(docs).select("doc_id", "lang_pred")
+    chunks = chunk_text(docs, size=120, overlap=30)
+    chunk_pred = lang_id(
+        chunks.select(
+            F.col("chunk_id").alias("doc_id"), F.col("chunk").alias("text")
+        )
+    ).select(
+        F.col("doc_id").alias("chunk_id"),
+        F.col("lang_pred").alias("chunk_pred"),
+    )
+    joined = (
+        chunks.select("chunk_id", F.col("parent_id").cast("bigint").alias("doc_id"))
+        .join(chunk_pred, "chunk_id")
+        .join(doc_pred, "doc_id")
+    )
+    dis = F.when(F.col("chunk_pred") != F.col("lang_pred"), 1).otherwise(0)
+    return joined.groupBy("doc_id", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(dis).cast("bigint").alias("n_disagree"),
+        F.round(
+            F.sum(dis) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("disagree_frac"),
+        (
+            (F.sum(dis) / F.count(F.lit(1)).cast("double")) >= 0.3
+        ).alias("is_code_switched"),
+    )

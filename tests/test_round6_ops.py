@@ -726,3 +726,24 @@ def test_curriculum_phases_are_equal_mass_and_ordered(spark, sf_dir):
     assert max(r.difficulty for r in rows if r.phase == 0) <= min(
         r.difficulty for r in rows if r.phase == 2
     )
+
+
+def test_code_switch_flags_match_recomputation(spark, sf_dir):
+    """Code-switch audit recomputed: n_chunks matches the 120/30
+    chunker's count formula, disagree_frac = n_disagree/n_chunks, the
+    flag is exactly the 0.3 threshold, and every document appears
+    exactly once."""
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["code_switch_detection"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    lens = {r.doc_id: r.n for r in docs.select("doc_id", F.length("text").alias("n")).collect()}
+    for r in rows:
+        expect_chunks = 1 + (max(lens[r.doc_id] - 120, 0) + 89) // 90
+        assert r.n_chunks == expect_chunks, r.doc_id
+        assert 0 <= r.n_disagree <= r.n_chunks
+        frac = round(r.n_disagree / r.n_chunks, 6)
+        assert abs(r.disagree_frac - frac) < 1e-9
+        assert r.is_code_switched == (r.n_disagree / r.n_chunks >= 0.3)
