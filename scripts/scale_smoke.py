@@ -72,6 +72,18 @@ DEFAULT = {
     "spell_correct_query_terms": "documents",
     "gdpr_cascade_delete_audit": "customer",
     "revenue_touch_attribution": "events",
+    # round-6 second wave
+    "mmr_diversified_topk": "embeddings",
+    "context_budget_packing": "embeddings",
+    "prf_query_expansion_topk": "documents",
+    "compaction_bin_packing": "orders",
+    "link_prediction_resource_alloc": "lineitem",
+    "group_aware_split_audit": "documents",
+    "dedup_soft_retention_sqrt": "documents",
+    "l_diversity_audit": "customer",
+    "tokenizer_fertility_by_lang": "documents",
+    "curriculum_schedule_phases": "documents",
+    "code_switch_detection": "documents",
 }
 
 
