@@ -24,6 +24,96 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_AGG_FN = {"sum": F.sum, "min": F.min, "max": F.max}
+_COMBINE = {
+    "sum": lambda a, b: F.coalesce(a, F.lit(0)) + b,
+    "min": lambda a, b: F.least(F.coalesce(a, b), b),
+    "max": lambda a, b: F.greatest(F.coalesce(a, b), b),
+}
+
+
+def distributed_prefix_agg(
+    df: DataFrame,
+    values: dict[str, tuple[Column, str]],
+    order_by: list[Column],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` plus, for every ``values`` entry ``name: (col, agg)``
+    with agg in {sum, min, max}: ``{name}_incl`` (inclusive running
+    aggregate in ``order_by`` order) and ``{name}_before`` (exclusive;
+    0 for sums, NULL for min/max when no prior row exists — matching
+    what a ROWS UNBOUNDED PRECEDING..-1 window yields). ``order_by``
+    must be a TOTAL order (thread a unique tie-break column) or
+    results are partition-dependent.
+
+    Shape: range-exchange on the order columns, per-partition running
+    windows (partitionBy spark_partition_id), per-partition totals —
+    n_partitions rows — combined by the ONLY single-partition window
+    over that metadata-sized table, offsets broadcast back. min/max
+    are associative, so they ride the identical cascade as sum."""
+    sc = df.sparkSession.sparkContext
+    nparts = n_partitions or max(2, sc.defaultParallelism)
+    val_names = list(values)
+    with_vals = df
+    for name, (col, _) in values.items():
+        with_vals = with_vals.withColumn(f"_v_{name}", col)
+    parts = with_vals.repartitionByRange(nparts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_incl = Window.partitionBy("_pid").orderBy(*order_by)
+    w_excl = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts
+    for name, (_, agg) in values.items():
+        fn = _AGG_FN[agg]
+        local = local.withColumn(
+            f"_ci_{name}", fn(f"_v_{name}").over(w_incl)
+        ).withColumn(f"_ce_{name}", fn(f"_v_{name}").over(w_excl))
+    totals = local.groupBy("_pid").agg(
+        *[
+            _AGG_FN[agg](f"_v_{name}").alias(f"_t_{name}")
+            for name, (_, agg) in values.items()
+        ]
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[
+            _AGG_FN[agg](f"_t_{name}").over(w_off).alias(f"_o_{name}")
+            for name, (_, agg) in values.items()
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for name, (_, agg) in values.items():
+        if agg == "sum":
+            incl = F.coalesce(F.col(f"_o_{name}"), F.lit(0)) + F.col(
+                f"_ci_{name}"
+            )
+            excl = incl - F.col(f"_v_{name}")
+        else:
+            comb = _COMBINE[agg]
+            incl = comb(F.col(f"_o_{name}"), F.col(f"_ci_{name}"))
+            # exclusive: prior-partition offset combined with the
+            # local exclusive aggregate; NULL when neither exists
+            excl = F.when(
+                F.col(f"_ce_{name}").isNull(), F.col(f"_o_{name}")
+            ).otherwise(comb(F.col(f"_o_{name}"), F.col(f"_ce_{name}")))
+        out = out.withColumn(f"{name}_incl", incl).withColumn(
+            f"{name}_before", excl
+        )
+    drop = (
+        ["_pid"]
+        + [f"_v_{n}" for n in val_names]
+        + [f"_ci_{n}" for n in val_names]
+        + [f"_ce_{n}" for n in val_names]
+        + [f"_o_{n}" for n in val_names]
+    )
+    return out.drop(*drop)
+
+
 def distributed_prefix_sum(
     df: DataFrame,
     values: dict[str, Column],
@@ -34,48 +124,12 @@ def distributed_prefix_sum(
     (inclusive prefix sum in ``order_by`` order) and ``{name}_before``
     (exclusive). ``order_by`` must be a TOTAL order (thread a unique
     tie-break column) or results are partition-dependent."""
-    sc = df.sparkSession.sparkContext
-    nparts = n_partitions or max(2, sc.defaultParallelism)
-    val_names = list(values)
-    with_vals = df
-    for name, col in values.items():
-        with_vals = with_vals.withColumn(f"_v_{name}", col)
-    parts = with_vals.repartitionByRange(nparts, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    return distributed_prefix_agg(
+        df,
+        {name: (col, "sum") for name, col in values.items()},
+        order_by,
+        n_partitions,
     )
-    w = Window.partitionBy("_pid").orderBy(*order_by)
-    local = parts
-    for name in val_names:
-        local = local.withColumn(
-            f"_cl_{name}", F.sum(f"_v_{name}").over(w)
-        )
-    totals = local.groupBy("_pid").agg(
-        *[F.max(f"_cl_{name}").alias(f"_t_{name}") for name in val_names]
-    )
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_pid",
-        *[
-            F.coalesce(F.sum(f"_t_{name}").over(w_off), F.lit(0)).alias(
-                f"_o_{name}"
-            )
-            for name in val_names
-        ],
-    )
-    out = local.join(F.broadcast(offsets), "_pid")
-    for name in val_names:
-        out = out.withColumn(
-            f"{name}_incl", F.col(f"_cl_{name}") + F.col(f"_o_{name}")
-        ).withColumn(
-            f"{name}_before", F.col(f"{name}_incl") - F.col(f"_v_{name}")
-        )
-    drop = (
-        ["_pid"]
-        + [f"_v_{n}" for n in val_names]
-        + [f"_cl_{n}" for n in val_names]
-        + [f"_o_{n}" for n in val_names]
-    )
-    return out.drop(*drop)
 
 
 def holt_linear(

@@ -1028,9 +1028,17 @@ def q_cumulative_distinct_users(spark, sf_dir):
     """Cumulative distinct users by day — the growth curve. A naive
     count(DISTINCT) per growing window is O(days x users) re-scans;
     the first-occurrence decomposition is the scale shape: one
-    groupBy(user) min(ts) pass, one daily count, one running sum over
-    the tiny per-day table. Exactly how a 100-TB events store computes
-    'users to date' without ever holding a distinct set."""
+    groupBy(user) min(ts) pass, one daily count, one DISTRIBUTED
+    running sum over the per-day table (distributed_prefix_sum:
+    range-exchange + per-partition windows + a broadcast offsets
+    combine — never a partition-less window, so even a decades-long
+    daily frame never funnels through one task). Exactly how a 100-TB
+    events store computes 'users to date' without ever holding a
+    distinct set."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
     e = load_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.min("ts").cast("date").alias("first_day")
@@ -1038,11 +1046,10 @@ def q_cumulative_distinct_users(spark, sf_dir):
     daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return daily.select(
-        "day",
-        "new_users",
-        F.sum("new_users").over(w).alias("cumulative_users"),
+    return distributed_prefix_sum(
+        daily, {"cum": F.col("new_users")}, order_by=[F.col("day")]
+    ).select(
+        "day", "new_users", F.col("cum_incl").alias("cumulative_users")
     )
 
 
@@ -1347,12 +1354,12 @@ def q_concurrent_sessions_peak(spark, sf_dir):
     standard trick that replaces interval-overlap counting (quadratic)
     with one sort.
 
-    Scale: sessionization shuffles on user_id; the sweep is one window
-    over the BOUNDARY table (2 rows per session, not per event). A
-    single global time-ordered window is the one genuinely serial
-    step — at 100 TB, partition the sweep by day first (boundaries
-    crossing midnight carried via a per-day opening balance, the same
-    prefix-sum decomposition assign_token_shards uses)."""
+    Scale: sessionization shuffles on user_id; the sweep is one
+    DISTRIBUTED running sum over the BOUNDARY table (2 rows per
+    session, not per event) via distributed_prefix_sum — boundaries
+    range-partition on time, each partition sweeps locally, and
+    opening balances arrive as broadcast offsets, so no task ever
+    sees the whole timeline."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -1377,8 +1384,13 @@ def q_concurrent_sessions_peak(spark, sf_dir):
         spans.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
     )
     per_t = deltas.groupBy("t").agg(F.sum("d").alias("net"))
-    w3 = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
-    walk = per_t.withColumn("live", F.sum("net").over(w3))
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
+    walk = distributed_prefix_sum(
+        per_t, {"live": F.col("net")}, order_by=[F.col("t")]
+    ).withColumnRenamed("live_incl", "live")
     return walk.groupBy(F.col("t").cast("date").alias("day")).agg(
         F.max("live").cast("bigint").alias("peak_concurrent"),
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
@@ -1802,9 +1814,15 @@ def q_isotonic_fit(spark, sf_dir):
         .withColumn("_series", F.lit(0))
     )
     out = isotonic_fit(hourly, ["_series"], order_col="h", value_col="y")
-    idx = hourly.select(
-        "h", F.row_number().over(W.orderBy("h")).alias("i")
+    # series ordinal via the distributed rank (prefix-count of 1s in
+    # h order), not a partition-less row_number window
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
     )
+
+    idx = distributed_prefix_sum(
+        hourly, {"one": F.lit(1)}, order_by=[F.col("h")]
+    ).select("h", F.col("one_incl").cast("int").alias("i"))
     return (
         out.join(idx, "i")
         .select(F.col("h").alias("window_start"), "y", "y_iso")

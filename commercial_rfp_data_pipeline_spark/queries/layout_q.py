@@ -281,9 +281,10 @@ def q_compaction_bin_packing(spark, sf_dir):
             F.col("bytes_before").cast("bigint").alias("bytes_before"),
         )
         .groupBy(
-            (F.col("bytes_before") / F.lit(_COMPACT_TARGET))
-            .cast("bigint")
-            .alias("bin")
+            # exact integer floor division (`div`), matching the
+            # oracle's `//` — double division + cast would drift once
+            # cumulative bytes approach 2^53
+            F.expr(f"bytes_before div {_COMPACT_TARGET}").alias("bin")
         )
         .agg(
             F.count("*").cast("bigint").alias("n_files"),

@@ -963,9 +963,15 @@ def q_classifier_roc_auc(spark, sf_dir):
     true AUC is ~0.53 — the point oracle-checked here is the exact
     rank-sum computation, not a separable fixture.
 
-    Scale: one global sort for the rank (Spark range-partitions it),
-    one score-keyed window for tie averaging, one final fold — no
+    Scale: the rank is a distributed_prefix_sum of 1s over the
+    (score, label, doc_id) total order — a range-exchange with
+    broadcast offsets, NOT a partition-less row_number window that
+    would funnel the whole scored corpus through one task — then one
+    score-keyed window for tie averaging and one final fold. No
     per-threshold recomputation, no driver-side curve."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
     from commercial_rfp_data_pipeline_spark.operators.textops import (
         STOPWORDS_EN,
         token_count,
@@ -988,9 +994,11 @@ def q_classifier_roc_auc(spark, sf_dir):
             6,
         ).alias("score"),
     )
-    ranked = s.withColumn(
-        "rn", F.row_number().over(W.orderBy("score", "label", "doc_id"))
-    )
+    ranked = distributed_prefix_sum(
+        s,
+        {"one": F.lit(1)},
+        order_by=[F.col("score"), F.col("label"), F.col("doc_id")],
+    ).withColumn("rn", F.col("one_incl").cast("int"))
     avg_rn = ranked.withColumn("ar", F.avg("rn").over(W.partitionBy("score")))
     return avg_rn.agg(
         F.sum(F.when(F.col("label"), 1).otherwise(0))
@@ -1298,8 +1306,7 @@ def q_curriculum_schedule(spark, sf_dir):
         "doc_id",
         "difficulty",
         "ordinal",
-        ((F.col("ordinal") * 3) / F.col("n_total"))
-        .cast("bigint")
-        .cast("int")
-        .alias("phase"),
+        # exact integer floor division (`div`), matching the oracle's
+        # `//` — double division would drift near 2^53 / half-ulp ties
+        F.expr("(ordinal * 3) div n_total").cast("int").alias("phase"),
     )

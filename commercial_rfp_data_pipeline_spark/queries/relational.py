@@ -733,18 +733,26 @@ def q_skyline(spark, sf_dir):
     min size per distinct price (map-side-combining groupBy), strict-
     prefix running min across price groups, then a row survives iff
     no strictly-cheaper group reaches its size and no same-price row
-    is strictly smaller. The unpartitioned window runs over the
-    DISTINCT-PRICE table (already aggregated, orders of magnitude
-    smaller than rows; at true scale the same prefix-min rides the
-    range-partition + offsets cascade distributed_prefix_sum uses)."""
+    is strictly smaller. The strict-prefix min rides
+    distributed_prefix_agg's range-partition + offsets cascade
+    (operators/ordered.py) — per-partition running mins with a
+    single-partition combine over the n_partitions-row totals table
+    only — so no task ever sees the whole distinct-price frame."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_agg,
+    )
+
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_retailprice").cast(DEC).alias("price"),
         "p_size",
     )
     pg = p.groupBy("price").agg(F.min("p_size").alias("msize"))
-    w = W.orderBy("price").rowsBetween(W.unboundedPreceding, -1)
-    pg2 = pg.withColumn("pmin_strict", F.min("msize").over(w))
+    pg2 = distributed_prefix_agg(
+        pg, {"msize": (F.col("msize"), "min")}, order_by=[F.col("price")]
+    ).select(
+        "price", "msize", F.col("msize_before").alias("pmin_strict")
+    )
     joined = p.join(F.broadcast(pg2), "price")
     dominated = (
         F.col("pmin_strict").isNotNull()
@@ -882,9 +890,11 @@ def q_percent_of_total(spark, sf_dir):
     """Percent-of-parent at two grains — each nation's revenue share
     of its region and of the world — the BI report shape behind every
     treemap/contribution chart. DECIMAL revenue sums keep the shares'
-    numerators and denominators exact; the two window sums run over
-    the 25-row AGGREGATE, not the fact table (aggregate first, window
-    the rollup — the share math costs nothing at any scale)."""
+    numerators and denominators exact; the region denominator is a
+    region-partitioned window over the 25-row rollup, and the grand
+    total is a broadcast one-row aggregate (map-side partials), NOT a
+    partition-less `sum over ()` window — the same report at a finer
+    grain would otherwise funnel the whole rollup through one task."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -898,15 +908,15 @@ def q_percent_of_total(spark, sf_dir):
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
     )
     w_region = W.partitionBy("region")
-    w_all = W.partitionBy()
-    return rev.select(
+    total = rev.agg(F.sum("revenue").alias("_grand_total"))
+    return rev.crossJoin(F.broadcast(total)).select(
         "region",
         "nation",
         F.col("revenue").cast("double").alias("revenue"),
         F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6)
         .cast("double")
         .alias("share_of_region"),
-        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6)
+        F.round(F.col("revenue") / F.col("_grand_total"), 6)
         .cast("double")
         .alias("share_of_total"),
     )
@@ -1058,8 +1068,14 @@ def q_cohort_ltv(spark, sf_dir):
 def q_revenue_mom_growth(spark, sf_dir):
     """Month-over-month and year-over-year revenue growth — the
     period-comparison report every finance review opens with. The lag
-    windows run over the tiny monthly rollup; first months yield NULL
-    growth (no prior period), exactly as both engines state it."""
+    is CALENDAR lag (month - 1, month - 12), so the engine states it
+    as two equi-joins of the monthly rollup against itself shifted by
+    add_months — partitioned hash joins at any scale — instead of a
+    partition-less ordered window. (The oracle's lag(k) OVER (ORDER BY
+    month) agrees because TPC-H order dates cover every month with no
+    gaps; the join form is also the one that stays correct if a month
+    were missing.) First months yield NULL growth (no prior period),
+    exactly as both engines state it."""
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
@@ -1067,20 +1083,33 @@ def q_revenue_mom_growth(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = W.orderBy("month")
-    prev = F.lag("revenue").over(w)
-    prev12 = F.lag("revenue", 12).over(w)
-    return monthly.select(
-        "month",
-        "n_orders",
-        F.col("revenue").cast("double").alias("revenue"),
-        F.round(
-            (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
-        ).alias("mom_growth"),
-        F.round(
-            (F.col("revenue") - prev12).cast("double") / prev12.cast("double"),
-            6,
-        ).alias("yoy_growth"),
+    m1 = monthly.select(
+        F.add_months("month", 1).alias("month"),
+        F.col("revenue").alias("_prev1"),
+    )
+    m12 = monthly.select(
+        F.add_months("month", 12).alias("month"),
+        F.col("revenue").alias("_prev12"),
+    )
+    prev = F.col("_prev1")
+    prev12 = F.col("_prev12")
+    return (
+        monthly.join(m1, "month", "left")
+        .join(m12, "month", "left")
+        .select(
+            "month",
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                (F.col("revenue") - prev).cast("double") / prev.cast("double"),
+                6,
+            ).alias("mom_growth"),
+            F.round(
+                (F.col("revenue") - prev12).cast("double")
+                / prev12.cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
     )
 
 

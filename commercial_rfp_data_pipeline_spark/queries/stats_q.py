@@ -409,7 +409,11 @@ def q_market_basket_lift(spark, sf_dir):
     map-side combine; the per-part frequency table is part-sized and
     joins WITHOUT a forced broadcast (dimension-sized at SF100 —
     AQE picks broadcast vs shuffle from runtime stats); top-20 via
-    rank window on the support-filtered pair table."""
+    orderBy().limit(20) — TakeOrderedAndProject keeps a 20-row heap
+    per partition and merges 20 rows on the driver, NOT a global
+    row_number window that would funnel the ENTIRE support-filtered
+    pair table (which grows with the data) through one task; the rank
+    window then runs over the 20 surviving rows only."""
     li = load_table(spark, sf_dir, "lineitem")
     bask = li.select("l_orderkey", "l_partkey").distinct()
     n = bask.select(
@@ -460,8 +464,9 @@ def q_market_basket_lift(spark, sf_dir):
     )
     w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 20)
+        scored.orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
         .select("part_a", "part_b", "n_ab", "lift", "rnk")
     )
 
@@ -1487,14 +1492,18 @@ def q_decision_stump(spark, sf_dir):
     """Train a decision stump (one-level tree) distributed and
     EXACTLY: best threshold on order value for predicting
     fulfilled status, by weighted Gini over every distinct-value
-    split. One groupBy collapses ties, one ordered window builds the
-    prefix (count, positives) sums, every candidate split scores from
+    split. One groupBy collapses ties, distributed_prefix_sum builds
+    the prefix (count, positives) sums in one range-exchange (both
+    measures ride the same cascade — never a partition-less window
+    over the distinct-value frame), every candidate split scores from
     those two numbers, and a single TakeOrdered picks the argmin with
     a deterministic (gini, threshold) tiebreak — the exact-split
     search GBDT libraries approximate with histograms, runnable on
     100 TB because nothing ever materializes beyond the distinct
     feature values."""
-    from pyspark.sql import Window as W
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("x"),
@@ -1503,9 +1512,12 @@ def q_decision_stump(spark, sf_dir):
     grouped = o.groupBy("x").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
-    wc = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
-    cum = grouped.select(
-        "x", F.sum("cnt").over(wc).alias("nl"), F.sum("pos").over(wc).alias("pl")
+    cum = distributed_prefix_sum(
+        grouped,
+        {"nl": F.col("cnt"), "pl": F.col("pos")},
+        order_by=[F.col("x")],
+    ).select(
+        "x", F.col("nl_incl").alias("nl"), F.col("pl_incl").alias("pl")
     )
     tot = o.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p"))
     cand = (
@@ -1576,10 +1588,14 @@ def q_ks_two_sample(spark, sf_dir):
     and 2000 order-value distributions: D = max |ECDF_a - ECDF_b|,
     evaluated at every distinct value (where the supremum must occur),
     reported with its location — the nonparametric drift test next to
-    the binned PSI. One distinct-value groupBy, one ordered window for
-    both ECDFs, one TakeOrdered argmax; at 100 TB the state is the
-    distinct value set, never the raw rows."""
-    from pyspark.sql import Window as W
+    the binned PSI. One distinct-value groupBy, one
+    distributed_prefix_sum range-exchange carrying BOTH ECDF counters
+    (never a partition-less window over the distinct-value frame),
+    one TakeOrdered argmax; at 100 TB the state is the distinct value
+    set, never the raw rows."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_totalprice", F.year("o_orderdate").alias("y")
@@ -1595,11 +1611,15 @@ def q_ks_two_sample(spark, sf_dir):
     tot = pts.agg(
         F.sum("in_a").alias("ta"), F.sum("in_b").alias("tb")
     )
-    wc = W.orderBy("x").rowsBetween(W.unboundedPreceding, 0)
-    ecdf = g.crossJoin(F.broadcast(tot)).select(
+    cum = distributed_prefix_sum(
+        g,
+        {"ca": F.col("na"), "cb": F.col("nb")},
+        order_by=[F.col("x")],
+    )
+    ecdf = cum.crossJoin(F.broadcast(tot)).select(
         "x",
-        (F.sum("na").over(wc) / F.col("ta").cast("double")).alias("fa"),
-        (F.sum("nb").over(wc) / F.col("tb").cast("double")).alias("fb"),
+        (F.col("ca_incl") / F.col("ta").cast("double")).alias("fa"),
+        (F.col("cb_incl") / F.col("tb").cast("double")).alias("fb"),
     )
     scored = ecdf.select(
         "x", F.round(F.abs(F.col("fa") - F.col("fb")), 9).alias("d")

@@ -821,8 +821,8 @@ def q_bpe_merge_candidates(spark, sf_dir):
     over the UNIQUE-WORD table (not the corpus — bigram expansion
     happens after frequency aggregation, so a word repeated a million
     times explodes once); pair counting is a second small groupBy;
-    top-20 is TakeOrderedAndProject via the rank window over the tiny
-    pair table."""
+    top-20 is orderBy().limit(20) — TakeOrderedAndProject — with the
+    rank window attached over the 20 surviving rows."""
     d = load_table(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(words("text")).alias("word"))
@@ -838,10 +838,14 @@ def q_bpe_merge_candidates(spark, sf_dir):
         "wn",
     )
     pc = pairs.groupBy("pair").agg(F.sum("wn").alias("n"))
+    # limit-first: TakeOrderedAndProject (per-partition heaps) even
+    # though the bigram domain is charset-bounded — the rank window
+    # then runs over the 20 surviving rows only
     w = Window.orderBy(F.col("n").desc(), "pair")
     return (
-        pc.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 20)
+        pc.orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
         .select("pair", "n", "rnk")
     )
 
@@ -1859,10 +1863,12 @@ def q_spell_correct(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("df")),
         "spell_vocab",
     )
-    wtop = Window.orderBy(F.col("df").desc(), "word")
+    # TakeOrderedAndProject for the top-N query terms (per-partition
+    # heaps, N rows to the driver) — NOT a global row_number window,
+    # which would funnel the full (unbounded) vocabulary into one task
     qterms = (
-        vocab.withColumn("_r", F.row_number().over(wtop))
-        .filter(F.col("_r") <= _SPELL_NQ)
+        vocab.orderBy(F.col("df").desc(), "word")
+        .limit(_SPELL_NQ)
         .select(
             F.concat(
                 F.substring("word", 1, 1),

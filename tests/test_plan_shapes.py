@@ -800,3 +800,35 @@ def test_round5_queries_plan_shapes(spark, sf_dir):
         assert "BatchEvalPython" not in p and "pythonUDF" not in p, name
         if name in broadcast_expected:
             assert "Broadcast" in p, f"{name} lost its broadcast"
+
+
+def test_no_unbounded_global_windows(spark, sf_dir):
+    """Registry-wide invariant (round 7): NO query plans a Window with
+    an empty partition spec over a frame that grows with the data — the
+    single-task funnel class (`WindowExec: No Partition Defined`) the
+    round-6 review found in market_basket_lift_top20 and
+    spell_correct_query_terms, and this lint then found in seven more
+    (roc_auc rank, decision-stump / KS cumulatives, sweep-line walk,
+    cumulative users, skyline prefix-min, mom-growth lag, percent-of-
+    total grand total). Bounded constructions — rank-after-limit,
+    `distributed_prefix_agg`'s one-row-per-partition offsets frame, the
+    256-row hash-ring bucket table — are recognized structurally in
+    plans/lint.py, not by query name, so a new query can only pass by
+    actually being bounded."""
+    from commercial_rfp_data_pipeline_spark.io import release_pinned
+    from commercial_rfp_data_pipeline_spark.plans.lint import (
+        global_window_violations,
+    )
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    bad = {}
+    for name, fn in sorted(all_queries().items()):
+        try:
+            viols = global_window_violations(fn(spark, sf_dir))
+        except Exception as e:  # plan build failure is its own failure
+            viols = [f"plan build failed: {e!r}"]
+        finally:
+            release_pinned()
+        if viols:
+            bad[name] = viols
+    assert not bad, f"unbounded global windows in {len(bad)} queries: {bad}"

@@ -1,5 +1,10 @@
-"""Round-6 operator tests: recipe rebalancing, incremental IVF
-maintenance, semantic cache, deep HNSW."""
+"""Round-6 operator tests.
+
+First wave: recipe rebalancing, incremental IVF maintenance, semantic
+cache, deep HNSW. Second wave: MMR diversification, context budget
+packing, PRF expansion, compaction bin-packing, link prediction,
+leakage-safe splits, soft sqrt retention, l-diversity, tokenizer
+fertility, curriculum phases, code-switch detection."""
 
 from __future__ import annotations
 
