@@ -107,3 +107,163 @@ def frame_sample(df: DataFrame, every_n: int = 8) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+def perceptual_ahash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over binary payloads — the
+    content-aware complement to exact byte dedup (`extract_features`'s
+    content_md5): re-encoded duplicates have different BYTES but the
+    same PERCEPTUAL content, so byte hashing keeps them apart while
+    aHash clusters them.
+
+    Real-pipeline shape: decode -> downsample to an 8x8 luma grid ->
+    bit = cell > mean -> 64-bit hash, then Hamming-banded candidate
+    join. The decode+downsample step here is the deterministic
+    in-sandbox fake (no media libs — same seam as decode_image_stub):
+    the payload's decoded text is normalized and its word BIGRAMS are
+    folded into 64 grid cells by md5 bucket, so payloads with mostly
+    shared content land on mostly equal cells — the same
+    robust-to-small-edits behavior a real resize kernel gives —
+    while the mean-threshold bits, banding, and Hamming clustering
+    above the fake are the REAL operators (pure integer expressions,
+    zero UDFs, exactly restatable in ANSI SQL).
+
+    Returns (id_col, ahash hex string, bits array<int>[64],
+    bands array<int>[8]); bands split the 64 bits into 8 bytes for
+    LSH-style candidate generation — by pigeonhole, any pair at
+    Hamming distance <= 7 shares at least one identical band, so a
+    band-equality join is a COMPLETE candidate generator for any
+    threshold <= 7 (never a corpus x corpus comparison)."""
+    t = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.decode(F.col(payload_col), "UTF-8").cast("string"),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    base = df.select(F.col(id_col), t.alias("_t"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(F.split(F.col("_t"), " ")) >= 2,
+                F.expr(
+                    "transform(sequence(1, size(split(_t, ' ')) - 1), "
+                    "i -> concat(element_at(split(_t, ' '), i), ' ', "
+                    "element_at(split(_t, ' '), i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 2), 16, 10).cast("int") % 64
+    )
+    counts = grams.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("int").alias("c")
+    )
+    cellmap = counts.groupBy(id_col).agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("c")
+        ).alias("_m")
+    )
+    cells = (
+        base.select(id_col)
+        .join(cellmap, id_col, "left")
+        .select(
+            id_col,
+            F.expr(
+                "transform(sequence(0, 63), "
+                "k -> coalesce(element_at(_m, CAST(k AS INT)), 0))"
+            ).alias("cl"),
+        )
+        .withColumn(
+            "s",
+            F.aggregate(
+                "cl", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ),
+        )
+    )
+    bits = cells.select(
+        id_col,
+        F.transform(
+            "cl",
+            lambda x: F.when(
+                x.cast("long") * 64 > F.col("s"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).alias("bits"),
+    )
+    # band b = sum_j bits[8b+j] * 2^j (j = LSB); identical weighting in
+    # the SQL oracle
+    bands = F.expr(
+        "transform(sequence(0, 7), b -> CAST(aggregate("
+        "  sequence(0, 7), 0, "
+        "  (acc, j) -> acc + element_at(bits, 8 * b + j + 1) "
+        "              * CAST(pow(2, j) AS INT)) AS INT))"
+    )
+    return bits.select(
+        id_col,
+        F.concat_ws(
+            "", F.transform(bands, lambda v: F.format_string("%02x", v))
+        ).alias("ahash"),
+        "bits",
+        bands.alias("bands"),
+    )
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs from `perceptual_ahash` output:
+    band-equality join (complete for max_hamming <= 7 by pigeonhole
+    over the 8 bands), then exact Hamming verify on the 64-bit
+    vectors. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Scale: the shuffle key is (band_idx, band_value) — each bucket
+    holds only payloads agreeing on 8 specific bits, so candidate
+    volume is sum-of-bucket-squares, never corpus x corpus."""
+    if max_hamming > 7:
+        raise ValueError(
+            "8-band generation is only complete for max_hamming <= 7"
+        )
+    bt = hashes.select(
+        F.col(id_col), F.posexplode("bands").alias("b", "val")
+    )
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col(id_col).alias("doc_a"), F.col("bits").alias("_ba")
+    )
+    hb = hashes.select(
+        F.col(id_col).alias("doc_b"), F.col("bits").alias("_bb")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "_ba", "_bb", lambda x, y: F.when(x != y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

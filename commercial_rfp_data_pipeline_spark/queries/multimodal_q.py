@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.io import load_table, pin
 from commercial_rfp_data_pipeline_spark.operators.multimodal import (
     attach_binary,
     extract_features,
@@ -396,4 +396,146 @@ def q_crossmodal_hard_negatives(spark, sf_dir):
         "pos_sim",
         F.round(F.col("sim") - F.col("pos_sim"), 6).alias("margin"),
         F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+# ---- perceptual near-dup (aHash) -------------------------------------
+# Byte dedup (multimodal_payload_dedup) answers "same file?"; real
+# media pipelines also need "same content, different encoding?" — the
+# perceptual-hash family (aHash/dHash/pHash). The deterministic fake
+# decode folds payload-text word bigrams into an 8x8 grid (see
+# operators/multimodal.py:perceptual_ahash); everything above the fake
+# — mean-threshold bits, 8-band candidate generation, Hamming verify,
+# connected-component clustering — is the real operator chain, stated
+# in pure integer expressions so the oracle is exact ANSI SQL.
+
+_AHASH_HAM_T = 6
+
+_HEXW = "strpos('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1"
+_AH_BUCKET = f"(({_HEXW.format(pos=1)}) * 16 + ({_HEXW.format(pos=2)})) % 64"
+
+_AHASH_CTE = f"""
+d AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(
+           CAST(text AS VARCHAR), '\\s+', ' ', 'g'))), ' ') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)] AS w
+  FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2
+),
+bcounts AS (
+  SELECT doc_id, {_AH_BUCKET} AS bucket, count(*) AS c
+  FROM grams GROUP BY 1, 2
+),
+grid AS (
+  SELECT dd.doc_id, k.k, coalesce(c.c, 0) AS c
+  FROM (SELECT doc_id FROM d) dd
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) k
+  LEFT JOIN bcounts c ON c.doc_id = dd.doc_id AND c.bucket = k.k
+),
+cells AS (
+  SELECT doc_id, list(c ORDER BY k) AS cl, sum(c) AS s
+  FROM grid GROUP BY doc_id
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(cl, x -> CASE WHEN 64 * x > s THEN 1 ELSE 0 END)
+           AS b
+  FROM cells
+),
+hx AS (
+  SELECT doc_id,
+         list_aggregate(
+           list_transform(generate_series(0, 7), bb -> printf('%02x',
+             CAST(list_sum(list_transform(generate_series(0, 7),
+               j -> b[CAST(8 * bb + j + 1 AS INTEGER)] * (1 << j)))
+             AS INTEGER))),
+           'string_agg', '') AS ahash
+  FROM bits
+),
+phpairs AS (
+  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM bits a JOIN bits bb ON a.doc_id < bb.doc_id
+  WHERE len(list_filter(generate_series(1, 64),
+        i -> a.b[CAST(i AS INTEGER)] <> bb.b[CAST(i AS INTEGER)]))
+        <= {_AHASH_HAM_T}
+)
+"""
+
+
+@query(
+    "multimodal_phash_neardup",
+    f"""
+    WITH RECURSIVE {_AHASH_CTE.strip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM phpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM phpairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM d
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS n_members FROM clusters
+      GROUP BY cluster_id
+    )
+    SELECT c.doc_id, h.ahash, c.cluster_id, s.n_members,
+           (c.doc_id = c.cluster_id) AS is_canonical
+    FROM clusters c
+    JOIN hx h USING (doc_id)
+    JOIN sizes s USING (cluster_id)
+    """,
+)
+def q_mm_phash_neardup(spark, sf_dir):
+    """Perceptual near-dup clustering over media payloads: aHash
+    (operators/multimodal.py:perceptual_ahash) -> 8-band candidate
+    join (complete for Hamming <= 7 by pigeonhole) -> exact Hamming
+    verify at <= 6 -> connected components (the SAME dup_clusters
+    hash-min operator the text dedup family uses) -> canonical =
+    min-id member. Byte-distinct but perceptually-identical payloads
+    cluster together here while multimodal_payload_dedup keeps them
+    apart (tests/test_multimodal.py states the contrast on fixture
+    payloads). The oracle recomputes the hash bit-for-bit and
+    brute-forces ALL pairs, so a hash-green result also proves the
+    band-join candidate generation is COMPLETE, not just precise.
+
+    Scale: hashing is one narrow expression-only pass + one bounded
+    (doc, bucket<=64) groupBy; candidates shuffle on (band, value)
+    buckets — never corpus x corpus; CC runs on the verified pairs
+    only."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        perceptual_ahash,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = pin(perceptual_ahash(attach_binary(docs)))
+    pairs = ahash_neardup_pairs(hashes, max_hamming=_AHASH_HAM_T)
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    return (
+        clusters.join(hashes.select("doc_id", "ahash"), "doc_id")
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
+        )
+        .select(
+            "doc_id",
+            "ahash",
+            "cluster_id",
+            "n_members",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
     )

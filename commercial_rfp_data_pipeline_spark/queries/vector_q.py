@@ -2644,21 +2644,23 @@ def q_mmr_diversified(spark, sf_dir):
 
     Scale: the corpus is scanned ONCE for the shortlist (same funnel
     as two_stage_rerank_topk); the candidate and pair frames are
-    queries x C and queries x C^2 rows (bounded by config, pinned),
-    and each of the K-1 greedy rounds is a join over those pinned
-    frames only — selection cost is independent of corpus size."""
+    queries x C and queries x C^2 rows (bounded by config), and the
+    ENTIRE K-step greedy runs as ONE applyInPandas over the per-q_id
+    groups of that bounded frame — one shuffle + one Arrow stage,
+    instead of K-1 rounds of anti-join/join/window/union whose ~10 s
+    of pure job-scheduling overhead dominated the round-6 bench.
+    Selection cost stays independent of corpus size; the per-group
+    state is C candidates + C^2 pair sims (144 floats).
+
+    Cross-engine exactness: pair/query similarities are rounded to
+    6 dp IN SPARK (the sequential-fold _dot, identical to the
+    oracle's), and the greedy recomputes the MMR score with Python
+    Decimal — Decimal(repr(x)).quantize(1e-6, HALF_UP) is
+    bit-equivalent to Spark's double->DECIMAL(9,6) cast (both go
+    through shortest-string repr then HALF_UP), and 0.7/0.3 are exact
+    DECIMAL(2,1) on all three engines — so scores, ordering, and
+    hashes match _mmr_oracle_sql exactly."""
     from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
-
-    lam = F.lit(_MMR_LAMBDA).cast("decimal(2,1)")
-    mu = F.lit(round(1.0 - _MMR_LAMBDA, 6)).cast("decimal(2,1)")
-
-    def _mmr_score(rel_col, ms_col):
-        # exact decimal arithmetic, cast once to double — see
-        # _mmr_score_sql for why a double-side round() is NOT safe here
-        return (
-            lam * rel_col.cast("decimal(9,6)")
-            - mu * ms_col.cast("decimal(9,6)")
-        ).cast("double")
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -2687,61 +2689,99 @@ def q_mmr_diversified(spark, sf_dir):
         / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
         6,
     )
-    pairs = pin(
-        a.join(
-            b,
-            (F.col("a.q_id") == F.col("b.q_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        ).select(
-            F.col("a.q_id").alias("q_id"),
-            F.col("a.vec_id").alias("d_id"),
-            F.col("b.vec_id").alias("s_id"),
-            psim.alias("psim"),
-        )
+    pairs = a.join(
+        b,
+        (F.col("a.q_id") == F.col("b.q_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.q_id").alias("q_id"),
+        F.col("a.vec_id").alias("d_id"),
+        F.col("b.vec_id").alias("s_id"),
+        psim.alias("psim"),
     )
-    w1 = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
-    selected = (
-        cand.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
+    # one frame per q_id group: candidate rows (kind 'c') + pair rows
+    # (kind 'p'); the whole greedy runs group-locally in one Arrow pass
+    grouped = cand.select(
+        "q_id",
+        F.lit("c").alias("kind"),
+        "vec_id",
+        "rel",
+        F.lit(None).cast("long").alias("s_id"),
+        F.lit(None).cast("double").alias("psim"),
+    ).unionByName(
+        pairs.select(
             "q_id",
-            "vec_id",
-            F.lit(1).alias("step"),
-            "rel",
-            F.lit(0.0).alias("max_sim_selected"),
-            _mmr_score(F.col("rel"), F.lit(0.0)).alias("mmr"),
+            F.lit("p").alias("kind"),
+            F.col("d_id").alias("vec_id"),
+            F.lit(None).cast("double").alias("rel"),
+            "s_id",
+            "psim",
         )
     )
-    for step in range(2, _MMR_K + 1):
-        sel_keys = selected.select("q_id", "vec_id")
-        remaining = cand.join(sel_keys, ["q_id", "vec_id"], "left_anti")
-        maxsim = (
-            pairs.join(
-                sel_keys.withColumnRenamed("vec_id", "s_id"), ["q_id", "s_id"]
+    n_steps = _MMR_K
+    lam_s, mu_s = str(_MMR_LAMBDA), str(round(1.0 - _MMR_LAMBDA, 6))
+
+    def greedy(pdf):
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        six = Decimal("0.000001")
+        lam, mu = Decimal(lam_s), Decimal(mu_s)
+
+        def d6(x):
+            # bit-equivalent to Spark's double -> DECIMAL(9,6) cast:
+            # shortest-string repr, then setScale(6, HALF_UP)
+            return Decimal(repr(float(x))).quantize(
+                six, rounding=ROUND_HALF_UP
             )
-            .groupBy("q_id", F.col("d_id").alias("vec_id"))
-            .agg(F.max("psim").alias("max_sim_selected"))
-        )
-        score = _mmr_score(F.col("rel"), F.col("max_sim_selected"))
-        ws = Window.partitionBy("q_id").orderBy(
-            F.col("mmr").desc(), F.col("vec_id")
-        )
-        picked = (
-            remaining.join(maxsim, ["q_id", "vec_id"])
-            .withColumn("mmr", score)
-            .withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select(
+
+        qid = int(pdf["q_id"].iloc[0])
+        cs = pdf[pdf["kind"] == "c"]
+        rels = {
+            int(v): float(r) for v, r in zip(cs["vec_id"], cs["rel"])
+        }
+        ps = pdf[pdf["kind"] == "p"]
+        sims = {
+            (int(d), int(s)): float(x)
+            for d, s, x in zip(ps["vec_id"], ps["s_id"], ps["psim"])
+        }
+        first = min(rels, key=lambda v: (-rels[v], v))
+        out = [
+            (qid, first, 1, rels[first], 0.0, float(lam * d6(rels[first])))
+        ]
+        selected = [first]
+        for step in range(2, n_steps + 1):
+            best = None
+            for v, r in rels.items():
+                if v in selected:
+                    continue
+                ms = max(sims[(v, s)] for s in selected)
+                mmr = float(lam * d6(r) - mu * d6(ms))
+                k = (-mmr, v)
+                if best is None or k < best[0]:
+                    best = (k, v, r, ms, mmr)
+            _, v, r, ms, mmr = best
+            out.append((qid, v, step, r, ms, mmr))
+            selected.append(v)
+        return pd.DataFrame(
+            out,
+            columns=[
                 "q_id",
                 "vec_id",
-                F.lit(step).alias("step"),
+                "step",
                 "rel",
                 "max_sim_selected",
                 "mmr",
-            )
+            ],
         )
-        selected = selected.unionByName(picked)
-    return selected.withColumn("step", F.col("step").cast("int"))
+
+    return grouped.groupBy("q_id").applyInPandas(
+        greedy,
+        schema=(
+            "q_id long, vec_id long, step int, rel double, "
+            "max_sim_selected double, mmr double"
+        ),
+    )
 
 
 # ---- context budget packing (RAG prompt assembly) --------------------

@@ -178,6 +178,53 @@ def test_multimodal_stub_and_plumbing(spark, sf_dir):
     assert {r.mime for r in rows} <= {"image/png", "audio/wav", "video/mp4"}
 
 
+def test_perceptual_ahash_clusters_what_byte_dedup_cannot(spark):
+    """The round-7 contrast: byte-DISTINCT but perceptually-identical
+    payloads (same content, different whitespace/case — the re-encoded
+    duplicate) land in ONE aHash cluster, while exact byte dedup
+    (content_md5) keeps them apart; an unrelated payload stays in its
+    own cluster. Also pins the pigeonhole completeness claim: the
+    banded candidate join finds the pair without any brute-force
+    fallback."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        attach_binary,
+        extract_features,
+        perceptual_ahash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            # byte-distinct re-encoding: case + whitespace variants
+            (1, "  The   QUICK brown fox JUMPS over the lazy dog near the old river BANK "),
+            (2, "completely different payload about spark shuffles joins aggregates windows partitions executors stages"),
+        ],
+        "doc_id long, text string",
+    )
+    b = attach_binary(docs)
+
+    # exact byte dedup: all three payloads are byte-distinct
+    md5s = [r.content_md5 for r in extract_features(b).collect()]
+    assert len(set(md5s)) == 3
+
+    hashes = perceptual_ahash(b)
+    pairs = ahash_neardup_pairs(hashes, max_hamming=6)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 0  # normalization-identical
+    assert (0, 2) not in got and (1, 2) not in got
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(docs.select("doc_id"), pairs).collect()
+    }
+    assert clusters[0] == clusters[1] == 0 and clusters[2] == 2
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     """Streaming tumbling counts == batch tumbling counts on the finite
     events table (batch is the DuckDB-checked oracle)."""
