@@ -46,21 +46,61 @@ HEADLINE = [
 ]
 
 
-def _read_steal():
-    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux.
+def _read_cpu():
+    """(busy_ticks, steal_ticks, total_ticks) from /proc/stat, or None.
 
     Steal (field 8) is time the hypervisor ran OTHER guests — the
-    direct signature of the external VM load that poisoned the round-5
-    artifact (numbers 4-7x inflated; judge adjudicated it environment,
-    not code). Recording it per query makes the artifact
-    self-adjudicating."""
+    signature of the external VM load that poisoned the round-5
+    artifact. busy = total - idle - iowait additionally captures
+    co-tenant processes INSIDE this machine (the round-6 hole: 16 s
+    pagerank entries recorded at load1 ~9 with steal under the gate —
+    the competing load was local, which steal never sees)."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()
         vals = [int(x) for x in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        total = sum(vals)
+        return total - idle, steal, total
     except (OSError, ValueError, IndexError):
+        return None
+
+
+def _subtree_ticks() -> int | None:
+    """utime+stime ticks of THIS process and every descendant (the
+    Spark JVM, Python workers). busy-ticks minus this is CPU burned by
+    processes that are not us — the external-load signal that, unlike
+    loadavg, is not polluted by our own 32-core bursts."""
+    try:
+        me = os.getpid()
+        ppid_of: dict[int, int] = {}
+        ticks_of: dict[int, int] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    rest = f.read().rsplit(") ", 1)[1].split()
+            except (OSError, IndexError):
+                continue
+            pid = int(entry)
+            # after the comm field: rest[0]=state, rest[1]=ppid,
+            # rest[11]=utime, rest[12]=stime
+            ppid_of[pid] = int(rest[1])
+            ticks_of[pid] = int(rest[11]) + int(rest[12])
+
+        def is_ours(pid: int) -> bool:
+            seen = set()
+            while pid > 1 and pid not in seen:
+                if pid == me:
+                    return True
+                seen.add(pid)
+                pid = ppid_of.get(pid, 0)
+            return False
+
+        return sum(t for p, t in ticks_of.items() if is_ours(p))
+    except OSError:
         return None
 
 
@@ -125,40 +165,70 @@ def main() -> None:
     # polluting the recorded number while leaving fast queries at one run
     RERUN_THRESHOLD_S = 3.0
 
-    # steal fraction above this during a slow query triggers an extra
-    # re-run (external load, not our cost)
+    # per-RUN external-interference thresholds that trigger a third run:
+    # hypervisor steal (other guests) or external CPU cores (other
+    # processes on THIS machine — what the round-6 quiet-START gate +
+    # steal check both missed when load arrived mid-run)
     STEAL_RETRY_PCT = 3.0
+    EXT_CORES_RETRY = float(os.environ.get("SPARK_GRAFT_EXT_CORES", "4"))
+    tick_hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
-    def run_once(name: str) -> tuple[float, float, float]:
-        s0 = _read_steal()
+    def run_once(name: str) -> dict:
+        c0, o0 = _read_cpu(), _subtree_ticks()
         t0 = time.time()
         queries[name](spark, sf_dir).count()
         elapsed = round(time.time() - t0, 3)
-        s1 = _read_steal()
-        steal_pct = 0.0
-        if s0 and s1 and s1[1] > s0[1]:
-            steal_pct = round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
+        c1, o1 = _read_cpu(), _subtree_ticks()
+        steal_pct, ext_cores = 0.0, 0.0
+        if c0 and c1 and c1[2] > c0[2]:
+            steal_pct = round(
+                100.0 * (c1[1] - c0[1]) / (c1[2] - c0[2]), 2
+            )
+            if o0 is not None and o1 is not None and elapsed > 0:
+                ext_ticks = max(0, (c1[0] - c0[0]) - (o1 - o0))
+                ext_cores = round(ext_ticks / tick_hz / elapsed, 2)
         # queries are self-contained: release the pinned build products
         # (io.pin) and any stray cache so storage memory can't squeeze
         # execution memory (shuffle/sort spill) for queries that follow
         release_pinned()
         spark.catalog.clearCache()
-        return elapsed, steal_pct, round(os.getloadavg()[0], 2)
+        return {
+            "t": elapsed,
+            "steal_pct": steal_pct,
+            "ext_cores": ext_cores,
+            "load1": round(os.getloadavg()[0], 2),
+        }
+
+    def interfered(r: dict) -> bool:
+        return r["steal_pct"] > STEAL_RETRY_PCT or r["ext_cores"] > EXT_CORES_RETRY
 
     timings: dict[str, float] = {}
-    env: dict[str, dict[str, float]] = {}
+    env: dict[str, dict] = {}
     for name in names:
         try:
-            t, steal, load1 = run_once(name)
-            runs = 1
-            while t > RERUN_THRESHOLD_S and (
-                runs < 2 or (steal > STEAL_RETRY_PCT and runs < 3)
+            attempts = [run_once(name)]
+            # best-of-2 for anything slow; a third run if the better of
+            # the two still shows external interference DURING the run
+            while attempts[-1]["t"] > RERUN_THRESHOLD_S and (
+                len(attempts) < 2
+                or (
+                    len(attempts) < 3
+                    and interfered(min(attempts, key=lambda r: r["t"]))
+                )
             ):
-                t2, steal, load1 = run_once(name)
-                t = min(t, t2)
-                runs += 1
-            timings[name] = t
-            env[name] = {"steal_pct": steal, "load1": load1, "runs": runs}
+                attempts.append(run_once(name))
+            best = min(attempts, key=lambda r: r["t"])
+            timings[name] = best["t"]
+            env[name] = {
+                "steal_pct": best["steal_pct"],
+                "ext_cores": best["ext_cores"],
+                "load1": best["load1"],
+                "runs": len(attempts),
+                "all_runs": [
+                    [r["t"], r["steal_pct"], r["ext_cores"], r["load1"]]
+                    for r in attempts
+                ],
+            }
         except Exception as e:  # keep benching; a failed query shows as -1
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -195,6 +265,8 @@ def main() -> None:
     del compact["env"]
     steals = [v["steal_pct"] for v in env.values()]
     compact["max_steal_pct"] = max(steals) if steals else 0.0
+    exts = [v["ext_cores"] for v in env.values()]
+    compact["max_ext_cores"] = max(exts) if exts else 0.0
     print(json.dumps(compact))
 
 

@@ -210,6 +210,52 @@ def append_to_ivf_index(
     )
 
 
+def append_to_ivf_index_reconciled(
+    spark: SparkSession, warehouse: str, new_docs: DataFrame
+) -> int:
+    """Replay-IDEMPOTENT incremental IVF append — the variant an
+    at-least-once scheduler (Structured Streaming ``foreachBatch``)
+    must use: ``append_to_ivf_index``'s blind ``mode("append")``
+    doubles rows when a batch replays after a crash. This one assigns
+    under the frozen centroids exactly like the batch op, then
+    RECONCILES before writing: chunk_ids already present in the
+    touched cells (a partition-pruned read — only the <= k cells this
+    batch lands in) are anti-joined away and only the complement is
+    appended. Convergent under both failure modes of at-least-once
+    delivery: a full replay appends nothing, and a crash that left a
+    PARTIAL batch (parquet task commits are per-file atomic, so the
+    committed subset is a clean prefix of the batch's files) is
+    repaired by appending exactly the missing rows. Appended rows stay
+    in the ONE partitioned cell layout, so search, drift reporting,
+    and bounded re-clustering (``ivf_maintain``) compose with streamed
+    data unchanged. Returns the number of rows actually appended."""
+    from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
+    from commercial_rfp_data_pipeline_spark.operators.vector import ivf_assign
+
+    cells_path = os.path.join(warehouse, "ivf_cells")
+    cents = spark.read.parquet(os.path.join(warehouse, "ivf_centroids"))
+    chunks = chunk_text(new_docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+    emb = build_embeddings(chunks)
+    assigned = ivf_assign(
+        emb, id_col="chunk_id", vec_col="embedding", cents=cents
+    ).select("chunk_id", "embedding", "cent_id", "_n")
+    touched = [
+        r.cent_id for r in assigned.select("cent_id").distinct().collect()
+    ]
+    existing = (
+        spark.read.parquet(cells_path)
+        .filter(F.col("cent_id").isin(touched))
+        .select("chunk_id")
+    )
+    # materialize BEFORE the write: the plan reads the same path it
+    # appends to, so the reconciliation must be pinned first
+    fresh = assigned.join(existing, "chunk_id", "left_anti").localCheckpoint()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").partitionBy("cent_id").parquet(cells_path)
+    return n
+
+
 def search(
     spark: SparkSession, warehouse: str, query_texts: list[str], k: int = 5
 ) -> DataFrame:
@@ -732,19 +778,29 @@ def ivf_maintain(
     if not drifted_ids:
         return {"n_drifted": 0, "n_reassigned": 0, "drifted_ids": []}
 
+    cents_schema = spark.read.parquet(cents_path).schema
+    cid_type = next(
+        f.dataType.simpleString()
+        for f in cents_schema
+        if f.name == "cent_id"
+    )
     cents_rows = spark.read.parquet(cents_path).collect()
     members = spark.read.parquet(cells_path).filter(
         F.col("cent_id").isin(drifted_ids)
     ).select("chunk_id", "embedding", "_n")
+    # cent_id inherits the corpus id type (long for the embeddings
+    # table, STRING for chunk-text ids like '41_1') — infer it from
+    # the stored table instead of assuming long
     fam_init = spark.createDataFrame(
         [
             (r["cent_id"], [float(x) for x in r["cent_vec"]])
             for r in cents_rows
             if r["cent_id"] in set(drifted_ids)
         ],
-        "cent_id long, cent_vec array<double>",
+        f"cent_id {cid_type}, cent_vec array<double>",
     )
     fam = fam_init.withColumn("_cn", _norm(F.col("cent_vec")))
+    from pyspark.sql import Window as _W
 
     def assign(c):
         j = members.crossJoin(F.broadcast(c))
@@ -753,21 +809,19 @@ def ivf_maintain(
             / (F.col("_n") * F.col("_cn")),
             6,
         )
-        best = (
-            j.select("chunk_id", "embedding", "_n", "cent_id", sim.alias("s"))
-            .groupBy("chunk_id")
-            .agg(
-                F.max_by(
-                    F.struct("cent_id", "embedding", "_n"),
-                    F.struct(F.col("s"), (-F.col("cent_id")).alias("_g")),
-                ).alias("_b")
-            )
+        # argmax by (sim desc, cent_id asc) via a chunk-partitioned
+        # rank — type-generic (a -cent_id struct tiebreak needs a
+        # numeric id) and deterministic
+        w = _W.partitionBy("chunk_id").orderBy(
+            F.col("s").desc(), F.col("cent_id")
         )
-        return best.select(
-            "chunk_id",
-            F.col("_b.embedding").alias("embedding"),
-            F.col("_b._n").alias("_n"),
-            F.col("_b.cent_id").alias("cent_id"),
+        return (
+            j.select(
+                "chunk_id", "embedding", "_n", "cent_id", sim.alias("s")
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("chunk_id", "embedding", "_n", "cent_id")
         )
 
     for _ in range(max(1, lloyd_rounds)):
@@ -804,7 +858,7 @@ def ivf_maintain(
         for r in cents_rows
     ]
     out_c = spark.createDataFrame(
-        merged, "cent_id long, cent_vec array<double>"
+        merged, f"cent_id {cid_type}, cent_vec array<double>"
     ).withColumn("_cn", _norm(F.col("cent_vec")))
     out_c.write.mode("overwrite").parquet(cents_path)
 

@@ -1,0 +1,84 @@
+"""Streaming ingest into the DURABLE search indexes (round 7).
+
+The round-6 build left two separate stories: manifest-committed
+durable indexes (plans/index_lifecycle.py — BM25, IVF) and
+crash-safe streaming sinks (streaming/sinks.py). This module composes
+them: a ``foreachBatch`` sink that lands every document micro-batch in
+BOTH indexes, idempotently, so a search service's index stays fresh
+under continuous ingestion without ever re-indexing the corpus.
+
+At-least-once discipline (same contract as streaming/sinks.py —
+``foreachBatch`` may replay a batch after a crash):
+
+- **BM25**: ``append_to_bm25_index`` is already replay-idempotent — a
+  content-derived batch key in the atomic manifest makes a replayed
+  batch a committed no-op, and a crash before the manifest commit
+  leaves only invisible staged dirs (pinned by
+  test_bm25_append_idempotent_and_crash_safe).
+- **IVF**: ``append_to_ivf_index_reconciled`` anti-joins the batch
+  against the chunk_ids already present in the touched cells before
+  appending, so full replays append nothing and partially-landed
+  crashes are repaired to exactly the complement.
+
+Because every table in both indexes is a sum/union of per-batch
+contributions, the final streamed index is IDENTICAL to a from-scratch
+rebuild over all ingested documents (pinned by
+tests/test_sources_sinks.py::test_streaming_index_ingest_*), and
+``ivf_maintain``'s drift-bounded re-clustering runs over streamed data
+unchanged — streamed rows live in the same partitioned cell layout.
+
+Scale: each micro-batch costs chunk+embed of the BATCH, one
+vocabulary-sized df merge, and a partition-pruned reconciliation read
+of <= k cells — never a corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCS_SCHEMA = "doc_id long, text string"
+
+
+def read_documents_stream(
+    spark: SparkSession, docs_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Replayable finite document stream over a directory of parquet
+    batch files (one file = one micro-batch by default; kafka/files in
+    production)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+
+def index_ingest_sink(
+    docs: DataFrame,
+    spark: SparkSession,
+    warehouse: str,
+    checkpoint: str,
+):
+    """Start the ingest stream: every micro-batch is appended into the
+    durable BM25 index and the durable IVF index (both must already
+    exist — ensure_bm25_index / ensure_ivf_index). Returns the started
+    StreamingQuery (availableNow trigger: drains what is currently
+    available, then stops — tests and backfills; swap the trigger for
+    continuous production ingest)."""
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        append_to_bm25_index,
+        append_to_ivf_index_reconciled,
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        append_to_bm25_index(spark, warehouse, batch)
+        append_to_ivf_index_reconciled(spark, warehouse, batch)
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

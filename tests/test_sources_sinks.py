@@ -1402,3 +1402,170 @@ def test_bm25_append_idempotent_and_crash_safe(spark, sf_dir, tmp_path):
     tf_o.write.mode("overwrite").parquet(os.path.join(root, "tf", "orphan"))
     dl_o.write.mode("overwrite").parquet(os.path.join(root, "dl", "orphan"))
     assert state() == once, "orphan staged dirs leaked into reads"
+
+
+def test_streaming_index_ingest_replay_and_rebuild_equivalence(
+    spark, sf_dir, tmp_path
+):
+    """Round-7 composition: streaming ingest (foreachBatch) -> durable
+    BM25 + IVF indexes, with at-least-once failure modes simulated.
+    (1) a real readStream drains 3 doc batches into both indexes;
+    (2) batch 2 is REPLAYED directly (crash-after-commit delivery) —
+    must be a no-op; (3) a crash mid-IVF-append is simulated by
+    pre-landing HALF of batch 4's rows, then batch 4 arrives through a
+    second stream run — reconciliation must append exactly the
+    complement. Final state must equal a FROM-SCRATCH rebuild over all
+    ingested docs: BM25 df/stats sets, BM25 search scores, IVF cell
+    row-sets, and IVF search results all identical; drift maintenance
+    still runs bounded over the streamed layout."""
+    import os
+
+    from commercial_rfp_data_pipeline_spark.operators.chunking import (
+        chunk_text,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        append_to_bm25_index,
+        append_to_ivf_index_reconciled,
+        bm25_search_index,
+        bm25_tables,
+        build_embeddings,
+        ensure_bm25_index,
+        ivf_cell_drift,
+        ivf_maintain,
+        ivf_search_index,
+    )
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.streaming.ingest import (
+        index_ingest_sink,
+        read_documents_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    streamed = docs.filter(F.col("doc_id") % 5 == 0)
+    b = [
+        streamed.filter(F.col("doc_id") % 4 == i).coalesce(1)
+        for i in range(4)
+    ]
+
+    def build_ivf_base(wh, base_docs):
+        chunks = chunk_text(base_docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+        emb = build_embeddings(chunks)
+        cents = ivf_centroids(emb, 16, id_col="chunk_id", vec_col="embedding")
+        cents.write.mode("overwrite").parquet(os.path.join(wh, "ivf_centroids"))
+        cents = spark.read.parquet(os.path.join(wh, "ivf_centroids"))
+        ivf_assign(
+            emb, 16, id_col="chunk_id", vec_col="embedding", cents=cents
+        ).select("chunk_id", "embedding", "cent_id", "_n").write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(os.path.join(wh, "ivf_cells"))
+
+    wh = str(tmp_path / "wh")
+    ensure_bm25_index(spark, base, wh)
+    build_ivf_base(wh, base)
+
+    # stage the first 3 batches as single-file micro-batches
+    docs_dir = tmp_path / "doc_batches"
+    docs_dir.mkdir()
+    for i in range(3):
+        b[i].toPandas().to_parquet(docs_dir / f"b{i}.parquet", index=False)
+    cp = str(tmp_path / "cp")
+    q = index_ingest_sink(
+        read_documents_stream(spark, str(docs_dir)), spark, wh, cp
+    )
+    q.awaitTermination(300)
+
+    # (2) at-least-once replay of an already-committed batch: no-op
+    cells_before = {
+        (r.chunk_id, r.cent_id)
+        for r in spark.read.parquet(os.path.join(wh, "ivf_cells"))
+        .select("chunk_id", "cent_id")
+        .collect()
+    }
+    append_to_bm25_index(spark, wh, b[1])
+    assert append_to_ivf_index_reconciled(spark, wh, b[1]) == 0
+    cells_after = {
+        (r.chunk_id, r.cent_id)
+        for r in spark.read.parquet(os.path.join(wh, "ivf_cells"))
+        .select("chunk_id", "cent_id")
+        .collect()
+    }
+    assert cells_after == cells_before
+
+    # (3) crash mid-IVF-append: half of batch 4 already landed
+    cents = spark.read.parquet(os.path.join(wh, "ivf_centroids"))
+    b4_chunks = chunk_text(b[3], size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+    b4_assigned = ivf_assign(
+        build_embeddings(b4_chunks),
+        id_col="chunk_id",
+        vec_col="embedding",
+        cents=cents,
+    ).select("chunk_id", "embedding", "cent_id", "_n")
+    b4_assigned.filter(F.xxhash64("chunk_id") % 2 == 0).write.mode(
+        "append"
+    ).partitionBy("cent_id").parquet(os.path.join(wh, "ivf_cells"))
+    b[3].toPandas().to_parquet(docs_dir / "b3.parquet", index=False)
+    q2 = index_ingest_sink(
+        read_documents_stream(spark, str(docs_dir)), spark, wh, cp
+    )
+    q2.awaitTermination(300)
+
+    # no duplicate chunk rows despite the partial pre-landing
+    final_cells = spark.read.parquet(os.path.join(wh, "ivf_cells"))
+    assert final_cells.count() == final_cells.select("chunk_id").distinct().count()
+
+    # from-scratch rebuild over the union (same frozen centroids)
+    wh2 = str(tmp_path / "wh2")
+    ensure_bm25_index(spark, docs, wh2)
+    build_ivf_base(wh2, base)
+    union_chunks = chunk_text(streamed, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+    cents2 = spark.read.parquet(os.path.join(wh2, "ivf_centroids"))
+    ivf_assign(
+        build_embeddings(union_chunks),
+        id_col="chunk_id",
+        vec_col="embedding",
+        cents=cents2,
+    ).select("chunk_id", "embedding", "cent_id", "_n").write.mode(
+        "append"
+    ).partitionBy("cent_id").parquet(os.path.join(wh2, "ivf_cells"))
+
+    _, _, df1, stats1 = bm25_tables(spark, wh)
+    _, _, df2, stats2 = bm25_tables(spark, wh2)
+    assert {tuple(r) for r in df1.collect()} == {tuple(r) for r in df2.collect()}
+    assert {tuple(r) for r in stats1.collect()} == {
+        tuple(r) for r in stats2.collect()
+    }
+    terms = ["table", "spark", "window"]
+    s1 = {tuple(r) for r in bm25_search_index(spark, wh, terms).collect()}
+    s2 = {tuple(r) for r in bm25_search_index(spark, wh2, terms).collect()}
+    assert s1 == s2
+
+    got_cells = {
+        (r.chunk_id, r.cent_id)
+        for r in final_cells.select("chunk_id", "cent_id").collect()
+    }
+    want_cells = {
+        (r.chunk_id, r.cent_id)
+        for r in spark.read.parquet(os.path.join(wh2, "ivf_cells"))
+        .select("chunk_id", "cent_id")
+        .collect()
+    }
+    assert got_cells == want_cells
+    qtexts = ["fast table scan", "window aggregate join"]
+    v1 = {tuple(r) for r in ivf_search_index(spark, wh, qtexts).collect()}
+    v2 = {tuple(r) for r in ivf_search_index(spark, wh2, qtexts).collect()}
+    assert v1 == v2
+
+    # drift maintenance still composes: bounded, count-preserving
+    n_before = final_cells.count()
+    res = ivf_maintain(spark, wh, drift_threshold=0.0)  # force re-Lloyd
+    assert 0 < res["n_drifted"] <= 16
+    after = spark.read.parquet(os.path.join(wh, "ivf_cells"))
+    assert after.count() == n_before
+    assert ivf_cell_drift(spark, wh).count() >= 1
