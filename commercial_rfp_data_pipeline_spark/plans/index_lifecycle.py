@@ -878,3 +878,183 @@ def ivf_maintain(
         "n_reassigned": n_reassigned,
         "drifted_ids": sorted(drifted_ids),
     }
+
+
+# chunk_id = "{parent}_{pos}" (operators/chunking.py) — recover the
+# parent document id to purge all of a document's chunks
+_CHUNK_PARENT = r"^(.*)_\d+$"
+
+
+def purge_from_indexes(
+    spark: SparkSession, warehouse: str, doc_ids: list
+) -> dict:
+    """GDPR erasure reaching the DERIVED artifacts (round 7): the
+    cascade-delete family removes a subject's rows from TABLES, but a
+    search service also holds the subject's content inside the durable
+    BM25 postings and IVF cells — right-to-be-forgotten is not done
+    until those are purged too.
+
+    BM25: every manifest-listed batch dir containing a purged doc's
+    chunks is re-staged as a filtered COPY under a purge-derived key
+    (original dirs are never mutated), the vocabulary df table gets a
+    new version with the removed chunks' per-token document counts
+    subtracted (tokens dropping to df=0 disappear, matching a
+    rebuild), stats decrement by the removed doc-lengths, and the
+    whole purge becomes visible through the ONE atomic manifest
+    replace — same crash-safety story as appends: orphaned staged dirs
+    are invisible, and a replayed purge maps to the same keys and
+    commits the same manifest (idempotent).
+
+    IVF: the cells holding purged chunks are found with one
+    partition-pruned scan, and ONLY those cent_id partitions are
+    rewritten without the purged rows (dynamic partition overwrite —
+    healthy cells' files untouched; centroids intentionally keep their
+    training, exactly like append/maintain).
+
+    Result equals an index built WITHOUT the purged docs (same frozen
+    centroids) — pinned by test_index_purge_equals_rebuild. Returns
+    {"bm25_chunks_removed", "ivf_rows_removed", "cells_rewritten"}.
+
+    Scale: cost is proportional to the batches/cells the subject's
+    chunks actually live in, never the corpus."""
+    ids = sorted({str(d) for d in doc_ids})
+    purge_sig = hashlib.md5(",".join(ids).encode()).hexdigest()[:8]
+    parent = F.regexp_extract("chunk_id", _CHUNK_PARENT, 1)
+    is_purged = parent.isin(ids)
+
+    # ---- BM25 ----
+    root = os.path.join(warehouse, "bm25")
+    manifest = _bm25_manifest(root)
+    if manifest is None:
+        raise ValueError(f"purge_from_indexes: no BM25 index at {root}")
+    new_batches: list[str] = []
+    removed_tf = None
+    removed_dl = None
+    n_chunks_removed = 0
+    for key in manifest["batches"]:
+        tf_b = spark.read.parquet(os.path.join(root, "tf", key))
+        dl_b = spark.read.parquet(os.path.join(root, "dl", key))
+        hit_dl = dl_b.filter(is_purged)
+        if hit_dl.limit(1).count() == 0:
+            new_batches.append(key)
+            continue
+        new_key = f"{key}-purge{purge_sig}"
+        keep_tf = tf_b.filter(~is_purged)
+        keep_dl = dl_b.filter(~is_purged)
+        keep_tf.write.mode("overwrite").parquet(
+            os.path.join(root, "tf", new_key)
+        )
+        keep_dl.write.mode("overwrite").parquet(
+            os.path.join(root, "dl", new_key)
+        )
+        hit_tf = tf_b.filter(is_purged)
+        removed_tf = hit_tf if removed_tf is None else removed_tf.unionByName(hit_tf)
+        removed_dl = hit_dl if removed_dl is None else removed_dl.unionByName(hit_dl)
+        new_batches.append(new_key)
+    if removed_dl is None:
+        bm25_removed = 0
+    else:
+        removed_dl = removed_dl.localCheckpoint()
+        removed_tf = removed_tf.localCheckpoint()
+        rem_stats = removed_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        bm25_removed = rem_stats["n"]
+        df_key = f"{manifest['df']}-purge{purge_sig}"
+        df_old = spark.read.parquet(
+            os.path.join(root, "df", manifest["df"])
+        )
+        df_dec = removed_tf.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("_dec")
+        )
+        (
+            df_old.join(df_dec, "tok", "left")
+            .select(
+                "tok",
+                (F.col("df") - F.coalesce("_dec", F.lit(0))).alias("df"),
+            )
+            .filter(F.col("df") > 0)
+        ).write.mode("overwrite").parquet(os.path.join(root, "df", df_key))
+        stats_key = f"{manifest['stats']}-purge{purge_sig}"
+        stats_old = spark.read.parquet(
+            os.path.join(root, "stats", manifest["stats"])
+        ).collect()[0]
+        spark.createDataFrame(
+            [
+                (
+                    stats_old["n_docs"] - rem_stats["n"],
+                    stats_old["sum_dl"] - rem_stats["s"],
+                )
+            ],
+            "n_docs long, sum_dl long",
+        ).write.mode("overwrite").parquet(os.path.join(root, "stats", stats_key))
+        _bm25_commit(
+            root, {"batches": new_batches, "df": df_key, "stats": stats_key}
+        )
+        n_chunks_removed = bm25_removed
+
+    # ---- IVF ----
+    cells_path = os.path.join(warehouse, "ivf_cells")
+    cells = spark.read.parquet(cells_path)
+    hit_cells = [
+        r.cent_id
+        for r in cells.filter(is_purged).select("cent_id").distinct().collect()
+    ]
+    ivf_removed = 0
+    if hit_cells:
+        affected = cells.filter(F.col("cent_id").isin(hit_cells))
+        keep = affected.filter(~is_purged).localCheckpoint()
+        ivf_removed = affected.count() - keep.count()
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            keep.select("chunk_id", "embedding", "_n", "cent_id").write.mode(
+                "overwrite"
+            ).partitionBy("cent_id").parquet(cells_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "bm25_chunks_removed": n_chunks_removed,
+        "ivf_rows_removed": ivf_removed,
+        "cells_rewritten": len(hit_cells),
+    }
+
+
+def compact_bm25_index(spark: SparkSession, warehouse: str) -> int:
+    """Compaction — the third leg of the durable-index lifecycle after
+    incremental appends and purges: a long-ingesting service
+    accumulates one postings dir per batch (and purge-filtered copies),
+    and every search unions them all. Compaction rewrites the
+    manifest-listed tf/dl dirs into ONE consolidated dir under a
+    content-derived key and commits it as the single batch — df and
+    stats are already single-version tables and just get re-pointed.
+    Search results are IDENTICAL before and after (the tables are row
+    unions; compaction only changes the file layout), a crash before
+    the manifest commit leaves the staged dir invisible, and a
+    replayed compaction maps to the same key (idempotent no-op).
+    Returns the number of batch dirs collapsed.
+
+    Scale: one read+write of the postings — the same cost profile as a
+    parquet file-compaction pass, run off-peak; the manifest shrinks
+    from O(batches) to 1, which is what keeps per-query planning cost
+    flat over an unbounded ingest history."""
+    root = os.path.join(warehouse, "bm25")
+    manifest = _bm25_manifest(root)
+    if manifest is None:
+        raise ValueError(f"compact_bm25_index: no index at {root}")
+    if len(manifest["batches"]) <= 1:
+        return 0
+    key = "compact-" + hashlib.md5(
+        ",".join(manifest["batches"]).encode()
+    ).hexdigest()[:16]
+    tf, dl, _, _ = bm25_tables(spark, warehouse)
+    tf.write.mode("overwrite").parquet(os.path.join(root, "tf", key))
+    dl.write.mode("overwrite").parquet(os.path.join(root, "dl", key))
+    n = len(manifest["batches"])
+    _bm25_commit(
+        root,
+        {"batches": [key], "df": manifest["df"], "stats": manifest["stats"]},
+    )
+    return n

@@ -1927,3 +1927,62 @@ def q_revenue_attribution(spark, sf_dir):
             .alias("attributed_revenue"),
         )
     )
+
+
+# ---- purged temporal split (round 7) ----------------------------------
+# The time-series cousin of the group-aware leakage-safe split: models
+# trained on temporal data must not see events adjacent to the test
+# window (features built from trailing aggregates leak across a naive
+# cut). The purged split drops an EMBARGO band between train and test.
+_SPLIT_CUT = "2024-01-20 00:00:00"
+_SPLIT_EMBARGO_H = 48
+
+
+@query(
+    "purged_time_series_split",
+    f"""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts < TIMESTAMP '{_SPLIT_CUT}' THEN 'train'
+                  WHEN ts >= TIMESTAMP '{_SPLIT_CUT}'
+                       + INTERVAL {_SPLIT_EMBARGO_H} HOUR THEN 'test'
+                  ELSE 'purged' END AS split
+      FROM events
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(ts) AS VARCHAR) AS first_ts,
+           CAST(max(ts) AS VARCHAR) AS last_ts
+    FROM tagged GROUP BY split
+    """,
+)
+def q_purged_time_series_split(spark, sf_dir):
+    """Purged temporal train/test split with an embargo band
+    (financial-ML style, de Prado's purged k-fold reduced to one
+    cut): train < cut, test >= cut + 48h, the band between is DROPPED
+    so trailing-window features computed on train rows can never
+    overlap the test period. The per-split audit (counts, user
+    coverage, actual time bounds) is the evidence a reviewer checks:
+    test.first_ts - train.last_ts >= embargo by construction.
+
+    Scale: one narrow map + a 3-key groupBy; the distinct-user count
+    is the standard two-phase expand."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit(_SPLIT_CUT).cast("timestamp")
+    test_start = cut + F.expr(f"INTERVAL {_SPLIT_EMBARGO_H} HOURS")
+    split = (
+        F.when(F.col("ts") < cut, "train")
+        .when(F.col("ts") >= test_start, "test")
+        .otherwise("purged")
+    )
+    return (
+        e.select(split.alias("split"), "event_id", "user_id", "ts")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.min("ts").cast("string").alias("first_ts"),
+            F.max("ts").cast("string").alias("last_ts"),
+        )
+    )

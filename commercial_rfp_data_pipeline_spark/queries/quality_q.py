@@ -1310,3 +1310,175 @@ def q_curriculum_schedule(spark, sf_dir):
         # `//` — double division would drift near 2^53 / half-ulp ties
         F.expr("(ordinal * 3) div n_total").cast("int").alias("phase"),
     )
+
+
+# ---- calibration + agreement (round 7) -------------------------------
+# Two classifier-eval staples next to the ROC AUC and the confusion
+# matrix: Expected Calibration Error (is the score a probability?) and
+# Cohen's kappa (do two labelers agree beyond chance?) — the metrics a
+# data pipeline runs before trusting model-assigned quality labels.
+
+
+@query(
+    "expected_calibration_error",
+    f"""
+    WITH s AS (
+      SELECT doc_id, (lang = 'en') AS label,
+             CAST(round(CASE WHEN len(string_split({_NORM}, ' ')) = 0 THEN 0.0
+                  ELSE len(list_filter(string_split({_NORM}, ' '),
+                           w -> w IN {_EN_STOPS_SQL}))
+                       / CAST(len(string_split({_NORM}, ' ')) AS DOUBLE)
+             END, 6) AS DECIMAL(9,6)) AS score
+      FROM documents
+    ),
+    binned AS (
+      SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+             score, CASE WHEN label THEN 1 ELSE 0 END AS y
+      FROM s
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(score) AS DOUBLE) / count(*), 6) AS avg_conf,
+           round(sum(y) / CAST(count(*) AS DOUBLE), 6) AS frac_pos,
+           round(abs(CAST(sum(score) AS DOUBLE) / count(*)
+                     - sum(y) / CAST(count(*) AS DOUBLE)), 6) AS abs_gap
+    FROM binned GROUP BY bin
+    """,
+)
+def q_expected_calibration_error(spark, sf_dir):
+    """Reliability table behind Expected Calibration Error: the
+    stopword-ratio 'P(english)' score binned into 10 half-open
+    confidence deciles (bin k = [k/10, (k+1)/10), floor on the exact
+    6-dp decimal score, top bin closed), each bin reporting
+    count, mean confidence, empirical positive rate, and their gap.
+    ECE = sum(n/N * abs_gap) is a trivial fold over these rows; the
+    per-bin table is the artifact a calibration dashboard plots.
+
+    Exactness: scores are 6-dp DECIMAL before any aggregation, so the
+    per-bin sums are exact and order-independent; the two divisions
+    happen once per bin on the same exact numbers. Scale: one narrow
+    map + a 10-key groupBy with map-side partials."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        STOPWORDS_EN,
+        token_count,
+        words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    n_stop = F.size(
+        F.filter(words("text"), lambda w: w.isin(*STOPWORDS_EN))
+    )
+    score = F.round(
+        F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            n_stop / n_tok.cast("double")
+        ),
+        6,
+    ).cast("decimal(9,6)")
+    s = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        score.alias("score"),
+    )
+    bin_ = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int")
+    conf = F.sum("score").cast("double") / F.count(F.lit(1))
+    acc = F.sum("y") / F.count(F.lit(1)).cast("double")
+    return (
+        s.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(conf, 6).alias("avg_conf"),
+            F.round(acc, 6).alias("frac_pos"),
+            F.round(F.abs(conf - acc), 6).alias("abs_gap"),
+        )
+    )
+
+
+from commercial_rfp_data_pipeline_spark.queries.text_q import _LANG_CTE
+
+
+@query(
+    "cohens_kappa_agreement",
+    f"""
+    WITH {_NB_CTES},
+    {_LANG_CTE.strip()},
+    ab AS (
+      SELECT p.doc_id, p.predicted AS rater_a, l.lang_pred AS rater_b
+      FROM preds p JOIN langs l USING (doc_id)
+    ),
+    n AS (SELECT count(*) AS n, sum(CASE WHEN rater_a = rater_b
+                                         THEN 1 ELSE 0 END) AS agree
+          FROM ab),
+    ma AS (SELECT rater_a AS cls, count(*) AS na FROM ab GROUP BY 1),
+    mb AS (SELECT rater_b AS cls, count(*) AS nb FROM ab GROUP BY 1),
+    chance AS (
+      SELECT CAST(coalesce(sum(ma.na * mb.nb), 0) AS BIGINT) AS s
+      FROM ma JOIN mb USING (cls)
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           round(n.agree / CAST(n.n AS DOUBLE), 6) AS po,
+           round(chance.s / CAST(n.n * n.n AS DOUBLE), 6) AS pe,
+           round((n.agree * n.n - chance.s)
+                 / CAST(n.n * n.n - chance.s AS DOUBLE), 6) AS kappa
+    FROM n CROSS JOIN chance
+    """,
+)
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between two independent labelers of the SAME test
+    docs — the naive-Bayes language classifier (trained on the 80%
+    split) and the stopword-vote heuristic — the inter-annotator
+    agreement statistic every labeling pipeline reports before
+    trusting silver labels. kappa = (po - pe)/(1 - pe) evaluated as
+    ONE exact integer ratio (agree*n - S)/(n² - S) where S = sum of
+    per-class marginal products, so no intermediate float feeds
+    another division.
+
+    Scale: both classifiers are existing bounded operators; agreement
+    is one join on doc_id plus class-marginal aggregates (|classes|
+    rows)."""
+    from commercial_rfp_data_pipeline_spark.operators.classify import (
+        naive_bayes_predict,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    nb = naive_bayes_predict(train, test).select(
+        "doc_id", F.col("predicted").alias("rater_a")
+    )
+    heur = lang_id(docs).select(
+        "doc_id", F.col("lang_pred").alias("rater_b")
+    )
+    both = nb.join(heur, "doc_id")
+    n_agree = both.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("rater_a") == F.col("rater_b"), 1).otherwise(0)
+        ).alias("agree"),
+    )
+    ma = both.groupBy(F.col("rater_a").alias("cls")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mb = both.groupBy(F.col("rater_b").alias("cls")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    s = (
+        ma.join(mb, "cls")
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    return n_agree.crossJoin(F.broadcast(s)).select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("agree") / F.col("n").cast("double"), 6).alias("po"),
+        F.round(
+            F.col("s") / (F.col("n") * F.col("n")).cast("double"), 6
+        ).alias("pe"),
+        F.round(
+            (F.col("agree") * F.col("n") - F.col("s"))
+            / (F.col("n") * F.col("n") - F.col("s")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

@@ -2537,3 +2537,284 @@ def q_code_switch_detection(spark, sf_dir):
             (F.sum(dis) / F.count(F.lit(1)).cast("double")) >= 0.3
         ).alias("is_code_switched"),
     )
+
+
+# ---- training-batch padding economics (round 7) ----------------------
+# Dynamic length-bucketed batching is how training stacks avoid paying
+# max-seq-len padding for every short doc. This report quantifies the
+# win: pad-to-global-max waste vs pad-to-next-power-of-two waste, per
+# bucket. The next-power-of-two is INTEGER arithmetic on both engines
+# (1 << length(bin(n-1)) — no float log2 that could land on 7.9999…).
+
+
+@query(
+    "padding_waste_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+    mx AS (SELECT max(n_tokens) AS max_len FROM nz),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 1 THEN 1
+                  ELSE (1::BIGINT << length(bin(n_tokens - 1))) END
+               AS bucket_len
+      FROM nz
+    )
+    SELECT bucket_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(sum(bucket_len - n_tokens) AS BIGINT) AS bucket_pad,
+           CAST(sum(mx.max_len - n_tokens) AS BIGINT) AS maxlen_pad,
+           round(sum(bucket_len - n_tokens)
+                 / CAST(sum(bucket_len) AS DOUBLE), 6) AS bucket_waste_frac,
+           round(sum(mx.max_len - n_tokens)
+                 / CAST(count(*) * mx.max_len AS DOUBLE), 6)
+             AS maxlen_waste_frac
+    FROM bucketed CROSS JOIN mx
+    GROUP BY bucket_len, mx.max_len
+    """,
+)
+def q_padding_waste(spark, sf_dir):
+    """Padding-waste economics of length-bucketed batching: docs are
+    assigned to next-power-of-two token buckets and each bucket
+    reports the padding it pays versus what pad-to-corpus-max would
+    pay — the report that justifies dynamic batching in a training
+    stack. The bucket id is pure integer arithmetic (shift by the
+    binary length of n-1), the corpus max is a broadcast one-row
+    aggregate, and everything else is a |buckets|-key groupBy with
+    map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    mx = toks.agg(F.max("n_tokens").alias("max_len"))
+    bucket = F.when(F.col("n_tokens") <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(1L, length(bin(n_tokens - 1)))")
+    )
+    return (
+        toks.withColumn("bucket_len", bucket)
+        .crossJoin(F.broadcast(mx))
+        .groupBy("bucket_len", "max_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+            F.sum(F.col("bucket_len") - F.col("n_tokens"))
+            .cast("long")
+            .alias("bucket_pad"),
+            F.sum(F.col("max_len") - F.col("n_tokens"))
+            .cast("long")
+            .alias("maxlen_pad"),
+            F.round(
+                F.sum(F.col("bucket_len") - F.col("n_tokens"))
+                / F.sum("bucket_len").cast("double"),
+                6,
+            ).alias("bucket_waste_frac"),
+            F.round(
+                F.sum(F.col("max_len") - F.col("n_tokens"))
+                / (F.count(F.lit(1)) * F.max("max_len")).cast("double"),
+                6,
+            ).alias("maxlen_waste_frac"),
+        )
+        .drop("max_len")
+        .select(
+            "bucket_len",
+            "n_docs",
+            "real_tokens",
+            "bucket_pad",
+            "maxlen_pad",
+            "bucket_waste_frac",
+            "maxlen_waste_frac",
+        )
+    )
+
+
+# ---- n-gram diversity (distinct-1 / distinct-2) -----------------------
+
+
+@query(
+    "distinct_ngram_diversity",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split({_NORM}, ' ') AS ws
+      FROM documents WHERE length({_NORM}) > 0
+    ),
+    uni AS (
+      SELECT source, unnest(ws) AS g FROM d
+    ),
+    bi AS (
+      SELECT source, ws[CAST(i AS INTEGER)] || ' ' ||
+             ws[CAST(i + 1 AS INTEGER)] AS g
+      FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    u AS (SELECT source, count(*) AS n1, count(DISTINCT g) AS d1
+          FROM uni GROUP BY source),
+    b AS (SELECT source, count(*) AS n2, count(DISTINCT g) AS d2
+          FROM bi GROUP BY source)
+    SELECT u.source,
+           CAST(u.n1 AS BIGINT) AS total_unigrams,
+           CAST(u.d1 AS BIGINT) AS distinct_unigrams,
+           round(u.d1 / CAST(u.n1 AS DOUBLE), 6) AS distinct_1,
+           CAST(b.n2 AS BIGINT) AS total_bigrams,
+           CAST(b.d2 AS BIGINT) AS distinct_bigrams,
+           round(b.d2 / CAST(b.n2 AS DOUBLE), 6) AS distinct_2
+    FROM u JOIN b USING (source)
+    """,
+)
+def q_distinct_ngram_diversity(spark, sf_dir):
+    """Per-source lexical diversity (distinct-1 / distinct-2 — the
+    Self-BLEU-adjacent metric synthetic-data pipelines watch): the
+    ratio of distinct to total uni/bigrams per source. Mode-collapsed
+    generated data shows up as a LOW distinct-2 long before eyeballs
+    catch it.
+
+    Scale: two explode -> per-source distinct aggregations; Spark
+    plans count(DISTINCT) as the standard two-phase expand — no
+    driver-side sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", norm_text("text").alias("_t")
+    ).filter(F.length("_t") > 0).select(
+        "doc_id", "source", F.split("_t", " ").alias("ws")
+    )
+    uni = d.select("source", F.explode("ws").alias("g"))
+    bi = d.filter(F.size("ws") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_unigrams"),
+        F.countDistinct("g").cast("long").alias("distinct_unigrams"),
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("total_bigrams"),
+        F.countDistinct("g").cast("long").alias("distinct_bigrams"),
+    )
+    return (
+        u.join(b, "source")
+        .select(
+            "source",
+            "total_unigrams",
+            "distinct_unigrams",
+            F.round(
+                F.col("distinct_unigrams")
+                / F.col("total_unigrams").cast("double"),
+                6,
+            ).alias("distinct_1"),
+            "total_bigrams",
+            "distinct_bigrams",
+            F.round(
+                F.col("distinct_bigrams")
+                / F.col("total_bigrams").cast("double"),
+                6,
+            ).alias("distinct_2"),
+        )
+    )
+
+
+# ---- Zipf slope (corpus health fingerprint) ---------------------------
+_ZIPF_K = 100  # top-K terms the fit runs over
+
+
+@query(
+    "zipf_slope_estimate",
+    f"""
+    WITH wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    top AS (
+      SELECT word, freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rnk
+      FROM wf
+      ORDER BY freq DESC, word LIMIT {_ZIPF_K}
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(20,6)) AS x,
+             CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(20,6)) AS y
+      FROM top
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round(CAST(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx
+                      AS DOUBLE) / n, 6) AS intercept
+    FROM m
+    """,
+)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law slope of the corpus frequency spectrum: OLS of
+    ln(freq) on ln(rank) over the top-100 terms. Natural text sits
+    near -1; boilerplate-heavy or synthetic corpora drift — the
+    one-number corpus-health fingerprint next to the length histogram
+    and entropy signals.
+
+    Exactness: ln values are rounded to 6 dp and accumulated as
+    DECIMAL moments (order-independent exact sums — the same
+    discipline as the OLS trend family); the two final divisions run
+    once on exact numbers. Scale: one word-count groupBy, a top-100
+    TakeOrdered, rank attached over the 100 surviving rows, constant
+    work after."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(words("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    top = (
+        wf.orderBy(F.col("freq").desc(), "word")
+        .limit(_ZIPF_K)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    pts = top.select(
+        F.round(F.log(F.col("rnk").cast("double")), 6)
+        .cast("decimal(20,6)")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6)
+        .cast("decimal(20,6)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = slope_num.cast("double") / slope_den.cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy")
+                - slope_num / slope_den * F.col("sx")
+            ).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )

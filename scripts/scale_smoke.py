@@ -84,6 +84,8 @@ DEFAULT = {
     "tokenizer_fertility_by_lang": "documents",
     "curriculum_schedule_phases": "documents",
     "code_switch_detection": "documents",
+    # round-7 additions
+    "multimodal_phash_neardup": "documents",
 }
 
 

@@ -713,16 +713,26 @@ def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
 
 
 def test_decision_stump_prefix_is_single_sort_exchange(spark, sf_dir):
-    """decision_stump_train: the candidate-split search is ONE ordered
-    window over the distinct feature values plus a TakeOrdered argmin —
-    no per-threshold re-aggregation, no cartesian of thresholds
-    against rows."""
+    """decision_stump_train: the candidate-split search is one
+    distributed prefix-sum pass over the distinct feature values plus
+    a TakeOrdered argmin — no per-threshold re-aggregation, no
+    cartesian of thresholds against rows. Round 7 replaced the single
+    partition-less cumulative window with distributed_prefix_sum, so
+    the plan now shows exactly two PARTITIONED windows (the
+    _pid-partitioned local cumulative and the metadata-sized offsets
+    frame) and no global one."""
+    from commercial_rfp_data_pipeline_spark.plans.lint import (
+        global_window_violations,
+    )
     from commercial_rfp_data_pipeline_spark.registry import all_queries
 
-    p = plan(all_queries()["decision_stump_train"](spark, sf_dir))
-    assert p.count("Window") == 1, p
+    df = all_queries()["decision_stump_train"](spark, sf_dir)
+    p = plan(df)
+    assert p.count("Window") == 2, p
+    assert "windowspecdefinition(_pid" in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p
+    assert global_window_violations(df) == []
 
 
 def test_parquet_aggregate_pushdown_min_max_count(spark, tmp_path):

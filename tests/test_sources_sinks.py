@@ -1569,3 +1569,160 @@ def test_streaming_index_ingest_replay_and_rebuild_equivalence(
     after = spark.read.parquet(os.path.join(wh, "ivf_cells"))
     assert after.count() == n_before
     assert ivf_cell_drift(spark, wh).count() >= 1
+
+
+def test_index_purge_equals_rebuild(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten reaching the DERIVED artifacts: purging a
+    subject's docs from the durable BM25 + IVF indexes must leave
+    exactly the state a rebuild WITHOUT those docs produces (same
+    frozen centroids), the manifest-committed purge must be
+    idempotent, and untouched batch dirs must remain listed
+    unchanged."""
+    import json
+    import os
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.chunking import (
+        chunk_text,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.vector import ivf_assign
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        append_to_bm25_index,
+        bm25_search_index,
+        bm25_tables,
+        build_embeddings,
+        ensure_bm25_index,
+        ensure_ivf_index,
+        ivf_search_index,
+        purge_from_indexes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    purged_ids = [r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()]
+
+    wh = str(tmp_path / "wh")
+    # two BM25 batches so the purge crosses batch-dir boundaries
+    ensure_bm25_index(spark, first, wh)
+    append_to_bm25_index(spark, wh, second)
+    ensure_ivf_index(spark, sf_dir, wh)
+    manifest_before = json.load(
+        open(os.path.join(wh, "bm25", "MANIFEST.json"))
+    )
+
+    res = purge_from_indexes(spark, wh, purged_ids)
+    assert res["bm25_chunks_removed"] > 0
+    assert res["ivf_rows_removed"] > 0
+    assert 0 < res["cells_rewritten"] <= 16
+
+    # reference: BM25 built without the purged docs; IVF assigned with
+    # the SAME frozen centroids
+    remaining = docs.filter(~(F.col("doc_id") % 10 == 0))
+    wh2 = str(tmp_path / "wh2")
+    ensure_bm25_index(spark, remaining, wh2)
+    os.makedirs(wh2, exist_ok=True)
+    spark.read.parquet(os.path.join(wh, "ivf_centroids")).write.parquet(
+        os.path.join(wh2, "ivf_centroids")
+    )
+    cents2 = spark.read.parquet(os.path.join(wh2, "ivf_centroids"))
+    ivf_assign(
+        build_embeddings(
+            chunk_text(remaining, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+        ),
+        id_col="chunk_id",
+        vec_col="embedding",
+        cents=cents2,
+    ).select("chunk_id", "embedding", "cent_id", "_n").write.mode(
+        "overwrite"
+    ).partitionBy("cent_id").parquet(os.path.join(wh2, "ivf_cells"))
+
+    tf1, dl1, df1, st1 = bm25_tables(spark, wh)
+    tf2, dl2, df2, st2 = bm25_tables(spark, wh2)
+    assert {tuple(r) for r in tf1.collect()} == {tuple(r) for r in tf2.collect()}
+    assert {tuple(r) for r in dl1.collect()} == {tuple(r) for r in dl2.collect()}
+    assert {tuple(r) for r in df1.collect()} == {tuple(r) for r in df2.collect()}
+    assert {tuple(r) for r in st1.collect()} == {tuple(r) for r in st2.collect()}
+    terms = ["table", "spark", "window"]
+    assert {tuple(r) for r in bm25_search_index(spark, wh, terms).collect()} == {
+        tuple(r) for r in bm25_search_index(spark, wh2, terms).collect()
+    }
+    got = {
+        (r.chunk_id, r.cent_id)
+        for r in spark.read.parquet(os.path.join(wh, "ivf_cells"))
+        .select("chunk_id", "cent_id")
+        .collect()
+    }
+    want = {
+        (r.chunk_id, r.cent_id)
+        for r in spark.read.parquet(os.path.join(wh2, "ivf_cells"))
+        .select("chunk_id", "cent_id")
+        .collect()
+    }
+    assert got == want
+    qtexts = ["fast table scan"]
+    assert {
+        tuple(r) for r in ivf_search_index(spark, wh, qtexts).collect()
+    } == {tuple(r) for r in ivf_search_index(spark, wh2, qtexts).collect()}
+
+    # idempotent: a replayed purge changes nothing
+    manifest_once = json.load(open(os.path.join(wh, "bm25", "MANIFEST.json")))
+    assert manifest_once != manifest_before
+    res2 = purge_from_indexes(spark, wh, purged_ids)
+    assert res2 == {
+        "bm25_chunks_removed": 0,
+        "ivf_rows_removed": 0,
+        "cells_rewritten": 0,
+    }
+    assert (
+        json.load(open(os.path.join(wh, "bm25", "MANIFEST.json")))
+        == manifest_once
+    )
+
+
+def test_bm25_compaction_preserves_search(spark, sf_dir, tmp_path):
+    """Compacting a multi-batch BM25 index into one dir changes the
+    file layout only: tf/dl row sets and search scores identical,
+    manifest shrinks to one batch, replayed compaction is a no-op."""
+    import json
+    import os
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        append_to_bm25_index,
+        bm25_search_index,
+        bm25_tables,
+        compact_bm25_index,
+        ensure_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wh = str(tmp_path / "wh")
+    ensure_bm25_index(spark, docs.filter(F.col("doc_id") % 3 == 0), wh)
+    append_to_bm25_index(spark, wh, docs.filter(F.col("doc_id") % 3 == 1))
+    append_to_bm25_index(spark, wh, docs.filter(F.col("doc_id") % 3 == 2))
+
+    def state():
+        tf, dl, df, st = bm25_tables(spark, wh)
+        return (
+            {tuple(r) for r in tf.collect()},
+            {tuple(r) for r in dl.collect()},
+            {tuple(r) for r in df.collect()},
+            {tuple(r) for r in st.collect()},
+        )
+
+    terms = ["table", "window", "spark"]
+    before = state()
+    s_before = {
+        tuple(r) for r in bm25_search_index(spark, wh, terms).collect()
+    }
+    assert compact_bm25_index(spark, wh) == 3
+    manifest = json.load(open(os.path.join(wh, "bm25", "MANIFEST.json")))
+    assert len(manifest["batches"]) == 1
+    assert state() == before
+    assert {
+        tuple(r) for r in bm25_search_index(spark, wh, terms).collect()
+    } == s_before
+    assert compact_bm25_index(spark, wh) == 0
