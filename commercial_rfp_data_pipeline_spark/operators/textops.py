@@ -1804,7 +1804,9 @@ def jaccard_prefix_filter_pairs(
         .filter(F.col("_r") <= prefix_len)
     )
     postings = prefix.groupBy("sh").agg(
-        F.sort_array(F.collect_set(F.col(id_col))).alias("docs")
+        F.sort_array(
+            F.collect_set(F.struct(F.col(id_col).alias("d"), F.col("n_sh")))
+        ).alias("docs")
     )
     docs = F.col("docs")
     pair_arr = F.flatten(
@@ -1812,12 +1814,27 @@ def jaccard_prefix_filter_pairs(
             docs,
             lambda x, i: F.transform(
                 F.slice(docs, i + F.lit(2), F.size(docs)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(
+                    x["d"].alias("doc_a"),
+                    y["d"].alias("doc_b"),
+                    x["n_sh"].alias("_na"),
+                    y["n_sh"].alias("_nb"),
+                ),
             ),
         )
     )
     cand = (
         postings.select(F.explode(pair_arr).alias("p"))
+        # LENGTH FILTER (AllPairs/PPJoin): J >= t forces the smaller
+        # set to hold at least t of the larger — t_den*n_min >=
+        # t_num*n_max — so size-mismatched candidates die here, before
+        # the distinct shuffle and the set-intersection verify. Exact
+        # integer arithmetic; never removes a qualifying pair, so the
+        # brute-force oracle still proves completeness.
+        .filter(
+            F.least("p._na", "p._nb") * t_den
+            >= F.greatest("p._na", "p._nb") * t_num
+        )
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )

@@ -1482,3 +1482,142 @@ def q_cohens_kappa(spark, sf_dir):
             6,
         ).alias("kappa"),
     )
+
+
+# ---- blocklist filtering + recipe drift (round 7, second wave) --------
+
+# deterministic blocklist: the corpus's own vocabulary words whose md5
+# starts with '0' stand in for a real unsafe-terms lexicon (the corpus
+# is synthetic word salad — what matters is the operator shape: a
+# broadcast lexicon join + per-doc hit-rate gate, exactly how real
+# blocklist filters run)
+_BLOCK_PRED = "substr(md5(w), 1, 1) = '0'"
+_BLOCK_MAX_RATE = 0.05
+
+
+@query(
+    "blocklist_term_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+      WHERE length({_NORM}) > 0
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM d),
+    hits AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN {_BLOCK_PRED} THEN 1 ELSE 0 END) AS n_hits
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / CAST(n_tokens AS DOUBLE), 6) AS hit_rate,
+           (n_hits / CAST(n_tokens AS DOUBLE)) <= {_BLOCK_MAX_RATE}
+             AS keep
+    FROM hits
+    """,
+)
+def q_blocklist_filter(spark, sf_dir):
+    """Blocklist (unsafe-terms lexicon) filtering — the first gate of
+    every web-scale text pipeline: per-doc hit count against a term
+    lexicon and a max-hit-rate keep decision. The lexicon here is
+    md5-derived from the corpus's own vocabulary (synthetic corpus has
+    no real unsafe terms); the operator shape is the real one — a
+    per-token membership test evaluated as an expression (a real
+    lexicon broadcasts and semi-joins the token table identically),
+    one per-doc aggregate with map-side partials, zero UDFs."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        norm_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", norm_text("text").alias("_t")).filter(
+        F.length("_t") > 0
+    )
+    toks = d.select("doc_id", F.explode(F.split("_t", " ")).alias("w"))
+    is_hit = F.substring(F.md5("w"), 1, 1) == "0"
+    hits = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(is_hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+    )
+    rate = F.col("n_hits") / F.col("n_tokens").cast("double")
+    return hits.select(
+        "doc_id",
+        "n_tokens",
+        "n_hits",
+        F.round(rate, 6).alias("hit_rate"),
+        (rate <= F.lit(_BLOCK_MAX_RATE)).alias("keep"),
+    )
+
+
+@query(
+    "recipe_drift_kl",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    cur AS (SELECT source, sum(n_tok) AS tok FROM toks GROUP BY source),
+    tot AS (SELECT sum(tok) AS t FROM cur),
+    tgt AS (
+      SELECT source, 1 + (CAST(substr(source, 4, 8) AS BIGINT) % 4) AS w
+      FROM (SELECT DISTINCT source FROM cur)
+    ),
+    wtot AS (SELECT sum(w) AS wt FROM tgt)
+    SELECT c.source,
+           CAST(c.tok AS BIGINT) AS actual_tokens,
+           round(c.tok / CAST(t.t AS DOUBLE), 6) AS actual_share,
+           round(g.w / CAST(wt.wt AS DOUBLE), 6) AS target_share,
+           round((c.tok / CAST(t.t AS DOUBLE))
+                 * ln((c.tok * CAST(wt.wt AS DOUBLE)) / (g.w * t.t)), 6)
+             AS kl_contrib
+    FROM cur c CROSS JOIN tot t
+    JOIN tgt g USING (source) CROSS JOIN wtot wt
+    """,
+)
+def q_recipe_drift_kl(spark, sf_dir):
+    """Recipe drift monitor: per-source KL(actual token share ||
+    target recipe share) contributions — the one-number (after
+    summing) alarm a data-mixing service watches to know when the
+    incoming stream has drifted from the training recipe
+    (data_recipe_rebalance's target weights). KL contribution is
+    computed from ONE exact ratio per source — ln((tok*wt)/(w*tot)) —
+    so no intermediate float division feeds another.
+
+    Scale: per-source token sums with map-side partials; everything
+    after is |sources| rows."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        token_count,
+    )
+    from commercial_rfp_data_pipeline_spark.queries.text_q import (
+        _recipe_weight,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "source", token_count("text").cast("long").alias("n_tok")
+    ).groupBy("source").agg(F.sum("n_tok").alias("tok"))
+    tot = cur.agg(F.sum("tok").alias("t"))
+    tgt = cur.select("source").distinct().select(
+        "source", _recipe_weight().alias("w")
+    )
+    wtot = tgt.agg(F.sum("w").alias("wt"))
+    j = (
+        cur.crossJoin(F.broadcast(tot))
+        .join(tgt, "source")
+        .crossJoin(F.broadcast(wtot))
+    )
+    actual = F.col("tok") / F.col("t").cast("double")
+    target = F.col("w") / F.col("wt").cast("double")
+    ratio = (F.col("tok") * F.col("wt").cast("double")) / (
+        F.col("w") * F.col("t")
+    )
+    return j.select(
+        "source",
+        F.col("tok").cast("long").alias("actual_tokens"),
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(actual * F.log(ratio), 6).alias("kl_contrib"),
+    )

@@ -842,3 +842,35 @@ def test_no_unbounded_global_windows(spark, sf_dir):
         if viols:
             bad[name] = viols
     assert not bad, f"unbounded global windows in {len(bad)} queries: {bad}"
+
+
+def test_round7_queries_plan_shapes(spark, sf_dir):
+    """Plan discipline for the round-7 operators: none of the new
+    oracle queries evaluates a row-at-a-time Python UDF; the MMR
+    rewrite's only Python seam is the Arrow-batched grouped-map
+    (FlatMapGroupsInPandas), never BatchEvalPython; and the perceptual
+    hash query broadcasts nothing corpus-sized (its joins key on
+    band/chunk ids)."""
+    from commercial_rfp_data_pipeline_spark.io import release_pinned
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    no_python = [
+        "multimodal_phash_neardup",
+        "expected_calibration_error",
+        "cohens_kappa_agreement",
+        "padding_waste_report",
+        "distinct_ngram_diversity",
+        "zipf_slope_estimate",
+        "purged_time_series_split",
+        "blocklist_term_filter",
+        "recipe_drift_kl",
+    ]
+    for name in no_python:
+        p = plan(q[name](spark, sf_dir))
+        release_pinned()
+        assert "BatchEvalPython" not in p and "pythonUDF" not in p, name
+    p = plan(q["mmr_diversified_topk"](spark, sf_dir))
+    release_pinned()
+    assert "BatchEvalPython" not in p, "row-at-a-time python in MMR"
+    assert "FlatMapGroupsInPandas" in p, "MMR lost its Arrow grouped-map"
