@@ -86,9 +86,19 @@ def _subtree_ticks() -> int | None:
                 continue
             pid = int(entry)
             # after the comm field: rest[0]=state, rest[1]=ppid,
-            # rest[11]=utime, rest[12]=stime
+            # rest[11]=utime, rest[12]=stime, rest[13]=cutime,
+            # rest[14]=cstime. cutime/cstime hold REAPED children's
+            # time — without them, a Python worker dying mid-measure
+            # deletes its accumulated ticks from the subtree sum and
+            # the external-load estimate explodes (observed: one
+            # 146-core reading on a 32-core box)
             ppid_of[pid] = int(rest[1])
-            ticks_of[pid] = int(rest[11]) + int(rest[12])
+            ticks_of[pid] = (
+                int(rest[11])
+                + int(rest[12])
+                + int(rest[13])
+                + int(rest[14])
+            )
 
         def is_ours(pid: int) -> bool:
             seen = set()
@@ -186,7 +196,10 @@ def main() -> None:
             )
             if o0 is not None and o1 is not None and elapsed > 0:
                 ext_ticks = max(0, (c1[0] - c0[0]) - (o1 - o0))
-                ext_cores = round(ext_ticks / tick_hz / elapsed, 2)
+                ext_cores = round(
+                    min(ext_ticks / tick_hz / elapsed, float(os.cpu_count() or 64)),
+                    2,
+                )
         # queries are self-contained: release the pinned build products
         # (io.pin) and any stray cache so storage memory can't squeeze
         # execution memory (shuffle/sort spill) for queries that follow

@@ -105,7 +105,15 @@ def global_window_violations(df) -> list[str]:
                 break
             sub.append(n2)
         subtree = "\n".join(sub)
-        if re.search(r"\b(GlobalLimit|LocalLimit)\b", subtree):
+        # rank-after-limit: the limit must sit on the window's UNARY
+        # input chain — a GlobalLimit inside a join/union branch below
+        # does NOT bound the window's input frame
+        spine = []
+        for n2 in sub:
+            spine.append(n2)
+            if re.search(r"\b(Join|Union|CartesianProduct)\b", n2):
+                break
+        if re.search(r"\b(GlobalLimit|LocalLimit)\b", "\n".join(spine)):
             continue  # rank-after-limit
         if re.search(r"\b_pid#\d+", order_spec) and re.search(
             r"Aggregate \[_pid#\d+\]", subtree
