@@ -86,6 +86,14 @@ DEFAULT = {
     "code_switch_detection": "documents",
     # round-7 additions
     "multimodal_phash_neardup": "documents",
+    "expected_calibration_error": "documents",
+    "cohens_kappa_agreement": "documents",
+    "padding_waste_report": "documents",
+    "distinct_ngram_diversity": "documents",
+    "zipf_slope_estimate": "documents",
+    "purged_time_series_split": "events",
+    "blocklist_term_filter": "documents",
+    "recipe_drift_kl": "documents",
 }
 
 
