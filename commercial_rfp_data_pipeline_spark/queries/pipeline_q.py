@@ -819,3 +819,83 @@ def q_semantic_cache_hit_audit(spark, sf_dir):
             (served == F.col("fresh_id")).alias("served_matches_fresh"),
         )
     )
+
+
+# ---- semantic segmentation (round 7) ----------------------------------
+_SEG_THRESHOLD = 0.35
+
+
+@query(
+    "semantic_chunk_boundaries",
+    f"""
+    WITH {_CHUNKS_CTE.strip().replace(
+        "SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id,",
+        "SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id, CAST(doc_id AS VARCHAR) AS parent_id, pos,"
+    )},
+    {_EMBED_CTES.strip()},
+    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
+    pv AS (
+      SELECT c.parent_id, c.pos, e.v
+      FROM chunks c JOIN vecs e USING (chunk_id)
+    ),
+    adj AS (
+      SELECT a.parent_id, a.pos,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim_next
+      FROM pv a JOIN pv b
+        ON b.parent_id = a.parent_id AND b.pos = a.pos + 1
+    )
+    SELECT parent_id, CAST(pos AS INTEGER) AS pos, sim_next,
+           sim_next < {_SEG_THRESHOLD} AS is_boundary
+    FROM adj
+    """,
+)
+def q_semantic_chunk_boundaries(spark, sf_dir):
+    """TextTiling-style semantic segmentation: cosine similarity
+    between each chunk and its successor within a document; a dip
+    below the threshold marks a topic boundary — the 'semantic
+    chunking' signal RAG pipelines use to cut documents where the
+    content shifts instead of at fixed offsets. Composes the
+    oracle-checked chunker and hashed-BoW embedder; the oracle
+    restates both, so the boundary decisions are value-hash-verified
+    end to end.
+
+    Scale: one chunk+embed pass, then a (parent, pos+1) equi-join —
+    each chunk meets only its successor, never a pairwise frame."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        _dot,
+        _norm,
+    )
+
+    chunks = build_chunks(spark, sf_dir)
+    parts = build_embedding_parts(chunks)
+    vec = parts.select(
+        "chunk_id",
+        F.transform(
+            "_arr", lambda x: F.round(x / F.col("_norm"), 6)
+        ).alias("v"),
+    )
+    pv = chunks.select("chunk_id", "parent_id", "pos").join(vec, "chunk_id")
+    a = pv.select(
+        F.col("parent_id"), F.col("pos"), F.col("v").alias("_va")
+    )
+    b = pv.select(
+        F.col("parent_id"),
+        (F.col("pos") - 1).alias("pos"),
+        F.col("v").alias("_vb"),
+    )
+    sim = F.round(
+        _dot(F.col("_va"), F.col("_vb"))
+        / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        6,
+    )
+    return (
+        a.join(b, ["parent_id", "pos"])
+        .select(
+            "parent_id",
+            F.col("pos").cast("int").alias("pos"),
+            sim.alias("sim_next"),
+        )
+        .withColumn(
+            "is_boundary", F.col("sim_next") < F.lit(_SEG_THRESHOLD)
+        )
+    )

@@ -2818,3 +2818,135 @@ def q_zipf_slope(spark, sf_dir):
             6,
         ).alias("intercept"),
     )
+
+
+# ---- RAKE keyphrase extraction (round 7, second wave) ------------------
+# Rose et al. 2010: candidate phrases are maximal stopword-free runs;
+# word score = degree/freq over the candidate universe; phrase score =
+# sum of its words' scores. The metadata-enrichment op next to
+# tf-idf top terms and PMI collocations — RAKE favors multi-word
+# phrases (degree rewards co-occurrence) where tf-idf favors rare
+# single tokens.
+_RAKE_MAX_WORDS = 4
+_RAKE_K = 20
+_RAKE_STOP_RE = r"\b(the|a|of|to|and|in|is|for|on|it)\b"
+
+
+@query(
+    "rake_keyphrases_top20",
+    f"""
+    WITH cand AS (
+      SELECT doc_id, trim(p) AS phrase
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                 regexp_replace({_NORM}, '{_RAKE_STOP_RE}', '|', 'g'),
+                 '\\s*\\|+\\s*')) AS p
+        FROM documents
+      )
+      WHERE length(trim(p)) > 0
+        AND len(string_split(trim(p), ' ')) <= {_RAKE_MAX_WORDS}
+    ),
+    pw AS (
+      SELECT doc_id, phrase,
+             len(string_split(phrase, ' ')) AS plen,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM cand
+    ),
+    wstats AS (
+      SELECT w, count(*) AS freq, sum(plen) AS degree FROM pw GROUP BY w
+    ),
+    wscore AS (
+      SELECT w,
+             CAST(round(degree / CAST(freq AS DOUBLE), 6)
+                  AS DECIMAL(20,6)) AS ws
+      FROM wstats
+    ),
+    dphrase AS (
+      SELECT phrase, count(*) AS n_occ FROM cand GROUP BY phrase
+    ),
+    dpw AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dphrase
+    ),
+    scored AS (
+      SELECT d.phrase, d.n_occ,
+             CAST(sum(s.ws) AS DOUBLE) AS score
+      FROM dphrase d
+      JOIN dpw USING (phrase) JOIN wscore s USING (w)
+      GROUP BY d.phrase, d.n_occ
+    )
+    SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, round(score, 6) AS score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, phrase) AS rnk
+      FROM (SELECT * FROM scored ORDER BY score DESC, phrase LIMIT {_RAKE_K})
+    )
+    """,
+)
+def q_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction over the corpus: stopword-delimited
+    candidate phrases (<= 4 words), word score = degree/freq over the
+    candidate universe, phrase score = exact-decimal sum of its words'
+    6-dp scores (order-independent — no float fold), corpus top-20 by
+    limit-first TakeOrdered with rank attached over the 20 rows.
+
+    Scale: candidate extraction is a narrow regexp map; the word-stat
+    and distinct-phrase tables are vocabulary-sized groupBys with
+    map-side partials; the phrase-scoring join is bounded by distinct
+    phrases — nothing quadratic, no global window."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        norm_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    replaced = F.regexp_replace(norm_text("text"), _RAKE_STOP_RE, "|")
+    cand = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(replaced, r"\s*\|+\s*")).alias("p"),
+        )
+        .select("doc_id", F.trim("p").alias("phrase"))
+        .filter(
+            (F.length("phrase") > 0)
+            & (F.size(F.split("phrase", " ")) <= _RAKE_MAX_WORDS)
+        )
+    )
+    pw = cand.select(
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"),
+    )
+    wscore = (
+        pw.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .select(
+            "w",
+            F.round(F.col("degree") / F.col("freq").cast("double"), 6)
+            .cast("decimal(20,6)")
+            .alias("ws"),
+        )
+    )
+    dphrase = cand.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    dpw = dphrase.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        dphrase.join(dpw, "phrase")
+        .join(wscore, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("ws").cast("double").alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), "phrase")
+    return (
+        scored.orderBy(F.col("score").desc(), "phrase")
+        .limit(_RAKE_K)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            "phrase", "n_occ", F.round("score", 6).alias("score"), "rnk"
+        )
+    )
