@@ -1621,3 +1621,189 @@ def q_recipe_drift_kl(spark, sf_dir):
         F.round(target, 6).alias("target_share"),
         F.round(actual * F.log(ratio), 6).alias("kl_contrib"),
     )
+
+
+# ---- Neyman-allocation eval sampling (round 7) -------------------------
+_NEYMAN_BUDGET = 100
+
+
+@query(
+    "neyman_allocation_eval_sample",
+    f"""
+    WITH y AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS y FROM documents
+    ),
+    m AS (
+      SELECT source, count(*) AS n_docs,
+             sum(y) AS sy, sum(y * y) AS syy
+      FROM y GROUP BY source
+    ),
+    sig AS (
+      SELECT source, n_docs,
+             -- population sigma from EXACT integer moments:
+             -- V = N*Syy - Sy^2; sigma = sqrt(V)/N
+             CAST(round(sqrt(CAST(n_docs * syy - sy * sy AS DOUBLE))
+                        / n_docs * 1000000) AS BIGINT) AS s_micro
+      FROM m
+    ),
+    w AS (SELECT source, n_docs, s_micro, n_docs * s_micro AS wgt FROM sig),
+    tot AS (SELECT sum(wgt) AS tw FROM w),
+    base AS (
+      SELECT w.source, w.n_docs, w.s_micro, w.wgt,
+             ({_NEYMAN_BUDGET} * w.wgt) // tot.tw AS n_base,
+             ({_NEYMAN_BUDGET} * w.wgt) % tot.tw AS rem
+      FROM w CROSS JOIN tot
+    ),
+    left_over AS (
+      SELECT {_NEYMAN_BUDGET} - sum(n_base) AS lo FROM base
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rnk
+      FROM base
+    )
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+           round(r.s_micro / 1000000.0, 6) AS sigma,
+           CAST(r.n_base + CASE WHEN r.rnk <= l.lo THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked r CROSS JOIN left_over l
+    """,
+)
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman-allocation eval-set design: a 100-doc annotation budget
+    split across sources proportional to N_h * sigma_h (stratum size x
+    within-stratum std of doc length) — the statistically optimal
+    stratified allocation, which oversamples heterogeneous sources
+    where a proportional split wastes budget on uniform ones.
+
+    Exactness: sigma comes from exact integer moments (V = N*Syy -
+    Sy^2) and is fixed to integer micro-units, so the weights, the
+    floor allocation, and the largest-remainder top-up are ALL integer
+    arithmetic — the allocation sums to the budget exactly (pytest).
+    The remainder ranking rides distributed_prefix_sum (never a global
+    window over the per-source frame, which grows with source count).
+
+    Scale: one groupBy(source) moment pass; everything after is
+    |sources| rows."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("sy"),
+        F.sum(F.col("n_chars").cast("long") * F.col("n_chars")).alias("syy"),
+    )
+    v = F.col("n_docs") * F.col("syy") - F.col("sy") * F.col("sy")
+    sig = m.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(v.cast("double")) / F.col("n_docs") * 1e6)
+        .cast("long")
+        .alias("s_micro"),
+    )
+    w = sig.withColumn("wgt", F.col("n_docs") * F.col("s_micro"))
+    tot = w.agg(F.sum("wgt").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "s_micro",
+        F.expr(f"({_NEYMAN_BUDGET} * wgt) div tw").alias("n_base"),
+        (F.lit(_NEYMAN_BUDGET) * F.col("wgt") % F.col("tw")).alias("rem"),
+    )
+    lo = base.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("n_base")).alias("lo")
+    )
+    ranked = distributed_prefix_sum(
+        base,
+        {"one": F.lit(1)},
+        order_by=[F.col("rem").desc(), F.col("source")],
+    ).withColumn("rnk", F.col("one_incl"))
+    return ranked.crossJoin(F.broadcast(lo)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("s_micro") / 1e6, 6).alias("sigma"),
+        (
+            F.col("n_base")
+            + F.when(F.col("rnk") <= F.col("lo"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+@query(
+    "quantile_normalize_scores",
+    """
+    WITH y AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS y FROM documents
+    ),
+    n AS (SELECT count(*) AS nn FROM y),
+    per AS (
+      SELECT doc_id, source, y,
+             row_number() OVER (PARTITION BY source ORDER BY y, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS nh
+      FROM y
+    ),
+    pooled AS (
+      SELECT y AS y_pool,
+             row_number() OVER (ORDER BY y, doc_id) AS ordinal
+      FROM y
+    )
+    SELECT p.doc_id, p.source, p.y,
+           CAST(p.r AS BIGINT) AS r,
+           CAST((p.r * n.nn + p.nh - 1) // p.nh AS BIGINT) AS pool_pos,
+           CAST(pl.y_pool AS BIGINT) AS y_norm
+    FROM per p CROSS JOIN n
+    JOIN pooled pl ON pl.ordinal = (p.r * n.nn + p.nh - 1) // p.nh
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of a per-doc score ACROSS sources (the
+    batch-effect correction borrowed from bioinformatics): each doc's
+    within-source quantile rank maps onto the pooled score
+    distribution, so sources whose annotators/heuristics score
+    systematically high or low become comparable — the calibration
+    step before any cross-source quality threshold.
+
+    Exactness: within-source ranks are partitioned windows; the pooled
+    ordinal is a distributed_prefix_sum rank (the pooled frame grows
+    with the corpus — never a global row_number window); the position
+    mapping ceil(r*N/n_h) is pure integer arithmetic; the normalized
+    value is an equi-join lookup. Everything is exact integers.
+
+    Scale: one source-partitioned window + one range-exchange rank +
+    one equi-join on the computed position."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_sum,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    y = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("y")
+    )
+    n = y.agg(F.count(F.lit(1)).alias("nn"))
+    wsrc = W.partitionBy("source").orderBy("y", "doc_id")
+    per = y.withColumn("r", F.row_number().over(wsrc)).withColumn(
+        "nh", F.count(F.lit(1)).over(W.partitionBy("source"))
+    )
+    pooled = distributed_prefix_sum(
+        y, {"one": F.lit(1)}, order_by=[F.col("y"), F.col("doc_id")]
+    ).select(
+        F.col("y").alias("y_pool"), F.col("one_incl").alias("ordinal")
+    )
+    pos = F.expr("(r * nn + nh - 1) div nh")
+    return (
+        per.crossJoin(F.broadcast(n))
+        .withColumn("pool_pos", pos)
+        .join(pooled, F.col("pool_pos") == F.col("ordinal"))
+        .select(
+            "doc_id",
+            "source",
+            "y",
+            F.col("r").cast("long").alias("r"),
+            F.col("pool_pos").cast("long").alias("pool_pos"),
+            F.col("y_pool").cast("long").alias("y_norm"),
+        )
+    )

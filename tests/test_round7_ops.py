@@ -86,3 +86,39 @@ def test_recipe_drift_kl_gibbs_inequality(spark, sf_dir):
     r = rows[0]
     want = r.actual_share * math.log(r.actual_share / r.target_share)
     assert abs(r.kl_contrib - want) < 5e-5
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    rows = _q("neyman_allocation_eval_sample", spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == 100  # exact, by construction
+    assert all(r.alloc >= 0 and r.sigma >= 0 for r in rows)
+    # Neyman oversamples heterogeneous strata: allocation ordering
+    # follows N_h * sigma_h ordering (up to the +/-1 remainder top-up)
+    by_w = sorted(rows, key=lambda r: -(r.n_docs * r.sigma))
+    allocs = [r.alloc for r in by_w]
+    assert all(a >= b - 1 for a, b in zip(allocs, allocs[1:]))
+
+
+def test_quantile_normalize_preserves_ranks_and_pool(spark, sf_dir):
+    rows = _q("quantile_normalize_scores", spark, sf_dir).collect()
+    pool = sorted(r.y for r in rows)
+    n = len(rows)
+    for r in rows:
+        # mapped position is the exact integer ceil(r*N/nh)
+        assert 1 <= r.pool_pos <= n
+        # normalized value is the pooled order statistic at that spot
+        assert r.y_norm == pool[r.pool_pos - 1]
+    # per-source monotonicity: higher raw rank -> no smaller normalized
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append((r.r, r.y_norm))
+    for vals in by_src.values():
+        vals.sort()
+        assert all(
+            a[1] <= b[1] for a, b in zip(vals, vals[1:])
+        )
+    # the max-rank doc of every source maps to the pooled maximum
+    for vals in by_src.values():
+        assert vals[-1][1] == pool[-1]
