@@ -1807,3 +1807,241 @@ def q_quantile_normalize(spark, sf_dir):
             F.col("y_pool").cast("long").alias("y_norm"),
         )
     )
+
+
+# ---- quality-signal ensemble + per-source yield (round 7) --------------
+# FineWeb/DCLM-style gating: no single heuristic is trusted alone — a
+# doc survives when a MAJORITY of independent quality signals agree.
+_ENS_QUALITY_T = 0.44
+_ENS_ENTROPY_T = 4.1
+_ENS_BLOCK_T = 0.05
+
+_ENS_CTES = f"""
+nf AS (SELECT doc_id, {_NORM} AS t FROM documents),
+qfeat AS (
+  SELECT doc_id, length(t) AS n_chars,
+         CASE WHEN length(t) = 0 THEN 0
+              ELSE len(string_split(t, ' ')) END AS n_tokens,
+         len(list_filter(string_split(t, ' '),
+             w -> w IN {_EN_STOPS_SQL})) AS stop,
+         len(regexp_extract_all(t, '[.,;:!?]')) AS punct
+  FROM nf
+),
+qual AS (
+  SELECT doc_id,
+         round(least(n_tokens / 200.0, 1.0) * 0.5
+               + least(CASE WHEN n_tokens > 0
+                            THEN stop / CAST(n_tokens AS DOUBLE) ELSE 0.0
+                       END * 5, 1.0) * 0.3
+               + (1 - least(CASE WHEN n_chars > 0
+                                 THEN punct / CAST(n_chars AS DOUBLE)
+                                 ELSE 0.0 END * 10, 1.0)) * 0.2, 6) AS qs
+  FROM qfeat
+),
+echars AS (
+  SELECT doc_id, unnest(string_split(t, '')) AS ch FROM nf
+  WHERE length(t) > 0
+),
+ecnt AS (SELECT doc_id, ch, count(*) AS c FROM echars GROUP BY doc_id, ch),
+ent AS (
+  SELECT doc_id,
+         round(log2(CAST(sum(c) AS DOUBLE))
+               - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS ebits
+  FROM ecnt GROUP BY doc_id
+),
+rg2 AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS sh
+  FROM (SELECT doc_id, string_split(t, ' ') AS w,
+               unnest(generate_series(1,
+                 greatest(len(string_split(t, ' ')) - 1, 0))) AS i
+        FROM nf)
+),
+rgc AS (SELECT doc_id, sh, count(*) AS n FROM rg2 GROUP BY doc_id, sh),
+rgs AS (SELECT doc_id, sum(n) AS total, max(n) AS top, count(*) AS ndist
+        FROM rgc GROUP BY doc_id),
+rep AS (
+  SELECT nf.doc_id,
+         (coalesce(gs.top / CAST(gs.total AS DOUBLE), 0.0) <= 0.2
+          AND coalesce(1 - gs.ndist / CAST(gs.total AS DOUBLE), 0.0) <= 0.3
+          AND CASE WHEN length(nf.t) > 0
+                   THEN len(regexp_extract_all(nf.t, '[^a-z0-9 ]'))
+                        / CAST(length(nf.t) AS DOUBLE)
+                   ELSE 0.0 END <= 0.1) AS rep_keep
+  FROM nf LEFT JOIN rgs gs USING (doc_id)
+),
+btoks AS (
+  SELECT doc_id, count(*) AS n_tok,
+         sum(CASE WHEN substr(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END)
+           AS n_hit
+  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM nf
+        WHERE length(t) > 0)
+  GROUP BY doc_id
+),
+ens AS (
+  SELECT q.doc_id,
+         (q.qs >= {_ENS_QUALITY_T}) AS s_quality,
+         (coalesce(e.ebits, 0.0) >= {_ENS_ENTROPY_T}) AS s_entropy,
+         r.rep_keep AS s_repetition,
+         (coalesce(b.n_hit / CAST(b.n_tok AS DOUBLE), 0.0)
+          <= {_ENS_BLOCK_T}) AS s_blocklist
+  FROM qual q
+  JOIN rep r USING (doc_id)
+  LEFT JOIN ent e USING (doc_id)
+  LEFT JOIN btoks b USING (doc_id)
+),
+voted AS (
+  SELECT doc_id, s_quality, s_entropy, s_repetition, s_blocklist,
+         CAST((CASE WHEN s_quality THEN 1 ELSE 0 END)
+              + (CASE WHEN s_entropy THEN 1 ELSE 0 END)
+              + (CASE WHEN s_repetition THEN 1 ELSE 0 END)
+              + (CASE WHEN s_blocklist THEN 1 ELSE 0 END) AS INTEGER)
+           AS n_votes
+  FROM ens
+)
+"""
+
+
+@query(
+    "quality_signal_ensemble",
+    f"""
+    WITH {_ENS_CTES.strip()}
+    SELECT doc_id, s_quality, s_entropy, s_repetition, s_blocklist,
+           n_votes, (n_votes >= 3) AS keep
+    FROM voted
+    """,
+)
+def q_quality_signal_ensemble(spark, sf_dir):
+    """FineWeb/DCLM-style ensemble gate: four INDEPENDENT quality
+    signals — blended quality score, char entropy, Gopher repetition
+    verdict, blocklist hit rate — vote per document, and the doc
+    survives on a >= 3/4 majority. Single-heuristic filters
+    overfit their own failure mode (the entropy signal can't see
+    boilerplate, the repetition signal can't see gibberish); majority
+    gating is how production pretraining filters actually ship.
+
+    Scale: each signal is an existing linear operator (narrow maps +
+    per-doc aggregates); the ensemble is a doc_id-keyed join of four
+    bounded tables."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        char_entropy,
+        norm_text,
+        quality_features,
+        repetition_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs).select(
+        "doc_id", (F.col("quality_score") >= _ENS_QUALITY_T).alias("s_quality")
+    )
+    e = char_entropy(docs).select(
+        "doc_id", F.col("entropy_bits").alias("_eb")
+    )
+    r = repetition_features(docs).select(
+        "doc_id", F.col("keep").alias("s_repetition")
+    )
+    t = norm_text("text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(t, " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    b = toks.groupBy("doc_id").agg(
+        (
+            F.sum(
+                F.when(F.substring(F.md5("w"), 1, 1) == "0", 1).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_hr")
+    )
+    ens = (
+        q.join(r, "doc_id")
+        .join(e, "doc_id", "left")
+        .join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            "s_quality",
+            (F.coalesce(F.col("_eb"), F.lit(0.0)) >= _ENS_ENTROPY_T).alias(
+                "s_entropy"
+            ),
+            "s_repetition",
+            (F.coalesce(F.col("_hr"), F.lit(0.0)) <= _ENS_BLOCK_T).alias(
+                "s_blocklist"
+            ),
+        )
+    )
+    votes = (
+        F.when(F.col("s_quality"), 1).otherwise(0)
+        + F.when(F.col("s_entropy"), 1).otherwise(0)
+        + F.when(F.col("s_repetition"), 1).otherwise(0)
+        + F.when(F.col("s_blocklist"), 1).otherwise(0)
+    ).cast("int")
+    return ens.withColumn("n_votes", votes).withColumn(
+        "keep", F.col("n_votes") >= 3
+    )
+
+
+@query(
+    "pipeline_yield_by_source",
+    f"""
+    WITH {_ENS_CTES.strip()},
+    toks AS (
+      SELECT d.doc_id, d.source,
+             CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS BIGINT)
+               AS n_tok
+      FROM documents d
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS docs_in,
+           CAST(sum(CASE WHEN v.s_repetition THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_after_repetition,
+           CAST(sum(CASE WHEN v.n_votes >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_after_ensemble,
+           CAST(sum(t.n_tok) AS BIGINT) AS tokens_in,
+           CAST(sum(CASE WHEN v.n_votes >= 3 THEN t.n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+           round(sum(CASE WHEN v.n_votes >= 3 THEN t.n_tok ELSE 0 END)
+                 / CAST(sum(t.n_tok) AS DOUBLE), 6) AS token_yield
+    FROM toks t JOIN voted v USING (doc_id)
+    GROUP BY t.source
+    """,
+)
+def q_pipeline_yield_by_source(spark, sf_dir):
+    """Per-source pipeline yield accounting — the funnel report a
+    data-curation team publishes with every corpus release: documents
+    in, survivors of the repetition gate, survivors of the full
+    ensemble gate, and the token-level yield per source. A source
+    whose yield collapses is either low-quality or the filters are
+    miscalibrated for it — either way, this table is where you see
+    it.
+
+    Scale: reuses the ensemble's bounded per-doc tables; the report is
+    one groupBy(source) with map-side partials."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        token_count,
+    )
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    ens = q_quality_signal_ensemble(spark, sf_dir).select(
+        "doc_id", "s_repetition", "n_votes"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok")
+    )
+    kept_tok = F.when(F.col("n_votes") >= 3, F.col("n_tok")).otherwise(0)
+    return (
+        docs.join(ens, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_in"),
+            F.sum(F.when(F.col("s_repetition"), 1).otherwise(0))
+            .cast("long")
+            .alias("docs_after_repetition"),
+            F.sum(F.when(F.col("n_votes") >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_after_ensemble"),
+            F.sum("n_tok").cast("long").alias("tokens_in"),
+            F.sum(kept_tok).cast("long").alias("tokens_kept"),
+            F.round(
+                F.sum(kept_tok) / F.sum("n_tok").cast("double"), 6
+            ).alias("token_yield"),
+        )
+    )

@@ -122,3 +122,27 @@ def test_quantile_normalize_preserves_ranks_and_pool(spark, sf_dir):
     # the max-rank doc of every source maps to the pooled maximum
     for vals in by_src.values():
         assert vals[-1][1] == pool[-1]
+
+
+def test_ensemble_votes_and_yield_consistent(spark, sf_dir):
+    ens = {r.doc_id: r for r in _q("quality_signal_ensemble", spark, sf_dir).collect()}
+    assert ens
+    for r in ens.values():
+        want = sum([r.s_quality, r.s_entropy, r.s_repetition, r.s_blocklist])
+        assert r.n_votes == want
+        assert r.keep == (want >= 3)
+    # the ensemble is stricter than any single signal's pass-set union
+    # and looser than their intersection
+    n_keep = sum(1 for r in ens.values() if r.keep)
+    n_all4 = sum(1 for r in ens.values() if r.n_votes == 4)
+    assert n_all4 <= n_keep <= len(ens)
+    # signals genuinely disagree on this corpus (the gate is not a
+    # constant function)
+    assert 0 < n_keep < len(ens)
+
+    y = _q("pipeline_yield_by_source", spark, sf_dir).collect()
+    assert sum(r.docs_in for r in y) == len(ens)
+    assert sum(r.docs_after_ensemble for r in y) == n_keep
+    for r in y:
+        assert 0 <= r.docs_after_ensemble <= r.docs_in
+        assert 0 <= r.tokens_kept <= r.tokens_in
