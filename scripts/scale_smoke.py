@@ -94,6 +94,12 @@ DEFAULT = {
     "purged_time_series_split": "events",
     "blocklist_term_filter": "documents",
     "recipe_drift_kl": "documents",
+    "rake_keyphrases_top20": "documents",
+    "semantic_chunk_boundaries": "documents",
+    "neyman_allocation_eval_sample": "documents",
+    "quantile_normalize_scores": "documents",
+    "quality_signal_ensemble": "documents",
+    "pipeline_yield_by_source": "documents",
 }
 
 
