@@ -125,3 +125,26 @@ def global_window_violations(df) -> list[str]:
             continue  # constant hash-ring bucket table (<=10k rows)
         bad.append(f"unbounded global window: {node[:160]}")
     return bad
+
+
+def plan_antipattern_violations(df) -> list[str]:
+    """Physical-plan anti-patterns forbidden registry-wide (round 7):
+
+    - **CartesianProduct** — a non-broadcast cross join materializes
+      |A| x |B| across the shuffle; every legitimate cross in this
+      repo broadcasts a scalar/config-sized side, which plans as
+      BroadcastNestedLoopJoin instead. (Found and fixed one real one:
+      consistent_hash_rebalance_audit fanned the corpus 9x through a
+      shards x moves cross.)
+    - **BatchEvalPython / row-at-a-time Python UDFs** — the slow path
+      SURVEY §2.13 bans; the only sanctioned Python seams are
+      Arrow-batched (FlatMapGroupsInPandas / MapInPandas /
+      ArrowEvalPython).
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = []
+    if "CartesianProduct" in plan:
+        bad.append("CartesianProduct (non-broadcast cross join)")
+    if "BatchEvalPython" in plan:
+        bad.append("BatchEvalPython (row-at-a-time Python UDF)")
+    return bad

@@ -174,31 +174,32 @@ def q_consistent_hash_rebalance(spark, sf_dir):
     ).withColumnRenamed("shard_owner", "shard_before")
     after = owner(spark_vn).withColumnRenamed("shard_owner", "shard_after")
     moves = before.join(after, "doc_id")
+    # per-shard tallies as TWO shard-keyed aggregates over moves —
+    # not a shards x corpus cross join (that planned an un-broadcast
+    # CartesianProduct fanning every key 9x; the round-7 registry-wide
+    # plan lint now forbids the node outright)
+    moved = F.col("shard_before") != F.col("shard_after")
+    b = moves.groupBy(F.col("shard_before").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(moved, 1).otherwise(0)).cast("bigint").alias("lost"),
+    )
+    a = moves.groupBy(F.col("shard_after").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum(F.when(moved, 1).otherwise(0)).cast("bigint").alias("gained"),
+    )
     shards = spark.createDataFrame(
         [(s,) for s in range(_CH_SHARDS_BEFORE + 1)], "shard int"
     )
-    j = shards.crossJoin(moves)
-    return j.groupBy("shard").agg(
-        F.sum(
-            F.when(F.col("shard_before") == F.col("shard"), 1).otherwise(0)
-        ).cast("bigint").alias("n_before"),
-        F.sum(
-            F.when(F.col("shard_after") == F.col("shard"), 1).otherwise(0)
-        ).cast("bigint").alias("n_after"),
-        F.sum(
-            F.when(
-                (F.col("shard_after") == F.col("shard"))
-                & (F.col("shard_before") != F.col("shard")),
-                1,
-            ).otherwise(0)
-        ).cast("bigint").alias("gained"),
-        F.sum(
-            F.when(
-                (F.col("shard_before") == F.col("shard"))
-                & (F.col("shard_after") != F.col("shard")),
-                1,
-            ).otherwise(0)
-        ).cast("bigint").alias("lost"),
+    return (
+        shards.join(F.broadcast(b), "shard", "left")
+        .join(F.broadcast(a), "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce("gained", F.lit(0)).cast("bigint").alias("gained"),
+            F.coalesce("lost", F.lit(0)).cast("bigint").alias("lost"),
+        )
     )
 
 

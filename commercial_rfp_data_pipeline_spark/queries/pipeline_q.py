@@ -899,3 +899,108 @@ def q_semantic_chunk_boundaries(spark, sf_dir):
             "is_boundary", F.col("sim_next") < F.lit(_SEG_THRESHOLD)
         )
     )
+
+
+# ---- parent-dedup retrieval (serving diversity, round 7) ---------------
+_PD_STAGE1 = 10
+_PD_K = 3
+
+
+@query(
+    "retrieval_parent_dedup_topk",
+    f"""
+    WITH {_CHUNKS_CTE.strip().replace(
+        "SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id,",
+        "SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR) AS chunk_id, CAST(doc_id AS VARCHAR) AS parent_id,"
+    )},
+    {_EMBED_CTES.strip()},
+    vecs AS (SELECT chunk_id, list(x ORDER BY j) AS v FROM unit GROUP BY chunk_id),
+    q AS (SELECT chunk_id AS q_id, v AS q_vec FROM vecs
+          WHERE chunk_id IN ('0_0', '1_0', '2_0')),
+    stage1 AS (
+      SELECT q_id, chunk_id, parent_id, sim FROM (
+        SELECT qq.q_id, e.chunk_id, c.parent_id,
+               round(list_cosine_similarity(e.v, qq.q_vec), 6) AS sim,
+               row_number() OVER (PARTITION BY qq.q_id
+                 ORDER BY round(list_cosine_similarity(e.v, qq.q_vec), 6)
+                          DESC, e.chunk_id) AS rn
+        FROM vecs e
+        JOIN chunks c USING (chunk_id)
+        JOIN q qq ON e.chunk_id <> qq.q_id
+      ) WHERE rn <= {_PD_STAGE1}
+    ),
+    collapsed AS (
+      SELECT q_id, parent_id, chunk_id, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id, parent_id
+                  ORDER BY sim DESC, chunk_id) AS rn
+        FROM stage1
+      ) WHERE rn = 1
+    )
+    SELECT q_id, parent_id, chunk_id, sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, parent_id) AS rnk
+      FROM collapsed
+    ) WHERE rnk <= {_PD_K}
+    """,
+)
+def q_retrieval_parent_dedup(spark, sf_dir):
+    """Parent-deduplicated retrieval — the serving-diversity op every
+    RAG stack runs between ANN and the prompt: the chunk-level top-10
+    shortlist often holds several chunks of the SAME document, so the
+    result page collapses each parent to its best chunk and re-ranks —
+    k answers from k DIFFERENT documents instead of one document
+    paraphrasing itself k times. (MMR solves redundancy by pairwise
+    similarity; parent-dedup is the cheaper structural version keyed
+    on provenance.)
+
+    Scale: the corpus is scanned once for the chunk shortlist
+    (per-query top-10 heaps); collapse and re-rank are windows over
+    queries x 10 bounded rows."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        _dot,
+        _norm,
+    )
+
+    chunks = build_chunks(spark, sf_dir)
+    parts = build_embedding_parts(chunks)
+    vec = parts.select(
+        "chunk_id",
+        F.transform(
+            "_arr", lambda x: F.round(x / F.col("_norm"), 6)
+        ).alias("v"),
+    ).join(chunks.select("chunk_id", "parent_id"), "chunk_id")
+    q = vec.filter(
+        F.col("chunk_id").isin("0_0", "1_0", "2_0")
+    ).select(F.col("chunk_id").alias("q_id"), F.col("v").alias("q_vec"))
+    sim = F.round(
+        _dot(F.col("v"), F.col("q_vec"))
+        / (_norm(F.col("v")) * _norm(F.col("q_vec"))),
+        6,
+    )
+    w1 = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("chunk_id")
+    )
+    stage1 = (
+        vec.join(F.broadcast(q), F.col("chunk_id") != F.col("q_id"))
+        .select("q_id", "chunk_id", "parent_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _PD_STAGE1)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("q_id", "parent_id").orderBy(
+        F.col("sim").desc(), F.col("chunk_id")
+    )
+    collapsed = (
+        stage1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w3 = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("parent_id")
+    )
+    return (
+        collapsed.withColumn("rnk", F.row_number().over(w3).cast("int"))
+        .filter(F.col("rnk") <= _PD_K)
+        .select("q_id", "parent_id", "chunk_id", "sim", "rnk")
+    )

@@ -2950,3 +2950,127 @@ def q_rake_keyphrases(spark, sf_dir):
             "phrase", "n_occ", F.round("score", 6).alias("score"), "rnk"
         )
     )
+
+
+# ---- preference-pair mining (DPO data prep, round 7) -------------------
+
+
+@query(
+    "preference_pairs_from_clusters",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTE.strip()},
+    {_PAIRS_SQL.strip()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    ),
+    {_QUALITY_CTE.strip()},
+    member AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_score
+      FROM clusters c JOIN qual q USING (doc_id)
+    ),
+    multi AS (
+      SELECT cluster_id FROM member GROUP BY cluster_id
+      HAVING count(*) >= 2
+    ),
+    chosen AS (
+      SELECT cluster_id, doc_id AS chosen_doc,
+             quality_score AS chosen_quality
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality_score DESC, doc_id) AS rn
+        FROM member
+      ) WHERE rn = 1
+    ),
+    rejected AS (
+      SELECT cluster_id, doc_id AS rejected_doc,
+             quality_score AS rejected_quality
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality_score, doc_id DESC) AS rn
+        FROM member
+      ) WHERE rn = 1
+    )
+    SELECT m.cluster_id, c.chosen_doc, c.chosen_quality,
+           r.rejected_doc, r.rejected_quality,
+           round(c.chosen_quality - r.rejected_quality, 6)
+             AS quality_margin
+    FROM multi m JOIN chosen c USING (cluster_id)
+    JOIN rejected r USING (cluster_id)
+    """,
+)
+def q_preference_pairs(spark, sf_dir):
+    """Preference-pair mining for DPO/RLHF-style training: within each
+    near-duplicate cluster (SimHash pairs -> connected components — the
+    members SAY the same thing), the quality argmax becomes `chosen`
+    and the argmin `rejected`, with the quality margin attached — the
+    standard trick for harvesting preference data from a raw corpus
+    without any human labels: near-dup content controls for topic, so
+    the pair isolates the QUALITY delta.
+
+    Tie-breaks are deterministic and OPPOSED (chosen: quality DESC,
+    doc ASC; rejected: quality ASC, doc DESC), so a >= 2-member
+    cluster always yields two DISTINCT docs even under total quality
+    ties.
+
+    Scale: reuses the banded pair generation and the bounded CC loop;
+    the argmax/argmin are cluster-partitioned windows; nothing new
+    shuffles beyond the existing dedup pipeline."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        quality_features,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(simhash(docs))
+    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    quality = quality_features(docs).select("doc_id", "quality_score")
+    member = clusters.join(quality, "doc_id").withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
+    ).filter(F.col("_n") >= 2)
+    w_hi = W.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    w_lo = W.partitionBy("cluster_id").orderBy(
+        F.col("quality_score"), F.col("doc_id").desc()
+    )
+    chosen = (
+        member.withColumn("rn", F.row_number().over(w_hi))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("chosen_doc"),
+            F.col("quality_score").alias("chosen_quality"),
+        )
+    )
+    rejected = (
+        member.withColumn("rn", F.row_number().over(w_lo))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rejected_doc"),
+            F.col("quality_score").alias("rejected_quality"),
+        )
+    )
+    return chosen.join(rejected, "cluster_id").select(
+        "cluster_id",
+        "chosen_doc",
+        "chosen_quality",
+        "rejected_doc",
+        "rejected_quality",
+        F.round(
+            F.col("chosen_quality") - F.col("rejected_quality"), 6
+        ).alias("quality_margin"),
+    )

@@ -100,6 +100,8 @@ DEFAULT = {
     "quantile_normalize_scores": "documents",
     "quality_signal_ensemble": "documents",
     "pipeline_yield_by_source": "documents",
+    "preference_pairs_from_clusters": "documents",
+    "retrieval_parent_dedup_topk": "documents",
 }
 
 

@@ -824,24 +824,34 @@ def test_no_unbounded_global_windows(spark, sf_dir):
     `distributed_prefix_agg`'s one-row-per-partition offsets frame, the
     256-row hash-ring bucket table — are recognized structurally in
     plans/lint.py, not by query name, so a new query can only pass by
-    actually being bounded."""
+    actually being bounded. The same walk also forbids the two
+    physical anti-patterns registry-wide: CartesianProduct
+    (non-broadcast cross joins — one real one found and fixed in
+    consistent_hash_rebalance_audit) and BatchEvalPython
+    (row-at-a-time Python UDFs)."""
     from commercial_rfp_data_pipeline_spark.io import release_pinned
     from commercial_rfp_data_pipeline_spark.plans.lint import (
         global_window_violations,
     )
     from commercial_rfp_data_pipeline_spark.registry import all_queries
 
+    from commercial_rfp_data_pipeline_spark.plans.lint import (
+        plan_antipattern_violations,
+    )
+
     bad = {}
     for name, fn in sorted(all_queries().items()):
         try:
-            viols = global_window_violations(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            viols = global_window_violations(df)
+            viols += plan_antipattern_violations(df)
         except Exception as e:  # plan build failure is its own failure
             viols = [f"plan build failed: {e!r}"]
         finally:
             release_pinned()
         if viols:
             bad[name] = viols
-    assert not bad, f"unbounded global windows in {len(bad)} queries: {bad}"
+    assert not bad, f"plan lint violations in {len(bad)} queries: {bad}"
 
 
 def test_round7_queries_plan_shapes(spark, sf_dir):

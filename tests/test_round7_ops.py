@@ -146,3 +146,30 @@ def test_ensemble_votes_and_yield_consistent(spark, sf_dir):
     for r in y:
         assert 0 <= r.docs_after_ensemble <= r.docs_in
         assert 0 <= r.tokens_kept <= r.tokens_in
+
+
+def test_preference_pairs_distinct_and_nonneg_margin(spark, sf_dir):
+    rows = _q("preference_pairs_from_clusters", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.chosen_doc != r.rejected_doc
+        assert r.quality_margin >= 0
+        assert abs(
+            (r.chosen_quality - r.rejected_quality) - r.quality_margin
+        ) < 2e-6
+
+
+def test_parent_dedup_retrieval_distinct_parents(spark, sf_dir):
+    rows = _q("retrieval_parent_dedup_topk", spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.q_id].append(r)
+    for q, rs in per_q.items():
+        parents = [r.parent_id for r in rs]
+        assert len(parents) == len(set(parents))  # k DIFFERENT documents
+        assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)
