@@ -7,6 +7,7 @@ partitioning-invariance.
 from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.operators.chunking import chunk_text
 
@@ -243,3 +244,96 @@ def test_conformal_coverage_near_nominal(spark, sf_dir):
     assert len(rows) >= 3
     for r in rows:
         assert 0.8 <= r.coverage <= 1.0, (r.event_type, r.coverage)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    nparts=st.integers(min_value=1, max_value=8),
+)
+def test_prefix_agg_matches_sequential_reference(spark, vals, nparts):
+    """distributed_prefix_agg (round 7: generalized to min/max) must
+    equal the sequential single-pass reference for ANY values and ANY
+    partition count — inclusive and exclusive forms, all three
+    aggregates. The exclusive min/max of the first row is NULL
+    (matching ROWS UNBOUNDED PRECEDING..-1 semantics); exclusive sum
+    of the first row is 0."""
+    from commercial_rfp_data_pipeline_spark.operators.ordered import (
+        distributed_prefix_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    )
+    out = distributed_prefix_agg(
+        df,
+        {
+            "s": (F.col("v"), "sum"),
+            "mn": (F.col("v"), "min"),
+            "mx": (F.col("v"), "max"),
+        },
+        order_by=[F.col("i")],
+        n_partitions=nparts,
+    )
+    got = {r.i: r for r in out.collect()}
+    run_s, run_mn, run_mx = 0, None, None
+    for i, v in enumerate(vals):
+        r = got[i]
+        assert r.s_before == run_s
+        assert r.mn_before == run_mn
+        assert r.mx_before == run_mx
+        run_s += v
+        run_mn = v if run_mn is None else min(run_mn, v)
+        run_mx = v if run_mx is None else max(run_mx, v)
+        assert r.s_incl == run_s
+        assert r.mn_incl == run_mn
+        assert r.mx_incl == run_mx
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta"]
+            ),
+            min_size=2,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ahash_band_candidates_complete_for_low_hamming(spark, texts):
+    """Pigeonhole completeness of the 8-band aHash candidate join: for
+    ANY payload set, every pair at Hamming distance <= 7 must appear in
+    the banded candidate pairs (threshold set to 7, the completeness
+    bound) — checked against brute-force Hamming over the hash bits."""
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        attach_binary,
+        perceptual_ahash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    hashes = perceptual_ahash(attach_binary(docs))
+    rows = hashes.select("doc_id", "bits").collect()
+    bits = {r.doc_id: r.bits for r in rows}
+    want = set()
+    ids = sorted(bits)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = sum(1 for p, q in zip(bits[a], bits[b]) if p != q)
+            if h <= 7:
+                want.add((a, b, h))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in ahash_neardup_pairs(hashes, max_hamming=7).collect()
+    }
+    assert got == want
