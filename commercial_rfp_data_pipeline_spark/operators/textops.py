@@ -1870,3 +1870,67 @@ def jaccard_prefix_filter_pairs(
         .select("doc_a", "doc_b", "common", "jaccard")
     )
     return out
+
+
+def quality_ensemble_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_t: float = 0.44,
+    entropy_t: float = 4.1,
+    block_t: float = 0.05,
+) -> DataFrame:
+    """FineWeb/DCLM-style ensemble gate signals (round 7): four
+    INDEPENDENT per-doc quality verdicts — blended quality score, char
+    entropy, Gopher repetition keep, blocklist hit rate — plus the
+    vote count and the >= 3/4 majority ``keep``. Shared by the batch
+    query (`quality_signal_ensemble`, oracle-checked) and the
+    streaming curated-ingest sink.
+
+    Scale: each signal is a narrow map + per-doc aggregate; the
+    ensemble is an id-keyed join of four bounded tables."""
+    q = quality_features(df, text_col=text_col).select(
+        id_col, (F.col("quality_score") >= quality_t).alias("s_quality")
+    )
+    e = char_entropy(df, text_col=text_col).select(
+        id_col, F.col("entropy_bits").alias("_eb")
+    )
+    r = repetition_features(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("keep").alias("s_repetition")
+    )
+    toks = df.select(
+        id_col, F.explode(F.split(norm_text(text_col), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    b = toks.groupBy(id_col).agg(
+        (
+            F.sum(
+                F.when(F.substring(F.md5("w"), 1, 1) == "0", 1).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_hr")
+    )
+    ens = (
+        q.join(r, id_col)
+        .join(e, id_col, "left")
+        .join(b, id_col, "left")
+        .select(
+            id_col,
+            "s_quality",
+            (F.coalesce(F.col("_eb"), F.lit(0.0)) >= entropy_t).alias(
+                "s_entropy"
+            ),
+            "s_repetition",
+            (F.coalesce(F.col("_hr"), F.lit(0.0)) <= block_t).alias(
+                "s_blocklist"
+            ),
+        )
+    )
+    votes = (
+        F.when(F.col("s_quality"), 1).otherwise(0)
+        + F.when(F.col("s_entropy"), 1).otherwise(0)
+        + F.when(F.col("s_repetition"), 1).otherwise(0)
+        + F.when(F.col("s_blocklist"), 1).otherwise(0)
+    ).cast("int")
+    return ens.withColumn("n_votes", votes).withColumn(
+        "keep", F.col("n_votes") >= 3
+    )

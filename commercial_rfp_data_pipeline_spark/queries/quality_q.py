@@ -1921,60 +1921,19 @@ def q_quality_signal_ensemble(spark, sf_dir):
 
     Scale: each signal is an existing linear operator (narrow maps +
     per-doc aggregates); the ensemble is a doc_id-keyed join of four
-    bounded tables."""
+    bounded tables. The same operator
+    (textops.quality_ensemble_signals) gates the streaming
+    curated-ingest sink — this query is its oracle."""
     from commercial_rfp_data_pipeline_spark.operators.textops import (
-        char_entropy,
-        norm_text,
-        quality_features,
-        repetition_features,
+        quality_ensemble_signals,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_features(docs).select(
-        "doc_id", (F.col("quality_score") >= _ENS_QUALITY_T).alias("s_quality")
-    )
-    e = char_entropy(docs).select(
-        "doc_id", F.col("entropy_bits").alias("_eb")
-    )
-    r = repetition_features(docs).select(
-        "doc_id", F.col("keep").alias("s_repetition")
-    )
-    t = norm_text("text")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(t, " ")).alias("w")
-    ).filter(F.length("w") > 0)
-    b = toks.groupBy("doc_id").agg(
-        (
-            F.sum(
-                F.when(F.substring(F.md5("w"), 1, 1) == "0", 1).otherwise(0)
-            )
-            / F.count(F.lit(1)).cast("double")
-        ).alias("_hr")
-    )
-    ens = (
-        q.join(r, "doc_id")
-        .join(e, "doc_id", "left")
-        .join(b, "doc_id", "left")
-        .select(
-            "doc_id",
-            "s_quality",
-            (F.coalesce(F.col("_eb"), F.lit(0.0)) >= _ENS_ENTROPY_T).alias(
-                "s_entropy"
-            ),
-            "s_repetition",
-            (F.coalesce(F.col("_hr"), F.lit(0.0)) <= _ENS_BLOCK_T).alias(
-                "s_blocklist"
-            ),
-        )
-    )
-    votes = (
-        F.when(F.col("s_quality"), 1).otherwise(0)
-        + F.when(F.col("s_entropy"), 1).otherwise(0)
-        + F.when(F.col("s_repetition"), 1).otherwise(0)
-        + F.when(F.col("s_blocklist"), 1).otherwise(0)
-    ).cast("int")
-    return ens.withColumn("n_votes", votes).withColumn(
-        "keep", F.col("n_votes") >= 3
+    return quality_ensemble_signals(
+        docs,
+        quality_t=_ENS_QUALITY_T,
+        entropy_t=_ENS_ENTROPY_T,
+        block_t=_ENS_BLOCK_T,
     )
 
 

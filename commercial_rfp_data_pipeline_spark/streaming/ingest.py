@@ -82,3 +82,85 @@ def index_ingest_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curated_ingest_sink(
+    docs: DataFrame,
+    spark: SparkSession,
+    store_path: str,
+    checkpoint: str,
+    min_votes: int = 3,
+    on_batch_written=None,
+):
+    """The streaming twin of the curation pipeline: each micro-batch is
+    GATED by the four-signal quality ensemble
+    (textops.quality_ensemble_signals — oracle-checked by the
+    `quality_signal_ensemble` batch query), then admitted through the
+    same exactly-once dedup discipline as
+    streaming/sinks.dedup_ingest_sink: content fingerprint, in-batch
+    keep-first, anti-join against every fingerprint already in the
+    store EXCLUDING the in-flight batch_id, and an idempotent
+    per-batch-directory overwrite — so a replayed batch recomputes the
+    identical survivor set and overwrites itself.
+
+    The store therefore contains exactly the gate-surviving, novel
+    documents in arrival order, equal to running the batch gate +
+    sequential dedup over the same batches (pinned by
+    test_curated_ingest_matches_batch_reference).
+
+    Scale: gate cost is per-batch linear; the admission anti-join scans
+    the store's one fingerprint column."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        quality_ensemble_signals,
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        kept = batch.join(
+            quality_ensemble_signals(batch)
+            .filter(F.col("n_votes") >= min_votes)
+            .select("doc_id"),
+            "doc_id",
+        )
+        fp = F.md5(
+            F.lower(
+                F.trim(
+                    F.regexp_replace(F.col("text").cast("string"), r"\s+", " ")
+                )
+            )
+        )
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        deduped = (
+            kept.withColumn("fp", fp)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            store = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("fp")
+            )
+            novel = deduped.join(store, "fp", "left_anti")
+        except Exception:  # first batch: no store yet
+            novel = deduped
+        novel.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+        if on_batch_written is not None:
+            on_batch_written(batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1726,3 +1726,108 @@ def test_bm25_compaction_preserves_search(spark, sf_dir, tmp_path):
         tuple(r) for r in bm25_search_index(spark, wh, terms).collect()
     } == s_before
     assert compact_bm25_index(spark, wh) == 0
+
+
+def test_curated_ingest_matches_batch_reference(spark, sf_dir, tmp_path):
+    """The streaming curation twin: ensemble-gated, deduplicating
+    ingest over 3 micro-batches (with a whitespace-variant duplicate
+    injected and a crash replay in the middle) must land exactly the
+    batch reference — gate(doc) computed once over all docs (the gate
+    is per-doc, so batch boundaries can't change it) and
+    first-arrival-wins content dedup in batch order."""
+    import glob as _glob
+    import os as _os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        quality_ensemble_signals,
+    )
+    from commercial_rfp_data_pipeline_spark.streaming.ingest import (
+        curated_ingest_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    # batch 2 includes ws-variant DUPLICATES of five batch-0 docs
+    dupes = (
+        docs.filter(F.col("doc_id").isin(0, 3, 6, 9, 12))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("  "), F.col("text"), F.lit("   ")).alias("text"),
+        )
+    )
+    b2 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(dupes)
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    seen: set[str] = set()
+    for i, b in enumerate([b0, b1, b2]):
+        b.coalesce(1).write.mode("append").parquet(inp)
+        for f in _glob.glob(inp + "/*.parquet"):
+            if f not in seen:
+                _os.utime(f, (1_700_000_000 + i * 60,) * 2)
+                seen.add(f)
+    schema = spark.read.parquet(inp).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+
+    calls = {"n": 0}
+
+    def boom(batch_id: int) -> None:
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = curated_ingest_sink(
+        stream(), spark, store, ckpt, on_batch_written=boom
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = curated_ingest_sink(stream(), spark, store, ckpt)
+    q2.awaitTermination()
+
+    got = {
+        r.doc_id: r.fp for r in spark.read.parquet(store).collect()
+    }
+
+    # batch reference: per-doc gate + first-arrival content dedup
+    all_docs = b0.unionByName(b1).unionByName(b2)
+    kept_ids = {
+        r.doc_id
+        for r in quality_ensemble_signals(all_docs)
+        .filter("keep")
+        .collect()
+    }
+    fp_of = {
+        r.doc_id: r.fp
+        for r in all_docs.select(
+            "doc_id",
+            F.md5(
+                F.lower(
+                    F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+                )
+            ).alias("fp"),
+        ).collect()
+    }
+    want: dict[int, str] = {}
+    seen_fp: set[str] = set()
+    for b in [b0, b1, b2]:
+        for r in sorted(b.select("doc_id").collect(), key=lambda r: r.doc_id):
+            d = r.doc_id
+            if d in kept_ids and fp_of[d] not in seen_fp:
+                seen_fp.add(fp_of[d])
+                want[d] = fp_of[d]
+    assert got == want
+    # the injected duplicates were gated out by CONTENT (their base
+    # docs arrived first), never admitted twice
+    assert all(d < 100000 or d not in got for d in got)
