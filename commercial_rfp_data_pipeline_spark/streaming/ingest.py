@@ -164,3 +164,141 @@ def curated_ingest_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _simhash_band_table(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sh_hi, sh_lo, band, val) from a simhash-fingerprint frame —
+    the band-LSH form both sides of a cross-frame near-dup join use.
+    Mirrors the packing inside textops.simhash_pairs (two 32-bit
+    halves: a single 64-bit conv overflows long)."""
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+    )
+
+    band_len = SIMHASH_BITS // SIMHASH_BANDS
+    half = SIMHASH_BITS // 2
+    packed = sh.withColumn(
+        "sh_hi", F.conv(F.substring("simhash", 1, half), 2, 10).cast("long")
+    ).withColumn(
+        "sh_lo",
+        F.conv(F.substring("simhash", half + 1, half), 2, 10).cast("long"),
+    )
+    bvals = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring(
+                    "simhash", b * band_len + 1, band_len
+                ).alias("val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    return packed.select(
+        F.col(id_col), "sh_hi", "sh_lo", F.explode(bvals).alias("bv")
+    ).select(
+        id_col,
+        "sh_hi",
+        "sh_lo",
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("val"),
+    )
+
+
+def neardup_ingest_sink(
+    docs: DataFrame,
+    spark: SparkSession,
+    store_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    on_batch_written=None,
+):
+    """NEAR-duplicate-rejecting corpus ingest — the production upgrade
+    over exact-fingerprint admission (sinks.dedup_ingest_sink catches
+    byte/whitespace dups; this one catches REWRITES): each micro-batch
+    is SimHash-fingerprinted, collapsed to one canonical doc per
+    in-batch near-dup cluster (banded pairs -> connected components ->
+    min-id canonical), then band-joined against the fingerprints
+    already in the store — a batch doc within ``max_hamming`` of ANY
+    stored doc is rejected. The store invariant: no two admitted docs
+    are ever within ``max_hamming`` of each other.
+
+    Exactly-once under replay: same discipline as the other ingest
+    sinks — per-batch ``batch_id=N`` dir overwrite, store-side read
+    EXCLUDES the in-flight batch_id, and every step is deterministic,
+    so a replayed batch recomputes the identical admission set.
+
+    Scale: fingerprints are one groupBy(doc) aggregate per batch; the
+    store check shuffles on (band, value) buckets — candidate volume
+    is bucket-occupancy-bounded, never batch x store; in-batch CC runs
+    on the batch's own pairs only."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        simhash,
+        simhash_pairs,
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        sh = simhash(batch)
+        # one canonical per in-batch near-dup cluster
+        pairs = simhash_pairs(sh, max_hamming=max_hamming)
+        clusters = dup_clusters(batch.select("doc_id"), pairs)
+        canon = clusters.filter(
+            F.col("doc_id") == F.col("cluster_id")
+        ).select("doc_id")
+        survivors = batch.join(canon, "doc_id").join(
+            sh.select("doc_id", "simhash"), "doc_id"
+        )
+        try:
+            store_sh = (
+                spark.read.parquet(store_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("doc_id", "simhash")
+            )
+            sb = _simhash_band_table(
+                survivors.select("doc_id", "simhash")
+            ).withColumnRenamed("doc_id", "b_id")
+            st = _simhash_band_table(store_sh).withColumnRenamed(
+                "doc_id", "s_id"
+            )
+            ham = F.bit_count(
+                F.col("sb.sh_hi").bitwiseXOR(F.col("st.sh_hi"))
+            ) + F.bit_count(F.col("sb.sh_lo").bitwiseXOR(F.col("st.sh_lo")))
+            hit = (
+                sb.alias("sb")
+                .join(
+                    st.alias("st"),
+                    (F.col("sb.band") == F.col("st.band"))
+                    & (F.col("sb.val") == F.col("st.val")),
+                )
+                .filter(ham <= max_hamming)
+                .select(F.col("b_id").alias("doc_id"))
+                .distinct()
+            )
+            novel = survivors.join(hit, "doc_id", "left_anti")
+        except Exception:  # first batch: no store yet
+            novel = survivors
+        novel.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch_id={batch_id}")
+        )
+        if on_batch_written is not None:
+            on_batch_written(batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

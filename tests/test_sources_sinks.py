@@ -1831,3 +1831,92 @@ def test_curated_ingest_matches_batch_reference(spark, sf_dir, tmp_path):
     # the injected duplicates were gated out by CONTENT (their base
     # docs arrived first), never admitted twice
     assert all(d < 100000 or d not in got for d in got)
+
+
+def test_neardup_ingest_rejects_rewrites_across_batches(spark, sf_dir, tmp_path):
+    """Near-dup admission at ingest: a batch-2 REWRITE (one word
+    changed — byte-distinct, so exact-fingerprint dedup would admit
+    it) of a batch-0 doc is rejected by the SimHash band check; novel
+    docs are admitted; a mid-stream crash replay changes nothing; and
+    the final store satisfies the invariant that NO two admitted docs
+    are within Hamming 3 of each other."""
+    import glob as _glob
+    import os as _os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        simhash,
+        simhash_pairs,
+    )
+    from commercial_rfp_data_pipeline_spark.streaming.ingest import (
+        neardup_ingest_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # use the corpus's REAL near-dup pairs (byte-distinct rewrites the
+    # exact-fingerprint sink would admit): a-side docs arrive in batch
+    # 0, their near-dup partners in batch 2
+    near = simhash_pairs(simhash(docs)).select("doc_a", "doc_b").collect()
+    assert near, "corpus has no near-dup pairs at this SF"
+    a_side = sorted({r.doc_a for r in near})[:5]
+    partner = {}
+    for r in near:
+        if r.doc_a in a_side and r.doc_a not in partner:
+            partner[r.doc_a] = r.doc_b
+    b_side = sorted(set(partner.values()))
+    rest = docs.filter(
+        ~F.col("doc_id").isin([*a_side, *b_side])
+    ).filter(F.col("doc_id") < 60)
+    b0 = docs.filter(F.col("doc_id").isin(a_side))
+    b1 = rest
+    b2 = docs.filter(F.col("doc_id").isin(b_side))
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    seen: set[str] = set()
+    for i, b in enumerate([b0, b1, b2]):
+        b.coalesce(1).write.mode("append").parquet(inp)
+        for f in _glob.glob(inp + "/*.parquet"):
+            if f not in seen:
+                _os.utime(f, (1_700_000_000 + i * 60,) * 2)
+                seen.add(f)
+    schema = spark.read.parquet(inp).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+
+    calls = {"n": 0}
+
+    def boom(batch_id: int) -> None:
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = neardup_ingest_sink(
+        stream(), spark, store, ckpt, on_batch_written=boom
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = neardup_ingest_sink(stream(), spark, store, ckpt)
+    q2.awaitTermination()
+
+    admitted = spark.read.parquet(store)
+    ids = {r.doc_id for r in admitted.select("doc_id").collect()}
+    # a near-dup pair never survives together; with the a-side arriving
+    # first, at least one partner was rejected BY the store check
+    for a, b in partner.items():
+        assert not (a in ids and b in ids)
+    assert any(a in ids and b not in ids for a, b in partner.items())
+    # THE invariant: no two admitted docs within Hamming 3
+    final_pairs = simhash_pairs(
+        admitted.select("doc_id", "simhash"), max_hamming=3
+    )
+    assert final_pairs.count() == 0
