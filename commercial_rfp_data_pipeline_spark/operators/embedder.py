@@ -175,3 +175,84 @@ def crossencoder_rerank(
             yield pdf
 
     return pairs.mapInPandas(run, schema=f"{in_schema}, ce_score double")
+
+
+class RemoteBatchEmbedder:
+    """Remote embedding-service client — the full production shape of
+    the reference's AzureOpenAIEmbeddingSkill seam
+    (commercial_rfp_indexer.py:177-191), minus only the network:
+
+    - **injectable transport** (same pattern as the REST data source's
+      injectable session): ``transport(texts: list[str]) ->
+      list[list[float]]`` — an HTTP client, an SDK call, or a local
+      model wrap here; nothing else in the engine changes;
+    - **one call per Arrow batch** — request batching falls out of
+      ``mapInPandas`` chunking (tune
+      ``spark.sql.execution.arrow.maxRecordsPerBatch`` to the
+      service's batch limit);
+    - **bounded retries** with an injectable ``on_retry(attempt,
+      err)`` hook (backoff/telemetry), then fail the TASK — Spark's
+      task retry then re-runs the batch, which is safe because
+      embedding is pure;
+    - **strict response validation**: row count and dimension checked
+      per batch, so a truncated/reordered service response fails loudly
+      instead of mis-assigning vectors.
+
+    Executors must be able to construct the transport, so pass a
+    top-level callable or a picklable closure (no open sockets)."""
+
+    def __init__(self, transport, dim: int = DEFAULT_DIM, max_retries: int = 2, on_retry=None):
+        self.transport = transport
+        self.dim = dim
+        self.max_retries = max_retries
+        self.on_retry = on_retry
+
+    def embed(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        transport = self.transport
+        dim = self.dim
+        max_retries = self.max_retries
+        on_retry = self.on_retry
+
+        def call_with_retry(texts):
+            last = None
+            for attempt in range(max_retries + 1):
+                try:
+                    vecs = transport(texts)
+                except Exception as e:  # transient service failure
+                    last = e
+                    if on_retry is not None:
+                        on_retry(attempt, e)
+                    continue
+                if len(vecs) != len(texts):
+                    raise ValueError(
+                        f"embedding service returned {len(vecs)} vectors "
+                        f"for {len(texts)} texts"
+                    )
+                bad = [i for i, v in enumerate(vecs) if len(v) != dim]
+                if bad:
+                    raise ValueError(
+                        f"embedding dim mismatch at rows {bad[:3]}: "
+                        f"expected {dim}"
+                    )
+                return vecs
+            raise RuntimeError(
+                f"embedding service failed after {max_retries + 1} attempts"
+            ) from last
+
+        def run(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                vecs = call_with_retry(pdf[text_col].tolist())
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "embedding": [
+                            [float(x) for x in v] for v in vecs
+                        ],
+                    }
+                )
+
+        return df.mapInPandas(
+            run, schema=f"{id_col} string, embedding array<double>"
+        )

@@ -1920,3 +1920,118 @@ def test_neardup_ingest_rejects_rewrites_across_batches(spark, sf_dir, tmp_path)
         admitted.select("doc_id", "simhash"), max_hamming=3
     )
     assert final_pairs.count() == 0
+
+
+def test_remote_embedder_matches_expression_embedder(spark, sf_dir):
+    """RemoteBatchEmbedder through a fake service transport produces
+    the identical vectors as the Catalyst expression embedder — the
+    production swap is a one-argument change with no semantic drift.
+    The transport is defined INSIDE the test so cloudpickle ships it
+    by value (a tests-module function pickles by reference, which
+    executors cannot import — the driver-contract gotcha)."""
+
+    def _hashed_bow_transport(texts):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        dim = 64
+        out = np.zeros((len(texts), dim))
+        for i, t in enumerate(texts):
+            toks = re.sub(r"\s+", " ", str(t)).strip().lower().split(" ")
+            for tok in toks:
+                j = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % dim
+                out[i, j] += 1.0
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return [list(v) for v in np.round(out / norms, 6)]
+
+    from commercial_rfp_data_pipeline_spark.operators.chunking import (
+        chunk_text,
+    )
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.operators.embedder import (
+        HashedBowEmbedder,
+        RemoteBatchEmbedder,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    chunks = chunk_text(docs, size=120, overlap=30)
+    want = {
+        r.chunk_id: [round(x, 6) for x in r.embedding]
+        for r in HashedBowEmbedder()
+        .embed(chunks, "chunk", "chunk_id")
+        .collect()
+    }
+    got = {
+        r.chunk_id: [round(x, 6) for x in r.embedding]
+        for r in RemoteBatchEmbedder(_hashed_bow_transport)
+        .embed(chunks, "chunk", "chunk_id")
+        .collect()
+    }
+    assert got == want
+
+
+def test_remote_embedder_retries_and_validates():
+    """Driver-side contract tests for the retry/validation logic: a
+    transport that fails once succeeds on retry (with the on_retry
+    hook observing the attempt); a short response and a wrong-dim
+    response both fail loudly; persistent failure raises after the
+    retry budget."""
+    import pandas as pd
+    import pytest
+
+    from commercial_rfp_data_pipeline_spark.operators.embedder import (
+        RemoteBatchEmbedder,
+    )
+
+    def run_one(emb, texts):
+        # drive the mapInPandas closure directly with one pandas batch
+        batches = iter([pd.DataFrame({"t": texts, "i": range(len(texts))})])
+        # rebuild the inner runner the same way embed() does
+        out = []
+
+        class _FakeDF:
+            def mapInPandas(self, fn, schema):
+                out.extend(list(fn(batches)))
+                return None
+
+        emb.embed(_FakeDF(), "t", "i")
+        return out
+
+    calls = {"n": 0}
+    seen_retries = []
+
+    def flaky(texts):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("transient")
+        return [[0.0] * 64 for _ in texts]
+
+    out = run_one(
+        RemoteBatchEmbedder(
+            flaky, max_retries=2, on_retry=lambda a, e: seen_retries.append(a)
+        ),
+        ["x", "y"],
+    )
+    assert len(out) == 1 and len(out[0]) == 2
+    assert seen_retries == [0]
+
+    with pytest.raises(Exception, match="returned 1 vectors"):
+        run_one(
+            RemoteBatchEmbedder(lambda ts: [[0.0] * 64]), ["x", "y"]
+        )
+    with pytest.raises(Exception, match="dim mismatch"):
+        run_one(
+            RemoteBatchEmbedder(lambda ts: [[0.0] * 8 for _ in ts]),
+            ["x", "y"],
+        )
+    with pytest.raises(RuntimeError, match="failed after 2 attempts"):
+        run_one(
+            RemoteBatchEmbedder(
+                lambda ts: (_ for _ in ()).throw(ConnectionError("down")),
+                max_retries=1,
+            ),
+            ["x"],
+        )
