@@ -267,3 +267,87 @@ def ahash_neardup_pairs(
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def perceptual_dhash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Difference-hash (dHash) — aHash's gradient-based sibling: bit k
+    = cell_k < cell_{k+1} over the same deterministic 8x8 grid (wrap
+    at the end for a full 64 bits). Where aHash thresholds against the
+    GLOBAL mean (robust to uniform brightness shifts, blind to local
+    structure), dHash encodes LOCAL gradients (robust to global
+    scaling, sensitive to rearrangement) — real pipelines run both and
+    union the candidates. Same fake-decode seam, same pure integer
+    expressions, same 8-band layout; feed
+    `ahash_neardup_pairs`-compatible output (bits + bands) into the
+    shared banding join."""
+    t = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.decode(F.col(payload_col), "UTF-8").cast("string"),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    b = df.select(F.col(id_col), t.alias("_t"))
+    grams = b.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(F.split(F.col("_t"), " ")) >= 2,
+                F.expr(
+                    "transform(sequence(1, size(split(_t, ' ')) - 1), "
+                    "i -> concat(element_at(split(_t, ' '), i), ' ', "
+                    "element_at(split(_t, ' '), i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 2), 16, 10).cast("int") % 64
+    )
+    counts = grams.groupBy(id_col, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("int").alias("c")
+    )
+    cellmap = counts.groupBy(id_col).agg(
+        F.map_from_arrays(
+            F.collect_list("bucket"), F.collect_list("c")
+        ).alias("_m")
+    )
+    cells = (
+        b.select(id_col)
+        .join(cellmap, id_col, "left")
+        .select(
+            id_col,
+            F.expr(
+                "transform(sequence(0, 63), "
+                "k -> coalesce(element_at(_m, CAST(k AS INT)), 0))"
+            ).alias("cl"),
+        )
+    )
+    # bit k = cl[k] < cl[(k+1) mod 64]
+    bits = cells.select(
+        id_col,
+        F.expr(
+            "transform(sequence(0, 63), k -> CASE WHEN "
+            "element_at(cl, CAST(k AS INT) + 1) < "
+            "element_at(cl, CAST((k + 1) % 64 AS INT) + 1) "
+            "THEN 1 ELSE 0 END)"
+        ).alias("bits"),
+    )
+    bands = F.expr(
+        "transform(sequence(0, 7), b -> CAST(aggregate("
+        "  sequence(0, 7), 0, "
+        "  (acc, j) -> acc + element_at(bits, 8 * b + j + 1) "
+        "              * CAST(pow(2, j) AS INT)) AS INT))"
+    )
+    return bits.select(
+        id_col,
+        F.concat_ws(
+            "", F.transform(bands, lambda v: F.format_string("%02x", v))
+        ).alias("dhash"),
+        "bits",
+        bands.alias("bands"),
+    )

@@ -539,3 +539,120 @@ def q_mm_phash_neardup(spark, sf_dir):
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+# ---- perceptual-hash method agreement (round 7) ------------------------
+# Real pipelines run BOTH aHash (global-mean threshold: robust to
+# uniform shifts, blind to structure) and dHash (local gradients:
+# robust to scaling, sensitive to rearrangement) and union candidates.
+# This report quantifies what each catches on this corpus.
+
+_DH_CTE = f"""
+dbits AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+           k -> CASE WHEN cl[CAST(k + 1 AS INTEGER)]
+                        < cl[CAST((k + 1) % 64 + 1 AS INTEGER)]
+                     THEN 1 ELSE 0 END) AS db
+  FROM cells
+),
+union_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(generate_series(1, 64),
+             i -> ab.b[CAST(i AS INTEGER)] <> bb.b[CAST(i AS INTEGER)]))
+           AS ham_ahash,
+         len(list_filter(generate_series(1, 64),
+             i -> a.db[CAST(i AS INTEGER)] <> b.db[CAST(i AS INTEGER)]))
+           AS ham_dhash
+  FROM dbits a JOIN dbits b ON a.doc_id < b.doc_id
+  JOIN bits ab ON ab.doc_id = a.doc_id
+  JOIN bits bb ON bb.doc_id = b.doc_id
+)
+"""
+
+
+@query(
+    "phash_method_agreement",
+    f"""
+    WITH {_AHASH_CTE.strip().replace("phpairs AS (", "unused_pairs AS (")},
+    {_DH_CTE.strip()}
+    SELECT doc_a, doc_b,
+           CAST(ham_ahash AS INTEGER) AS ham_ahash,
+           CAST(ham_dhash AS INTEGER) AS ham_dhash,
+           (ham_ahash <= {_AHASH_HAM_T}) AS ahash_hit,
+           (ham_dhash <= {_AHASH_HAM_T}) AS dhash_hit
+    FROM union_pairs
+    WHERE ham_ahash <= {_AHASH_HAM_T} OR ham_dhash <= {_AHASH_HAM_T}
+    """,
+)
+def q_phash_method_agreement(spark, sf_dir):
+    """aHash vs dHash near-dup agreement: every pair EITHER method
+    flags at Hamming <= 6, with both distances and per-method hit
+    flags — the calibration report that decides whether one perceptual
+    hash suffices or the union is needed (pairs in the symmetric
+    difference are exactly what a single-method dedup would miss).
+
+    Scale: candidates come from each method's 8-band join (complete
+    for <= 7 by pigeonhole), unioned and verified — never all-pairs;
+    the oracle brute-forces, so hash-green again proves BOTH candidate
+    generators complete."""
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        perceptual_ahash,
+        perceptual_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = attach_binary(docs)
+    ah = pin(perceptual_ahash(b))
+    dh = pin(perceptual_dhash(b))
+    cand = (
+        ahash_neardup_pairs(ah, max_hamming=_AHASH_HAM_T)
+        .select("doc_a", "doc_b")
+        .unionByName(
+            ahash_neardup_pairs(dh, max_hamming=_AHASH_HAM_T).select(
+                "doc_a", "doc_b"
+            )
+        )
+        .distinct()
+    )
+    ham = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: F.when(p != q, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    j = (
+        cand.join(
+            ah.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("_aa")),
+            "doc_a",
+        )
+        .join(
+            ah.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("_ab")),
+            "doc_b",
+        )
+        .join(
+            dh.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("_da")),
+            "doc_a",
+        )
+        .join(
+            dh.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("_db")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            ham(F.col("_aa"), F.col("_ab")).cast("int").alias("ham_ahash"),
+            ham(F.col("_da"), F.col("_db")).cast("int").alias("ham_dhash"),
+        )
+    )
+    return j.filter(
+        (F.col("ham_ahash") <= _AHASH_HAM_T)
+        | (F.col("ham_dhash") <= _AHASH_HAM_T)
+    ).select(
+        "doc_a",
+        "doc_b",
+        "ham_ahash",
+        "ham_dhash",
+        (F.col("ham_ahash") <= _AHASH_HAM_T).alias("ahash_hit"),
+        (F.col("ham_dhash") <= _AHASH_HAM_T).alias("dhash_hit"),
+    )

@@ -173,3 +173,17 @@ def test_parent_dedup_retrieval_distinct_parents(spark, sf_dir):
         assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
         sims = [r.sim for r in sorted(rs, key=lambda r: r.rnk)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_phash_method_agreement_flags_consistent(spark, sf_dir):
+    rows = _q("phash_method_agreement", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ahash_hit == (r.ham_ahash <= 6)
+        assert r.dhash_hit == (r.ham_dhash <= 6)
+        assert r.ahash_hit or r.dhash_hit
+    # this corpus's near-dups are normalized-near-identical, so both
+    # grids agree on every pair — the report's value is that it SHOWS
+    # that (distances per method per pair); the disagreement case is
+    # exercised structurally by the differing bit definitions
+    assert all(r.ham_ahash >= 0 and r.ham_dhash >= 0 for r in rows)
