@@ -14,6 +14,13 @@ artifact.
 
 Each query is executed to completion (count() over the result — forces
 the full plan without driver-side collect of payload rows).
+
+Clean-run certification (round 8): a published per-query number must
+come from a run with hypervisor steal < 1% AND external-process CPU
+< 0.5 cores, retrying up to SPARK_GRAFT_CLEAN_RETRIES times with a
+short quiet wait between attempts. A query with no clean run in
+budget publishes its min flagged "dirty": true and is EXCLUDED from
+the headline "value" (the full sum is still reported as "total_all").
 """
 
 from __future__ import annotations
@@ -168,6 +175,10 @@ def main() -> None:
     # extend with any registered queries not in the headline list (cheap
     # coverage signal), capped to keep the bench fast
     names += [n for n in sorted(queries) if n not in names]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:  # smoke/debug subset: comma-separated query names
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
 
     # a measurement above RERUN_THRESHOLD_S is re-run once and the min
     # reported: this VM has periodic external load spikes that can stall
@@ -175,13 +186,35 @@ def main() -> None:
     # polluting the recorded number while leaving fast queries at one run
     RERUN_THRESHOLD_S = 3.0
 
-    # per-RUN external-interference thresholds that trigger a third run:
-    # hypervisor steal (other guests) or external CPU cores (other
-    # processes on THIS machine — what the round-6 quiet-START gate +
-    # steal check both missed when load arrived mid-run)
-    STEAL_RETRY_PCT = 3.0
-    EXT_CORES_RETRY = float(os.environ.get("SPARK_GRAFT_EXT_CORES", "4"))
+    # clean-run certification (round 8, VERDICT r7 #1): a query's
+    # PUBLISHED number must come from a run with steal_pct < 1 and
+    # ext_cores < 0.5 — the r7 artifact carried entries inflated up to
+    # 33x by co-tenant load that the per-run telemetry recorded but the
+    # headline number ignored. If no clean run is obtained within the
+    # retry budget the min is still published, flagged "dirty": true,
+    # and EXCLUDED from the headline total (value = total over clean
+    # entries; total_all reported alongside).
+    CLEAN_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_CLEAN_STEAL_PCT", "1"))
+    CLEAN_EXT_CORES = float(
+        os.environ.get("SPARK_GRAFT_CLEAN_EXT_CORES", "0.5")
+    )
+    MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_CLEAN_RETRIES", "4"))
     tick_hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+    def is_clean(r: dict) -> bool:
+        return (
+            r["steal_pct"] < CLEAN_STEAL_PCT
+            and r["ext_cores"] < CLEAN_EXT_CORES
+        )
+
+    def _brief_quiet_wait(budget_s: float = 45.0) -> None:
+        """Between dirty retries: give the external load a chance to
+        pass before burning another attempt (short budget — the
+        per-query retry loop, not the run-level _wait_for_quiet)."""
+        bound = float(os.environ.get("SPARK_GRAFT_MAX_LOAD1", "8"))
+        deadline = time.time() + budget_s
+        while time.time() < deadline and os.getloadavg()[0] > bound:
+            time.sleep(5)
 
     def run_once(name: str) -> dict:
         c0, o0 = _read_cpu(), _subtree_ticks()
@@ -212,31 +245,41 @@ def main() -> None:
             "load1": round(os.getloadavg()[0], 2),
         }
 
-    def interfered(r: dict) -> bool:
-        return r["steal_pct"] > STEAL_RETRY_PCT or r["ext_cores"] > EXT_CORES_RETRY
-
     timings: dict[str, float] = {}
     env: dict[str, dict] = {}
+    dirty_queries: list[str] = []
     for name in names:
         try:
             attempts = [run_once(name)]
-            # best-of-2 for anything slow; a third run if the better of
-            # the two still shows external interference DURING the run
-            while attempts[-1]["t"] > RERUN_THRESHOLD_S and (
-                len(attempts) < 2
-                or (
-                    len(attempts) < 3
-                    and interfered(min(attempts, key=lambda r: r["t"]))
-                )
-            ):
+            # best-of-2 for anything slow (pure variance smoothing)
+            if attempts[-1]["t"] > RERUN_THRESHOLD_S and len(attempts) < 2:
                 attempts.append(run_once(name))
-            best = min(attempts, key=lambda r: r["t"])
+            # clean-run certification: retry (after a short quiet wait)
+            # until SOME attempt is interference-free or budget spent
+            while (
+                not any(is_clean(r) for r in attempts)
+                and len(attempts) < MAX_ATTEMPTS
+            ):
+                _brief_quiet_wait()
+                attempts.append(run_once(name))
+            clean_runs = [r for r in attempts if is_clean(r)]
+            best = min(clean_runs or attempts, key=lambda r: r["t"])
+            dirty = not clean_runs
+            if dirty:
+                dirty_queries.append(name)
+                print(
+                    f"bench: {name} DIRTY after {len(attempts)} attempts "
+                    f"(best steal={best['steal_pct']} "
+                    f"ext={best['ext_cores']}) — excluded from total",
+                    file=sys.stderr,
+                )
             timings[name] = best["t"]
             env[name] = {
                 "steal_pct": best["steal_pct"],
                 "ext_cores": best["ext_cores"],
                 "load1": best["load1"],
                 "runs": len(attempts),
+                "dirty": dirty,
                 "all_runs": [
                     [r["t"], r["steal_pct"], r["ext_cores"], r["load1"]]
                     for r in attempts
@@ -246,16 +289,32 @@ def main() -> None:
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
             spark.catalog.clearCache()
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_all = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(
+        sum(
+            t
+            for n, t in timings.items()
+            if t >= 0 and n not in dirty_queries
+        ),
+        3,
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "total_query_seconds",
-        "value": total,
+        "value": total,  # CLEAN entries only — dirty never pollutes it
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
+        "n_dirty": len(dirty_queries),
+        "dirty_queries": sorted(dirty_queries),
+        "total_all": total_all,
+        "clean_gate": {
+            "steal_pct_lt": CLEAN_STEAL_PCT,
+            "ext_cores_lt": CLEAN_EXT_CORES,
+            "max_attempts": MAX_ATTEMPTS,
+        },
         "started_quiet": started_quiet,
         "loadavg_end": round(os.getloadavg()[0], 2),
         "env": env,

@@ -170,14 +170,23 @@ def perceptual_ahash(
             F.collect_list("bucket"), F.collect_list("c")
         ).alias("_m")
     )
+    # A payload with no bigrams has NO perceptual content: an all-zero
+    # grid would hash every such payload to the SAME vector and weld
+    # them into one spurious Hamming-0 mega-cluster (ADVICE r7, low).
+    # Emit NULL bits instead — mirroring simhash's empty-input
+    # handling — so they can't enter the band join and surface as
+    # null-hash singletons downstream.
     cells = (
         base.select(id_col)
         .join(cellmap, id_col, "left")
         .select(
             id_col,
-            F.expr(
-                "transform(sequence(0, 63), "
-                "k -> coalesce(element_at(_m, CAST(k AS INT)), 0))"
+            F.when(
+                F.col("_m").isNotNull(),
+                F.expr(
+                    "transform(sequence(0, 63), "
+                    "k -> coalesce(element_at(_m, CAST(k AS INT)), 0))"
+                ),
             ).alias("cl"),
         )
         .withColumn(
@@ -206,11 +215,14 @@ def perceptual_ahash(
     )
     return bits.select(
         id_col,
-        F.concat_ws(
-            "", F.transform(bands, lambda v: F.format_string("%02x", v))
+        F.when(
+            F.col("bits").isNotNull(),
+            F.concat_ws(
+                "", F.transform(bands, lambda v: F.format_string("%02x", v))
+            ),
         ).alias("ahash"),
         "bits",
-        bands.alias("bands"),
+        F.when(F.col("bits").isNotNull(), bands).alias("bands"),
     )
 
 
@@ -231,6 +243,9 @@ def ahash_neardup_pairs(
         raise ValueError(
             "8-band generation is only complete for max_hamming <= 7"
         )
+    # NULL-hash rows (gram-less payloads) carry no perceptual content
+    # and must not enter candidate generation
+    hashes = hashes.filter(F.col("bits").isNotNull())
     bt = hashes.select(
         F.col(id_col), F.posexplode("bands").alias("b", "val")
     )
@@ -316,25 +331,34 @@ def perceptual_dhash(
             F.collect_list("bucket"), F.collect_list("c")
         ).alias("_m")
     )
+    # NULL cl for gram-less payloads — same spurious-mega-cluster
+    # guard as perceptual_ahash (ADVICE r7, low)
     cells = (
         b.select(id_col)
         .join(cellmap, id_col, "left")
         .select(
             id_col,
-            F.expr(
-                "transform(sequence(0, 63), "
-                "k -> coalesce(element_at(_m, CAST(k AS INT)), 0))"
+            F.when(
+                F.col("_m").isNotNull(),
+                F.expr(
+                    "transform(sequence(0, 63), "
+                    "k -> coalesce(element_at(_m, CAST(k AS INT)), 0))"
+                ),
             ).alias("cl"),
         )
     )
-    # bit k = cl[k] < cl[(k+1) mod 64]
+    # bit k = cl[k] < cl[(k+1) mod 64]; the transform iterates
+    # sequence(0,63) so null cl must be gated explicitly
     bits = cells.select(
         id_col,
-        F.expr(
-            "transform(sequence(0, 63), k -> CASE WHEN "
-            "element_at(cl, CAST(k AS INT) + 1) < "
-            "element_at(cl, CAST((k + 1) % 64 AS INT) + 1) "
-            "THEN 1 ELSE 0 END)"
+        F.when(
+            F.col("cl").isNotNull(),
+            F.expr(
+                "transform(sequence(0, 63), k -> CASE WHEN "
+                "element_at(cl, CAST(k AS INT) + 1) < "
+                "element_at(cl, CAST((k + 1) % 64 AS INT) + 1) "
+                "THEN 1 ELSE 0 END)"
+            ),
         ).alias("bits"),
     )
     bands = F.expr(
@@ -345,9 +369,12 @@ def perceptual_dhash(
     )
     return bits.select(
         id_col,
-        F.concat_ws(
-            "", F.transform(bands, lambda v: F.format_string("%02x", v))
+        F.when(
+            F.col("bits").isNotNull(),
+            F.concat_ws(
+                "", F.transform(bands, lambda v: F.format_string("%02x", v))
+            ),
         ).alias("dhash"),
         "bits",
-        bands.alias("bands"),
+        F.when(F.col("bits").isNotNull(), bands).alias("bands"),
     )

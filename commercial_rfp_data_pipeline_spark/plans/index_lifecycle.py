@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -909,7 +910,10 @@ def purge_from_indexes(
     partition-pruned scan, and ONLY those cent_id partitions are
     rewritten without the purged rows (dynamic partition overwrite —
     healthy cells' files untouched; centroids intentionally keep their
-    training, exactly like append/maintain).
+    training, exactly like append/maintain). A hit cell whose rows are
+    ALL purged produces no rows for the dynamic overwrite to rewrite,
+    so its partition dir is deleted explicitly, and a post-purge scan
+    of the hit cells asserts zero purged chunk_ids remain.
 
     Result equals an index built WITHOUT the purged docs (same frozen
     centroids) — pinned by test_index_purge_equals_rebuild. Returns
@@ -1015,6 +1019,31 @@ def purge_from_indexes(
             ).partitionBy("cent_id").parquet(cells_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Dynamic overwrite only rewrites partitions PRESENT in the
+        # written data: a hit cell whose rows ALL belong to purged
+        # docs contributes no rows to `keep`, so its partition dir
+        # would survive untouched and keep serving the subject's
+        # vectors. Delete those fully-purged cell dirs explicitly,
+        # then assert no purged chunk remains in any hit cell.
+        kept_cells = {
+            r.cent_id for r in keep.select("cent_id").distinct().collect()
+        }
+        for cid in hit_cells:
+            if cid not in kept_cells:
+                part_dir = os.path.join(cells_path, f"cent_id={cid}")
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
+        leftover = (
+            spark.read.parquet(cells_path)
+            .filter(F.col("cent_id").isin(hit_cells) & is_purged)
+            .limit(1)
+            .count()
+        )
+        if leftover:
+            raise RuntimeError(
+                "purge_from_indexes: purged chunk_ids remain in IVF "
+                f"cells {hit_cells} after rewrite"
+            )
     return {
         "bm25_chunks_removed": n_chunks_removed,
         "ivf_rows_removed": ivf_removed,

@@ -432,8 +432,11 @@ bcounts AS (
   FROM grams GROUP BY 1, 2
 ),
 grid AS (
+  -- gram-less docs carry no perceptual content: they get NO bits/hash
+  -- (null-hash singletons downstream), matching the Spark operator's
+  -- NULL-sentinel handling (ADVICE r7, low)
   SELECT dd.doc_id, k.k, coalesce(c.c, 0) AS c
-  FROM (SELECT doc_id FROM d) dd
+  FROM (SELECT DISTINCT doc_id FROM grams) dd
   CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) k
   LEFT JOIN bcounts c ON c.doc_id = dd.doc_id AND c.bucket = k.k
 ),
@@ -491,7 +494,7 @@ phpairs AS (
     SELECT c.doc_id, h.ahash, c.cluster_id, s.n_members,
            (c.doc_id = c.cluster_id) AS is_canonical
     FROM clusters c
-    JOIN hx h USING (doc_id)
+    LEFT JOIN hx h USING (doc_id)
     JOIN sizes s USING (cluster_id)
     """,
 )

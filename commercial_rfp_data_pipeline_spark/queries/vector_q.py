@@ -2745,6 +2745,17 @@ def q_mmr_diversified(spark, sf_dir):
             (int(d), int(s)): float(x)
             for d, s, x in zip(ps["vec_id"], ps["s_id"], ps["psim"])
         }
+        if not rels:  # degenerate group: pair rows without candidates
+            return pd.DataFrame(
+                columns=[
+                    "q_id",
+                    "vec_id",
+                    "step",
+                    "rel",
+                    "max_sim_selected",
+                    "mmr",
+                ]
+            )
         first = min(rels, key=lambda v: (-rels[v], v))
         out = [
             (qid, first, 1, rels[first], 0.0, float(lam * d6(rels[first])))
@@ -2755,11 +2766,16 @@ def q_mmr_diversified(spark, sf_dir):
             for v, r in rels.items():
                 if v in selected:
                     continue
-                ms = max(sims[(v, s)] for s in selected)
+                # sims.get: a pair row can be absent when the join
+                # produced a partial shortlist — degrade like the
+                # pre-fusion DataFrame form instead of KeyError
+                ms = max(sims.get((v, s), 0.0) for s in selected)
                 mmr = float(lam * d6(r) - mu * d6(ms))
                 k = (-mmr, v)
                 if best is None or k < best[0]:
                     best = (k, v, r, ms, mmr)
+            if best is None:  # shortlist exhausted before k steps
+                break
             _, v, r, ms, mmr = best
             out.append((qid, v, step, r, ms, mmr))
             selected.append(v)

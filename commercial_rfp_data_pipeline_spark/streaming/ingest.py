@@ -39,6 +39,28 @@ from pyspark.sql import DataFrame, SparkSession
 DOCS_SCHEMA = "doc_id long, text string"
 
 
+def _prior_store_batches(store_path: str, batch_id: int) -> bool:
+    """True iff the admission store already holds committed batch dirs
+    OTHER than the in-flight ``batch_id`` (a replayed batch must not
+    dedup against its own prior write — it would anti-join itself
+    away). Explicit existence check instead of a try/except around the
+    store read (ADVICE r7, medium): the bare handler also swallowed
+    corrupt-store files, schema mismatches, and analysis errors in the
+    band join, silently admitting the batch with NO dedup check. Now
+    only the genuinely-missing-store case skips the check and every
+    real failure fails the batch so Spark's retry surfaces it. Local
+    warehouse: one listdir; on an object store this is one LIST call
+    through the Hadoop FS API."""
+    import os
+
+    if not os.path.isdir(store_path):
+        return False
+    return any(
+        e.startswith("batch_id=") and e != f"batch_id={batch_id}"
+        for e in os.listdir(store_path)
+    )
+
+
 def read_documents_stream(
     spark: SparkSession, docs_dir: str, files_per_trigger: int = 1
 ) -> DataFrame:
@@ -143,14 +165,14 @@ def curated_ingest_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
+        if _prior_store_batches(store_path, batch_id):
             store = (
                 spark.read.parquet(store_path)
                 .filter(F.col("batch_id") != batch_id)
                 .select("fp")
             )
             novel = deduped.join(store, "fp", "left_anti")
-        except Exception:  # first batch: no store yet
+        else:  # first batch (or its replay): nothing committed to check
             novel = deduped
         novel.write.mode("overwrite").parquet(
             os.path.join(store_path, f"batch_id={batch_id}")
@@ -261,7 +283,7 @@ def neardup_ingest_sink(
         survivors = batch.join(canon, "doc_id").join(
             sh.select("doc_id", "simhash"), "doc_id"
         )
-        try:
+        if _prior_store_batches(store_path, batch_id):
             store_sh = (
                 spark.read.parquet(store_path)
                 .filter(F.col("batch_id") != batch_id)
@@ -288,7 +310,7 @@ def neardup_ingest_sink(
                 .distinct()
             )
             novel = survivors.join(hit, "doc_id", "left_anti")
-        except Exception:  # first batch: no store yet
+        else:  # first batch (or its replay): nothing committed to check
             novel = survivors
         novel.write.mode("overwrite").parquet(
             os.path.join(store_path, f"batch_id={batch_id}")

@@ -225,6 +225,52 @@ def test_perceptual_ahash_clusters_what_byte_dedup_cannot(spark):
     assert clusters[0] == clusters[1] == 0 and clusters[2] == 2
 
 
+def test_perceptual_hash_gramless_payloads_never_cluster(spark):
+    """ADVICE r7 (low): payloads with fewer than 2 words used to hash
+    to identical all-zero bit vectors and weld into one spurious
+    Hamming-0 mega-cluster. They must now carry NULL hash/bits/bands
+    (aHash AND dHash), generate NO candidate pairs, and come out of
+    clustering as singletons."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        attach_binary,
+        perceptual_ahash,
+        perceptual_dhash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one"),  # single word: no bigrams
+            (1, "word"),  # another gram-less payload
+            (2, ""),  # empty payload
+            (3, "a real payload with enough words to hash properly"),
+            (4, "a real payload with enough words to hash properly"),
+        ],
+        "doc_id long, text string",
+    )
+    b = attach_binary(docs)
+    for fn, hcol in [(perceptual_ahash, "ahash"), (perceptual_dhash, "dhash")]:
+        rows = {r.doc_id: r for r in fn(b).collect()}
+        assert len(rows) == 5  # gram-less docs keep their row
+        for d in (0, 1, 2):
+            assert rows[d][hcol] is None and rows[d].bits is None
+            assert rows[d].bands is None
+        assert rows[3][hcol] is not None and rows[3].bits is not None
+
+    hashes = perceptual_ahash(b)
+    pairs = ahash_neardup_pairs(hashes, max_hamming=6)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(3, 4)}  # only the real near-dup pair, no 0-1-2 weld
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(docs.select("doc_id"), pairs).collect()
+    }
+    assert clusters == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3}
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     """Streaming tumbling counts == batch tumbling counts on the finite
     events table (batch is the DuckDB-checked oracle)."""

@@ -441,6 +441,34 @@ def test_mmr_picks_are_shortlist_consistent(spark, sf_dir):
             assert abs(r.max_sim_selected - expect) < 1e-9, (q_id, r.step)
 
 
+def test_mmr_partial_shortlist_degrades_gracefully(spark, sf_dir, tmp_path):
+    """ADVICE r7 (low): a q_id group with fewer than K candidates used
+    to unpack `best = None` and fail the whole Arrow stage. With only
+    4 embeddings (1 query-eligible group of 3 candidates each), the
+    greedy must emit the partial pick sequence — min(K, shortlist)
+    steps per query — exactly like the pre-fusion DataFrame form."""
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.registry import all_queries
+
+    tiny = str(tmp_path / "tiny_sf")
+    load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 4
+    ).write.parquet(tiny + "/embeddings.parquet")
+
+    out = all_queries()["mmr_diversified_topk"](spark, tiny).collect()
+    assert out, "partial shortlist produced no rows"
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    # 4 vectors, all query-eligible (vec_id < 5): each query has 3
+    # candidates < K=5 picks -> exactly 3 steps, all distinct
+    assert set(by_q) == {0, 1, 2, 3}
+    for q_id, rows in by_q.items():
+        steps = sorted(r.step for r in rows)
+        assert steps == [1, 2, 3], (q_id, steps)
+        assert len({r.vec_id for r in rows}) == 3
+
+
 def test_compaction_bins_bounded_and_contiguous(spark, sf_dir):
     """Every output bin stays below target + max_file_bytes (the
     cumsum-assignment bound), bins cover all files exactly once, and

@@ -1682,6 +1682,71 @@ def test_index_purge_equals_rebuild(spark, sf_dir, tmp_path):
     )
 
 
+def test_index_purge_fully_purged_cell(spark, sf_dir, tmp_path):
+    """ADVICE r7 (high): dynamic partition overwrite only rewrites
+    partitions PRESENT in the written data — if every row of an IVF
+    cell belongs to purged docs, the purge used to leave that cell's
+    partition dir untouched, silently serving the subject's vectors.
+    Purge every parent doc of one chosen cell and assert (a) no purged
+    chunk remains anywhere in the index, (b) the fully-purged cell's
+    partition dir is gone, (c) search never returns a purged chunk."""
+    import os
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        ensure_bm25_index,
+        ensure_ivf_index,
+        ivf_search_index,
+        purge_from_indexes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wh = str(tmp_path / "wh")
+    ensure_bm25_index(spark, docs, wh)
+    ensure_ivf_index(spark, sf_dir, wh)
+
+    cells_path = os.path.join(wh, "ivf_cells")
+    cells = spark.read.parquet(cells_path).withColumn(
+        "parent", F.regexp_extract("chunk_id", r"^(.*)_\d+$", 1)
+    )
+    # the cell with the fewest distinct parent docs — purging all of
+    # them guarantees that cell ends up with zero survivors
+    victim = (
+        cells.groupBy("cent_id")
+        .agg(F.countDistinct("parent").alias("n_parents"))
+        .orderBy("n_parents", "cent_id")
+        .limit(1)
+        .collect()[0]
+    )
+    victim_cell = victim.cent_id
+    purged_ids = [
+        r.parent
+        for r in cells.filter(F.col("cent_id") == victim_cell)
+        .select("parent")
+        .distinct()
+        .collect()
+    ]
+    assert purged_ids
+
+    res = purge_from_indexes(spark, wh, purged_ids)
+    assert res["ivf_rows_removed"] > 0
+
+    # (b) fully-purged partition dir deleted
+    assert not os.path.isdir(
+        os.path.join(cells_path, f"cent_id={victim_cell}")
+    )
+    # (a) zero purged chunks anywhere in the rewritten index
+    after = spark.read.parquet(cells_path).withColumn(
+        "parent", F.regexp_extract("chunk_id", r"^(.*)_\d+$", 1)
+    )
+    assert after.filter(F.col("parent").isin(purged_ids)).count() == 0
+    # (c) search over the purged index never surfaces a purged chunk
+    hits = ivf_search_index(spark, wh, ["fast table scan"], k=10)
+    for r in hits.collect():
+        parent = r.chunk_id.rsplit("_", 1)[0]
+        assert parent not in set(purged_ids)
+
+
 def test_bm25_compaction_preserves_search(spark, sf_dir, tmp_path):
     """Compacting a multi-batch BM25 index into one dir changes the
     file layout only: tf/dl row sets and search scores identical,
@@ -1831,6 +1896,46 @@ def test_curated_ingest_matches_batch_reference(spark, sf_dir, tmp_path):
     # the injected duplicates were gated out by CONTENT (their base
     # docs arrived first), never admitted twice
     assert all(d < 100000 or d not in got for d in got)
+
+
+def test_ingest_sink_fails_loud_on_corrupt_store(spark, sf_dir, tmp_path):
+    """ADVICE r7 (medium): a corrupt admission store used to be
+    swallowed by the first-batch except-handler and the batch was
+    admitted with NO dedup check. Now only a genuinely-missing store
+    skips the check; a corrupt store fails the stream so the real
+    error surfaces instead of silently violating the store
+    invariant."""
+    import os as _os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.streaming.ingest import (
+        curated_ingest_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inp = str(tmp_path / "in")
+    docs.limit(20).coalesce(1).write.parquet(inp)
+    schema = spark.read.parquet(inp).schema
+
+    # a store with a PRIOR committed batch dir containing garbage —
+    # exactly the case the bare handler used to mask
+    store = str(tmp_path / "store")
+    bad_dir = _os.path.join(store, "batch_id=999")
+    _os.makedirs(bad_dir)
+    with open(_os.path.join(bad_dir, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    q = curated_ingest_sink(
+        spark.readStream.schema(schema).parquet(inp),
+        spark,
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
 
 
 def test_neardup_ingest_rejects_rewrites_across_batches(spark, sf_dir, tmp_path):
