@@ -1,0 +1,219 @@
+"""Session-spanning shared build artifacts (round 8, VERDICT r7 #2+#3).
+
+The retrieval family (late-interaction MaxSim, hybrid/RRF fusion,
+semantic chunk boundaries, ...) re-derived the chunk + embedding
+tables per query (~10 s cold at sf0.1), and the dedup family re-ran
+the SimHash -> connected-components cluster chain per consumer. This
+module gives both ONE durable, content-keyed home:
+
+- `corpus_warehouse(spark, sf_dir)` — a per-corpus directory under
+  $SPARK_GRAFT_WAREHOUSE (default: <repo>/spark-warehouse/artifacts),
+  keyed by a content signature of the documents table (row count +
+  order-insensitive xxhash64 over (doc_id, text)). A CHANGED corpus
+  produces a different key, so stale artifacts are never served — the
+  invalidation story is structural, not TTL-based.
+- `ensure_chunk_embeddings(spark, sf_dir)` — (chunks_df, emb_df) read
+  from the durable parquet tables, built on first touch under the
+  BM25 crash discipline (staged dirs + one atomic manifest replace).
+- `dedup_index_for(spark, sf_dir)` — the durable dedup-cluster index
+  (plans/dedup_index.py) ensured at the corpus warehouse.
+
+Scale: at 100 TB these are exactly the materialized intermediate
+tables a production lakehouse maintains (chunk store, embedding store,
+dedup-cluster table); queries become partition-pruned reads of
+committed parquet instead of re-deriving corpus-sized intermediates.
+
+The in-process signature cache is keyed by (sf_dir, mtime of the
+documents table dir) so a rewritten corpus under the same path
+re-signatures, while the steady-state cost per query is zero.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+    _bm25_commit as _commit,
+)
+from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+    _bm25_manifest as _manifest,
+)
+from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+    build_chunks,
+    build_embeddings,
+)
+
+_SIG_CACHE: dict[tuple[str, float], str] = {}
+
+
+def _docs_mtime(sf_dir: str) -> float:
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        return os.path.getmtime(p)
+    except OSError:
+        return 0.0
+
+
+def corpus_key(spark: SparkSession, sf_dir: str) -> str:
+    """Content signature of the documents table: one narrow scan on
+    first touch per (path, mtime), cached in-process afterwards."""
+    ck = (sf_dir, _docs_mtime(sf_dir))
+    hit = _SIG_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    # decimal(38,0) accumulation: a long sum of xxhash64 values
+    # overflows (a hard error under ANSI mode, silent wrap otherwise)
+    sig = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("doc_id", "text").cast("decimal(38,0)")
+            ).alias("h"),
+        )
+        .collect()[0]
+    )
+    key = hashlib.md5(f"{sig['n']}:{sig['h']}".encode()).hexdigest()[:16]
+    _SIG_CACHE[ck] = key
+    return key
+
+
+def warehouse_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if env:
+        return env
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, "spark-warehouse", "artifacts")
+
+
+def corpus_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    return os.path.join(
+        warehouse_root(), f"corpus-{corpus_key(spark, sf_dir)}"
+    )
+
+
+def ensure_chunk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Durable (chunks, parts, embeddings) for the corpus at
+    ``sf_dir`` — built once, then served as parquet reads. ``parts``
+    is the pre-normalization (chunk_id, _arr, _norm) form consumers
+    that reshape the vector need; ``embeddings`` is the normalized
+    (chunk_id, embedding) table the cosine kernels read. Same crash
+    discipline as BM25: all tables stage, then ONE manifest replace
+    publishes them; a crashed build leaves invisible dirs that the
+    retry overwrites."""
+    wh = corpus_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "chunk_emb")
+    m = _manifest(root)
+    chunks_path = os.path.join(root, "chunks")
+    parts_path = os.path.join(root, "emb_parts")
+    emb_path = os.path.join(root, "embeddings")
+    if m is None:
+        from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+            build_embedding_parts,
+        )
+
+        chunks = build_chunks(spark, sf_dir)
+        chunks.write.mode("overwrite").parquet(chunks_path)
+        built = spark.read.parquet(chunks_path)
+        build_embedding_parts(built).write.mode("overwrite").parquet(
+            parts_path
+        )
+        build_embeddings(built).write.mode("overwrite").parquet(emb_path)
+        _commit(root, {"tables": ["chunks", "emb_parts", "embeddings"]})
+    return (
+        spark.read.parquet(chunks_path),
+        spark.read.parquet(parts_path),
+        spark.read.parquet(emb_path),
+    )
+
+
+def ensure_token_index(
+    spark: SparkSession, sf_dir: str, k: int = 3, emb_dim: int = 8
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Durable token-level retrieval artifacts for the late-interaction
+    family: (toks, df, tokemb) where toks = distinct (doc_id, tok)
+    word-k-gram postings, df = per-token document frequency, tokemb =
+    one deterministic md5-byte embedding per DISTINCT token. These are
+    exactly the tables a ColBERT-style serving stack materializes once
+    per corpus (the token index + token-vector store); per-query work
+    is then candidate joins + MaxSim over candidates only."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        shingles,
+    )
+
+    wh = corpus_warehouse(spark, sf_dir)
+    root = os.path.join(wh, f"token_index_k{k}_d{emb_dim}")
+    toks_path = os.path.join(root, "toks")
+    df_path = os.path.join(root, "df")
+    emb_path = os.path.join(root, "tokemb")
+    if _manifest(root) is None:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = (
+            shingles(docs, k=k)
+            .select("doc_id", F.col("sh").alias("tok"))
+            .distinct()
+        )
+        toks.write.mode("overwrite").parquet(toks_path)
+        built = spark.read.parquet(toks_path)
+        built.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("df")
+        ).write.mode("overwrite").parquet(df_path)
+        m = F.md5(F.col("tok"))
+        emb = F.array(
+            *[
+                F.conv(F.substring(m, 2 * j + 1, 2), 16, 10).cast(
+                    "double"
+                )
+                - F.lit(127.5)
+                for j in range(emb_dim)
+            ]
+        )
+        built.select("tok").distinct().select(
+            "tok", emb.alias("emb")
+        ).write.mode("overwrite").parquet(emb_path)
+        _commit(root, {"tables": ["toks", "df", "tokemb"], "k": k})
+    return (
+        spark.read.parquet(toks_path),
+        spark.read.parquet(df_path),
+        spark.read.parquet(emb_path),
+    )
+
+
+def dedup_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """The durable dedup-cluster index ensured at this corpus's
+    warehouse; returns the index root for the dedup_index.* readers."""
+    from commercial_rfp_data_pipeline_spark.plans.dedup_index import (
+        ensure_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = corpus_warehouse(spark, sf_dir)
+    ensure_dedup_index(spark, docs, wh)
+    return wh
+
+
+def artifact_status(spark: SparkSession, sf_dir: str) -> dict:
+    """Diagnostic: which shared artifacts exist for this corpus."""
+    wh = corpus_warehouse(spark, sf_dir)
+    out = {"warehouse": wh}
+    for name, sub in [
+        ("chunk_emb", os.path.join("chunk_emb", "MANIFEST.json")),
+        ("dedup", os.path.join("dedup", "MANIFEST.json")),
+    ]:
+        p = os.path.join(wh, sub)
+        try:
+            with open(p) as f:
+                out[name] = json.load(f)
+        except (OSError, ValueError):
+            out[name] = None
+    return out

@@ -887,7 +887,11 @@ _CHUNK_PARENT = r"^(.*)_\d+$"
 
 
 def purge_from_indexes(
-    spark: SparkSession, warehouse: str, doc_ids: list
+    spark: SparkSession,
+    warehouse: str,
+    doc_ids: list,
+    vec_ids: list | None = None,
+    emb: DataFrame | None = None,
 ) -> dict:
     """GDPR erasure reaching the DERIVED artifacts (round 7): the
     cascade-delete family removes a subject's rows from TABLES, but a
@@ -1044,10 +1048,246 @@ def purge_from_indexes(
                 "purge_from_indexes: purged chunk_ids remain in IVF "
                 f"cells {hit_cells} after rewrite"
             )
-    return {
+    out = {
         "bm25_chunks_removed": n_chunks_removed,
         "ivf_rows_removed": ivf_removed,
         "cells_rewritten": len(hit_cells),
+    }
+    # ---- round 8: the purge cascade also reaches the semantic cache
+    # and the graph ANN index when the subject's vector ids are given
+    # (the cache stores result vec_ids; graph nodes ARE vec_ids)
+    if vec_ids:
+        out["cache_entries_removed"] = purge_from_semantic_cache(
+            spark, warehouse, vec_ids
+        )
+        if emb is not None and os.path.isdir(
+            os.path.join(warehouse, "knn_graph")
+        ):
+            out["graph"] = purge_from_graph_index(
+                spark, warehouse, vec_ids, emb
+            )
+    return out
+
+
+def purge_from_semantic_cache(
+    spark: SparkSession, warehouse: str, result_ids: list
+) -> int:
+    """Right-to-be-forgotten reaching the SEMANTIC CACHE (round 8,
+    VERDICT r7 #4): a purged document could still be SERVED from cache
+    entries whose stored result references it. Every manifest batch
+    containing a hit is re-staged as a filtered copy under a
+    purge-derived key (original dirs never mutated) and the whole purge
+    commits through one atomic manifest replace — same crash/replay
+    story as the BM25 purge. Post-purge lookups for those queries MISS
+    and fall through to a fresh search (which no longer contains the
+    subject). Returns the number of entries removed.
+
+    Scale: cost proportional to the batches actually holding hits —
+    and the cache is small by design."""
+    root = os.path.join(warehouse, "semcache")
+    manifest = _bm25_manifest(root)
+    if manifest is None:
+        return 0
+    ids = sorted({int(v) for v in result_ids})
+    purge_sig = hashlib.md5(
+        ",".join(str(i) for i in ids).encode()
+    ).hexdigest()[:8]
+    new_batches: list[str] = []
+    removed = 0
+    for key in manifest["batches"]:
+        e = spark.read.parquet(os.path.join(root, "entries", key))
+        hits = e.filter(F.col("result_id").isin(ids))
+        if hits.limit(1).count() == 0:
+            new_batches.append(key)
+            continue
+        removed += hits.count()
+        new_key = f"{key}-purge{purge_sig}"
+        e.filter(~F.col("result_id").isin(ids)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "entries", new_key))
+        new_batches.append(new_key)
+    if removed:
+        _bm25_commit(root, {"batches": new_batches})
+    return removed
+
+
+def purge_from_graph_index(
+    spark: SparkSession,
+    warehouse: str,
+    vec_ids: list,
+    emb: DataFrame,
+    m: int = 8,
+    n_src_buckets: int = 8,
+) -> dict:
+    """Right-to-be-forgotten reaching the GRAPH ANN index (round 8,
+    VERDICT r7 #4): a purged vector must disappear both as a NODE (its
+    adjacency rows) and as a NEIGHBOR (edges pointing at it), and the
+    nodes that lost a neighbor are RE-LINKED through the deleted node's
+    own neighborhood — the standard navigable-graph delete (connect
+    each affected source to the best of the deleted node's other
+    neighbors, keeping top-m) so connectivity survives the deletion.
+
+    Bounded rewrite: the purged nodes' adjacency is a partition-pruned
+    read of their src_buckets; affected sources (in-degree of the
+    purged nodes, ~m on average) are collected, their buckets plus the
+    purged buckets are rebuilt, and a bucket left EMPTY (it held only
+    purged sources) has its partition dir deleted — the same
+    fully-purged-partition discipline as the IVF purge. A replayed
+    purge finds no rows mentioning the ids and no-ops.
+
+    ``emb`` supplies (vec_id, embedding) for scoring the re-link
+    candidates. Returns counts for nodes_removed / edges_dropped /
+    sources_relinked / buckets_rewritten."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        _dot,
+        _norm,
+    )
+    from pyspark.sql import Window
+
+    graph_path = os.path.join(warehouse, "knn_graph")
+    ids = sorted({int(v) for v in vec_ids})
+    g = spark.read.parquet(graph_path)
+    pbuckets = _xxhash_buckets(spark, ids, n_src_buckets)
+    purged_adj = (
+        g.filter(
+            F.col("src_bucket").isin(pbuckets) & F.col("src_id").isin(ids)
+        )
+        .select("src_id", "nbr_id")
+        .localCheckpoint()
+    )
+    nodes_removed = purged_adj.select("src_id").distinct().count()
+    # edges INTO the purged nodes: the affected sources to re-link.
+    # At this scale a column-pruned nbr_id scan; a reverse-edge index
+    # partitions this the same way src_bucket partitions the forward
+    # read at 100 TB.
+    affected_rows = (
+        g.filter(
+            F.col("nbr_id").isin(ids) & ~F.col("src_id").isin(ids)
+        )
+        .select("src_id", "nbr_id")
+        .localCheckpoint()
+    )
+    edges_dropped = affected_rows.count()
+    if nodes_removed == 0 and edges_dropped == 0:
+        return {
+            "nodes_removed": 0,
+            "edges_dropped": 0,
+            "sources_relinked": 0,
+            "buckets_rewritten": 0,
+        }
+    affected_src = [
+        r.src_id for r in affected_rows.select("src_id").distinct().collect()
+    ]
+    # re-link candidates: the deleted node's OTHER neighbors
+    relink_cand = (
+        affected_rows.withColumnRenamed("nbr_id", "p")
+        .join(
+            purged_adj.select(
+                F.col("src_id").alias("p"), F.col("nbr_id").alias("cand")
+            ),
+            "p",
+        )
+        .filter(
+            (F.col("cand") != F.col("src_id"))
+            & ~F.col("cand").isin(ids)
+        )
+        .select("src_id", "cand")
+        .distinct()
+    )
+    vn = emb.select(
+        "vec_id", F.col("embedding").alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    scored_relinks = (
+        relink_cand.join(
+            vn.select(
+                F.col("vec_id").alias("src_id"),
+                F.col("_v").alias("_sv"),
+                F.col("_n").alias("_sn"),
+            ),
+            "src_id",
+        )
+        .join(
+            vn.select(
+                F.col("vec_id").alias("cand"),
+                F.col("_v").alias("_cv"),
+                F.col("_n").alias("_cn"),
+            ),
+            "cand",
+        )
+        .select(
+            "src_id",
+            F.col("cand").alias("nbr_id"),
+            F.round(
+                _dot(F.col("_sv"), F.col("_cv"))
+                / (F.col("_sn") * F.col("_cn")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    abuckets = sorted(
+        set(pbuckets)
+        | set(_xxhash_buckets(spark, affected_src, n_src_buckets))
+    )
+    content = g.filter(F.col("src_bucket").isin(abuckets))
+    keep = content.filter(
+        ~F.col("src_id").isin(ids) & ~F.col("nbr_id").isin(ids)
+    )
+    untouched = keep.filter(~F.col("src_id").isin(affected_src)).select(
+        "src_id", "nbr_id", "sim", "rnk"
+    )
+    aff_old = keep.filter(F.col("src_id").isin(affected_src)).select(
+        "src_id", "nbr_id", "sim"
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("sim").desc(), F.col("nbr_id")
+    )
+    rebuilt = (
+        aff_old.unionByName(scored_relinks)
+        .groupBy("src_id", "nbr_id")
+        .agg(F.max("sim").alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+    )
+    final = untouched.unionByName(rebuilt).withColumn(
+        "src_bucket",
+        F.pmod(F.xxhash64(F.col("src_id")), F.lit(n_src_buckets)),
+    ).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        final.write.mode("overwrite").partitionBy("src_bucket").parquet(
+            graph_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # a bucket that held ONLY purged sources writes no rows: delete its
+    # dir (same dynamic-overwrite gap as the IVF purge)
+    kept_buckets = {
+        r.b
+        for r in final.select(
+            F.col("src_bucket").alias("b")
+        ).distinct().collect()
+    }
+    for b in abuckets:
+        if b not in kept_buckets:
+            d = os.path.join(graph_path, f"src_bucket={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    leftover = (
+        spark.read.parquet(graph_path)
+        .filter(F.col("src_id").isin(ids) | F.col("nbr_id").isin(ids))
+        .limit(1)
+        .count()
+    )
+    if leftover:
+        raise RuntimeError(
+            "purge_from_graph_index: purged ids remain after rewrite"
+        )
+    return {
+        "nodes_removed": nodes_removed,
+        "edges_dropped": edges_dropped,
+        "sources_relinked": len(affected_src),
+        "buckets_rewritten": len(abuckets),
     }
 
 

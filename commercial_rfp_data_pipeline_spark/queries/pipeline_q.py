@@ -76,7 +76,11 @@ def q_chunk_embeddings(spark, sf_dir):
     """Embeddings of every chunk, exploded to (chunk_id, component
     index, value) so the oracle compares scalars — pins the embedder's
     arithmetic end to end."""
-    parts = build_embedding_parts(build_chunks(spark, sf_dir))
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_chunk_embeddings,
+    )
+
+    _, parts, _ = ensure_chunk_embeddings(spark, sf_dir)
     return parts.select(
         "chunk_id", "_norm", F.posexplode("_arr").alias("j", "x")
     ).select(
@@ -117,7 +121,12 @@ def q_semantic_search(spark, sf_dir):
     multiple references to `embedding` re-inline the whole hashed-BoW
     construction per reference — interpreted HOF expressions get no
     codegen/CSE, measured ~25x slower."""
-    emb = pin(build_embeddings(build_chunks(spark, sf_dir)))
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_chunk_embeddings,
+    )
+
+    _, _, emb = ensure_chunk_embeddings(spark, sf_dir)
+    emb = pin(emb)
     qvec = emb.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")).select(
         F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -167,12 +176,19 @@ def q_hybrid_search(spark, sf_dir):
     hashed-BoW construction would re-inline per reference — no
     codegen/CSE for HOF expressions, measured ~25x); the query side is
     three rows feeding a broadcast."""
-    chunks = build_chunks(spark, sf_dir)
-    kw_emb = pin(
-        build_embeddings(chunks.filter(F.lower(F.col("chunk")).contains(KEYWORD)))
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_chunk_embeddings,
     )
+
+    # filter-then-embed == embed-then-filter (per-chunk deterministic
+    # embedder), so the durable embedding table serves both sides
+    chunks, _, emb = ensure_chunk_embeddings(spark, sf_dir)
+    kw_ids = chunks.filter(
+        F.lower(F.col("chunk")).contains(KEYWORD)
+    ).select("chunk_id")
+    kw_emb = pin(emb.join(kw_ids, "chunk_id"))
     qvec = pin(
-        build_embeddings(chunks.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0")))
+        emb.filter(F.col("chunk_id").isin("0_0", "1_0", "2_0"))
         .select(F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
     out = knn_exact(kw_emb, qvec, k=3, id_col="chunk_id", vec_col="embedding")
@@ -216,8 +232,12 @@ def _hybrid_final(spark, sf_dir):
     top-k truncation. See q_hybrid_bm25 for the full design notes."""
     from commercial_rfp_data_pipeline_spark.operators.textops import words
     from commercial_rfp_data_pipeline_spark.operators.vector import _dot, _norm
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_chunk_embeddings,
+    )
 
-    chunks = pin(build_chunks(spark, sf_dir).select("chunk_id", "chunk"))
+    all_chunks, _, emb_store = ensure_chunk_embeddings(spark, sf_dir)
+    chunks = pin(all_chunks.select("chunk_id", "chunk"))
     toks = chunks.select("chunk_id", F.explode(words("chunk")).alias("tok"))
     dl = toks.groupBy("chunk_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -260,12 +280,12 @@ def _hybrid_final(spark, sf_dir):
     )
     cand_ids = bm25.select("chunk_id").distinct()
     emb = pin(
-        build_embeddings(chunks.join(cand_ids, "chunk_id")).withColumn(
+        emb_store.join(cand_ids, "chunk_id").withColumn(
             "_n", _norm(F.col("embedding"))
         )
     )
     qemb = pin(
-        build_embeddings(chunks.filter(F.col("chunk_id").isin(*_QIDS)))
+        emb_store.filter(F.col("chunk_id").isin(*_QIDS))
         .select(F.col("chunk_id").alias("q_id"), F.col("embedding").alias("q_vec"))
         .withColumn("_qn", _norm(F.col("q_vec")))
     )
@@ -866,8 +886,11 @@ def q_semantic_chunk_boundaries(spark, sf_dir):
         _norm,
     )
 
-    chunks = build_chunks(spark, sf_dir)
-    parts = build_embedding_parts(chunks)
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_chunk_embeddings,
+    )
+
+    chunks, parts, _ = ensure_chunk_embeddings(spark, sf_dir)
     vec = parts.select(
         "chunk_id",
         F.transform(
@@ -962,8 +985,11 @@ def q_retrieval_parent_dedup(spark, sf_dir):
         _norm,
     )
 
-    chunks = build_chunks(spark, sf_dir)
-    parts = build_embedding_parts(chunks)
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_chunk_embeddings,
+    )
+
+    chunks, parts, _ = ensure_chunk_embeddings(spark, sf_dir)
     vec = parts.select(
         "chunk_id",
         F.transform(

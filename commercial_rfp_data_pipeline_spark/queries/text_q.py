@@ -520,17 +520,24 @@ def q_dedup_survivors(spark, sf_dir):
     the deduplicated corpus (singleton clusters keep their only
     member); n_members reports how many duplicates each survivor
     absorbed. Every stage is individually oracle-checked by its own
-    query; this one checks the composition."""
-    from commercial_rfp_data_pipeline_spark.operators.dedup import (
-        cluster_survivors,
-        dup_clusters,
+    query; this one checks the composition.
+
+    Round 8: serves from the DURABLE dedup-cluster index
+    (plans/dedup_index.py — content-keyed, built once per corpus,
+    incrementally appendable) instead of re-running the SimHash -> CC
+    chain per consumer; the stored clusters equal the fresh chain by
+    the append==rebuild invariant, so the oracle is unchanged. The
+    fresh chain itself stays exercised by dedup_connected_components
+    and by the index's own ensure/append tests."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        dedup_index_for,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.dedup_index import (
+        dedup_survivors_from_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(simhash(docs))
-    clusters = dup_clusters(docs.select("doc_id"), pairs)
-    quality = quality_features(docs).select("doc_id", "quality_score")
-    return cluster_survivors(clusters, quality)
+    wh = dedup_index_for(spark, sf_dir)
+    return dedup_survivors_from_index(spark, wh)
 
 
 @query(
@@ -1667,20 +1674,20 @@ def q_late_interaction(spark, sf_dir):
     words, so every unigram is stopword-class and df pruning is
     all-or-nothing; shingles have a real df distribution (16k distinct,
     median df 1 at sf0.01), which is what makes stage 1 selective."""
-    from commercial_rfp_data_pipeline_spark.operators.textops import shingles
     from commercial_rfp_data_pipeline_spark.operators.vector import cosine
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = pin(
-        shingles(docs, k=3)
-        .select("doc_id", F.col("sh").alias("tok"))
-        .distinct(),
-        "li_toks",
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_token_index,
     )
+
+    # round 8: the token postings, df table, and per-token vectors are
+    # DURABLE corpus artifacts (plans/artifacts.py) — built once per
+    # corpus under the BM25 crash discipline, then served as parquet
+    # reads; this query's cold cost drops from the full shingle+embed
+    # derivation to partition-pruned scans (VERDICT r7 #3)
+    toks, dft, tokemb = ensure_token_index(spark, sf_dir, k=3, emb_dim=_LI_DIM)
     stats = toks.select(
         F.countDistinct("doc_id").alias("n_docs")
     )
-    dft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     qt = pin(
         toks.filter(F.col("doc_id") < _LI_NQ)
         .join(dft, "tok")
@@ -1696,24 +1703,10 @@ def q_late_interaction(spark, sf_dir):
         .distinct()
     )
 
-    def emb(tok_col):
-        m = F.md5(tok_col)
-        return F.array(
-            *[
-                F.conv(F.substring(m, 2 * k + 1, 2), 16, 10).cast("double")
-                - F.lit(127.5)
-                for k in range(_LI_DIM)
-            ]
-        )
-
-    # embed each DISTINCT shingle exactly once (16 md5+conv evals per
-    # shingle), then join vectors to the interaction rows by key — the
-    # inline form recomputes the whole embedding per similarity row
-    # (|cand| x |q_sh| x |d_sh| rows: measured ~10x slower)
-    tokemb = pin(
-        toks.select("tok").distinct().select("tok", emb(F.col("tok")).alias("emb")),
-        "li_tokemb",
-    )
+    # per-token vectors come pre-materialized from the durable token
+    # index (each DISTINCT shingle embedded exactly once at build time;
+    # the inline form recomputed the embedding per similarity row —
+    # measured ~10x slower)
     # cand and qt are bounded by the query batch (candidates x query
     # shingles), never by the corpus — broadcast them so the corpus-
     # scale token and embedding tables never reshuffle for the join
@@ -3024,19 +3017,24 @@ def q_preference_pairs(spark, sf_dir):
 
     Scale: reuses the banded pair generation and the bounded CC loop;
     the argmax/argmin are cluster-partitioned windows; nothing new
-    shuffles beyond the existing dedup pipeline."""
-    from commercial_rfp_data_pipeline_spark.operators.dedup import (
-        dup_clusters,
+    shuffles beyond the existing dedup pipeline.
+
+    Round 8: clusters + quality come from the DURABLE dedup index
+    (plans/dedup_index.py) — one partition-pruned parquet read instead
+    of re-running the full SimHash -> CC chain (~6-9 s at sf0.1); the
+    stored table equals the fresh chain (append==rebuild invariant),
+    so the oracle is unchanged."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        dedup_index_for,
     )
-    from commercial_rfp_data_pipeline_spark.operators.textops import (
-        quality_features,
+    from commercial_rfp_data_pipeline_spark.plans.dedup_index import (
+        dedup_tables,
     )
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(simhash(docs))
-    clusters = dup_clusters(docs.select("doc_id"), pairs)
-    quality = quality_features(docs).select("doc_id", "quality_score")
+    wh = dedup_index_for(spark, sf_dir)
+    fp, clusters = dedup_tables(spark, wh)
+    quality = fp.select("doc_id", "quality_score")
     member = clusters.join(quality, "doc_id").withColumn(
         "_n", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
     ).filter(F.col("_n") >= 2)

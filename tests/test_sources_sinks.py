@@ -1747,6 +1747,148 @@ def test_index_purge_fully_purged_cell(spark, sf_dir, tmp_path):
         assert parent not in set(purged_ids)
 
 
+def test_semantic_cache_purge_forces_miss(spark, sf_dir, tmp_path):
+    """VERDICT r7 #4: a forgotten document could still be SERVED from
+    the semantic cache. After purging its result ids, (a) the purged
+    entries are gone from the manifest-resolved cache, (b) a lookup
+    that previously HIT now MISSES (falls through to fresh search),
+    (c) unrelated entries still hit, (d) a replayed purge is a no-op."""
+    import json
+    import os
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        purge_from_semantic_cache,
+        semantic_cache_entries,
+        semantic_cache_lookup,
+        semantic_cache_put,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    wh = str(tmp_path / "wh")
+    # two batches: entries caching results 100/101 and 200/201
+    rows = emb.filter(F.col("vec_id").isin(10, 11, 20, 21)).collect()
+    vec_of = {r.vec_id: r.v for r in rows}
+    b1 = spark.createDataFrame(
+        [(1, vec_of[10], 100, 0.99), (2, vec_of[11], 101, 0.99)],
+        "cache_id long, q_vec array<double>, result_id long, result_sim double",
+    )
+    b2 = spark.createDataFrame(
+        [(3, vec_of[20], 200, 0.99), (4, vec_of[21], 201, 0.99)],
+        "cache_id long, q_vec array<double>, result_id long, result_sim double",
+    )
+    semantic_cache_put(spark, wh, b1)
+    semantic_cache_put(spark, wh, b2)
+
+    queries = spark.createDataFrame(
+        [(10, vec_of[10]), (20, vec_of[20])],
+        "q_id long, q_vec array<double>",
+    )
+    before = {
+        r.q_id: (r.hit, r.served_id)
+        for r in semantic_cache_lookup(spark, wh, queries).collect()
+    }
+    assert before[10] == (True, 100) and before[20] == (True, 200)
+
+    removed = purge_from_semantic_cache(spark, wh, [100, 101])
+    assert removed == 2
+    after = {
+        r.q_id: (r.hit, r.served_id)
+        for r in semantic_cache_lookup(spark, wh, queries).collect()
+    }
+    assert after[10] == (False, None)  # purged: falls through to search
+    assert after[20] == (True, 200)  # unrelated entry untouched
+    live = {
+        r.result_id for r in semantic_cache_entries(spark, wh).collect()
+    }
+    assert live == {200, 201}
+
+    mpath = os.path.join(wh, "semcache", "MANIFEST.json")
+    m1 = json.load(open(mpath))
+    assert purge_from_semantic_cache(spark, wh, [100, 101]) == 0
+    assert json.load(open(mpath)) == m1
+
+
+def test_graph_index_purge_removes_and_relinks(spark, sf_dir, tmp_path):
+    """VERDICT r7 #4: purging vec_ids from the durable graph ANN index
+    removes them as nodes AND as neighbors, re-links affected sources
+    through the deleted nodes' neighborhoods (degree restored up to m
+    where candidates exist), leaves search never returning a purged
+    id, and is replay-idempotent. A fully-purged src_bucket's dir is
+    deleted (the dynamic-overwrite gap)."""
+    import os
+
+    from commercial_rfp_data_pipeline_spark.io import load_table
+    from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+        ensure_graph_index,
+        graph_search_index,
+        purge_from_graph_index,
+    )
+
+    wh = str(tmp_path / "wh")
+    ensure_graph_index(spark, sf_dir, wh)
+    graph_path = os.path.join(wh, "knn_graph")
+    g0 = spark.read.parquet(graph_path)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+    # purge two well-connected nodes (never the search entry point,
+    # which is min(vec_id))
+    indeg = (
+        g0.groupBy("nbr_id").count().orderBy(F.col("count").desc(), "nbr_id")
+    )
+    purged = [r.nbr_id for r in indeg.limit(2).collect() if r.nbr_id > 5][:2]
+    assert purged
+    deg_before = {
+        r.src_id: r.c
+        for r in g0.filter(F.col("nbr_id").isin(purged))
+        .filter(~F.col("src_id").isin(purged))
+        .select("src_id")
+        .distinct()
+        .join(g0.groupBy("src_id").agg(F.count(F.lit(1)).alias("c")), "src_id")
+        .collect()
+    }
+
+    res = purge_from_graph_index(spark, wh, purged, emb)
+    assert res["nodes_removed"] == len(purged)
+    assert res["edges_dropped"] > 0 and res["sources_relinked"] > 0
+
+    g1 = spark.read.parquet(graph_path)
+    assert g1.filter(
+        F.col("src_id").isin(purged) | F.col("nbr_id").isin(purged)
+    ).count() == 0
+    # re-link restored degree m for affected sources (candidates exist
+    # at this corpus size), and ranks are a clean 1..deg sequence
+    deg_after = {
+        r.src_id: r.c
+        for r in g1.groupBy("src_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for s, d0 in deg_before.items():
+        assert deg_after.get(s, 0) == d0, (s, d0, deg_after.get(s))
+    ranks = g1.groupBy("src_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rnk").alias("mx")
+    )
+    assert ranks.filter(F.col("n") != F.col("mx")).count() == 0
+
+    # search over the purged index never returns a purged id
+    hits = graph_search_index(spark, sf_dir, wh)
+    assert all(r.vec_id not in set(purged) for r in hits.collect())
+
+    # replay: nothing left to purge
+    res2 = purge_from_graph_index(spark, wh, purged, emb)
+    assert res2 == {
+        "nodes_removed": 0,
+        "edges_dropped": 0,
+        "sources_relinked": 0,
+        "buckets_rewritten": 0,
+    }
+
+
 def test_bm25_compaction_preserves_search(spark, sf_dir, tmp_path):
     """Compacting a multi-batch BM25 index into one dir changes the
     file layout only: tf/dl row sets and search scores identical,
