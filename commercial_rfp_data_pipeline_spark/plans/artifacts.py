@@ -181,12 +181,26 @@ def ensure_token_index(
         built.select("tok").distinct().select(
             "tok", emb.alias("emb")
         ).write.mode("overwrite").parquet(emb_path)
-        _commit(root, {"tables": ["toks", "df", "tokemb"], "k": k})
+        n_docs = built.select("doc_id").distinct().count()
+        _commit(
+            root,
+            {"tables": ["toks", "df", "tokemb"], "k": k, "n_docs": n_docs},
+        )
     return (
         spark.read.parquet(toks_path),
         spark.read.parquet(df_path),
         spark.read.parquet(emb_path),
     )
+
+
+def token_index_n_docs(spark: SparkSession, sf_dir: str, k: int = 3, emb_dim: int = 8) -> int:
+    """Corpus doc count (docs with >= 1 token) from the token-index
+    manifest — a literal instead of a per-query countDistinct scan."""
+    wh = corpus_warehouse(spark, sf_dir)
+    m = _manifest(os.path.join(wh, f"token_index_k{k}_d{emb_dim}"))
+    if m is None or "n_docs" not in m:
+        raise ValueError("token index missing — run ensure_token_index")
+    return int(m["n_docs"])
 
 
 def dedup_index_for(spark: SparkSession, sf_dir: str) -> str:

@@ -9,11 +9,6 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
-    build_chunks,
-    build_embedding_parts,
-    build_embeddings,
-)
 from commercial_rfp_data_pipeline_spark.io import load_table, pin
 from commercial_rfp_data_pipeline_spark.operators.vector import knn_exact
 from commercial_rfp_data_pipeline_spark.registry import query

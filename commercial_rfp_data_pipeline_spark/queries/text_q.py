@@ -1684,15 +1684,18 @@ def q_late_interaction(spark, sf_dir):
     # corpus under the BM25 crash discipline, then served as parquet
     # reads; this query's cold cost drops from the full shingle+embed
     # derivation to partition-pruned scans (VERDICT r7 #3)
-    toks, dft, tokemb = ensure_token_index(spark, sf_dir, k=3, emb_dim=_LI_DIM)
-    stats = toks.select(
-        F.countDistinct("doc_id").alias("n_docs")
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        token_index_n_docs,
     )
+
+    toks, dft, tokemb = ensure_token_index(spark, sf_dir, k=3, emb_dim=_LI_DIM)
+    # n_docs is a manifest literal (computed once at index build) —
+    # not a per-query countDistinct scan of the postings
+    n_docs = token_index_n_docs(spark, sf_dir, k=3, emb_dim=_LI_DIM)
     qt = pin(
         toks.filter(F.col("doc_id") < _LI_NQ)
         .join(dft, "tok")
-        .crossJoin(F.broadcast(stats))
-        .filter(F.col("df") <= F.col("n_docs") * _LI_DF_FRAC)
+        .filter(F.col("df") <= F.lit(n_docs) * _LI_DF_FRAC)
         .select(F.col("doc_id").alias("q_id"), "tok"),
         "li_qt",
     )

@@ -60,6 +60,7 @@ def _register_all() -> None:
         linkage_q,
         stats_q,
         layout_q,
+        round8_q,
     )
 
 

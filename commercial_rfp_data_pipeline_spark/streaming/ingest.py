@@ -106,6 +106,50 @@ def index_ingest_sink(
     )
 
 
+def dedup_index_ingest_sink(
+    docs: DataFrame,
+    spark: SparkSession,
+    warehouse: str,
+    checkpoint: str,
+    on_batch_written=None,
+):
+    """Round 8: streaming ingest into the DURABLE dedup-cluster index
+    (plans/dedup_index.py) — each micro-batch is admitted through
+    ``append_to_dedup_index``: band-LSH links into the stored corpus,
+    a bounded CC pass merges new docs into existing clusters (and
+    merges clusters a batch doc bridges), and only the touched cluster
+    buckets rewrite, all under one atomic manifest commit.
+
+    At-least-once safe exactly like the BM25/IVF ingest sink: the
+    append's content-derived batch key makes a replayed micro-batch a
+    committed no-op, and a crash before the manifest commit leaves
+    invisible staged dirs the retry overwrites. The final streamed
+    index equals ensure_dedup_index over the union of all batches
+    (append == rebuild invariant, pinned by
+    test_streaming_dedup_index_ingest).
+
+    The index must already exist (ensure_dedup_index over the initial
+    corpus — possibly empty-ish first batch)."""
+    from commercial_rfp_data_pipeline_spark.plans.dedup_index import (
+        append_to_dedup_index,
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        append_to_dedup_index(spark, warehouse, batch)
+        if on_batch_written is not None:
+            on_batch_written(batch_id)
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curated_ingest_sink(
     docs: DataFrame,
     spark: SparkSession,

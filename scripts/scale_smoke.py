@@ -29,8 +29,18 @@ from commercial_rfp_data_pipeline_spark.io import release_pinned
 from commercial_rfp_data_pipeline_spark.registry import all_queries
 from commercial_rfp_data_pipeline_spark.session import get_spark
 
-SFS = ("sf0.001", "sf0.01", "sf0.1")
 ROOT = "/root/testdata"
+# round 8: the fourth decade is the synthesized 10x-sf0.1 dataset
+# (scripts/make_scale10.py) — included automatically when generated
+SCALE10 = os.environ.get("SPARK_GRAFT_SCALE10", "/root/repo/scale10")
+SFS = ("sf0.001", "sf0.01", "sf0.1")
+
+
+def scale_points() -> list[tuple[str, str]]:
+    pts = [(sf, f"{ROOT}/{sf}") for sf in SFS]
+    if os.path.isdir(SCALE10):
+        pts.append(("sf1", SCALE10))
+    return pts
 
 # query -> table whose row count drives its cost
 DEFAULT = {
@@ -109,42 +119,48 @@ def main() -> None:
     import math
 
     names = sys.argv[1:] or list(DEFAULT)
+    pts = scale_points()
+    labels = [p[0] for p in pts]
     spark = get_spark(app_name="scale_smoke")
     queries = all_queries()
     # JVM / codegen / python-worker warmup (not timed)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     rows_at: dict[tuple[str, str], int] = {}
-    for sf in SFS:
+    for sf, d in pts:
         for table in set(DEFAULT.values()):
             rows_at[(sf, table)] = (
-                spark.read.parquet(f"{ROOT}/{sf}/{table}.parquet").count()
+                spark.read.parquet(f"{d}/{table}.parquet").count()
             )
 
     results: dict[str, dict[str, float]] = {}
     for name in names:
         results[name] = {}
-        for sf in SFS:
+        for sf, d in pts:
             t0 = time.time()
-            queries[name](spark, f"{ROOT}/{sf}").count()
+            queries[name](spark, d).count()
             t = time.time() - t0
             # best-of-2: this VM has external load spikes
             t0 = time.time()
-            queries[name](spark, f"{ROOT}/{sf}").count()
+            queries[name](spark, d).count()
             results[name][sf] = round(min(t, time.time() - t0), 3)
             release_pinned()
             spark.catalog.clearCache()
 
-    print(f"\n{'query':34} " + " ".join(f"{sf:>9}" for sf in SFS) + "  alpha(last)")
+    print(
+        f"\n{'query':34} "
+        + " ".join(f"{sf:>9}" for sf in labels)
+        + "  alpha(last)"
+    )
     out = {}
     for name in names:
         table = DEFAULT.get(name, "documents")
-        ts = [results[name][sf] for sf in SFS]
-        ns = [rows_at[(sf, table)] for sf in SFS]
+        ts = [results[name][sf] for sf in labels]
+        ns = [rows_at[(sf, table)] for sf in labels]
         # exponent over the LAST pair of scale points with actual row
         # growth (tiny SFs sit on the fixed-overhead floor)
         alpha = None
-        for i in range(len(SFS) - 1, 0, -1):
+        for i in range(len(labels) - 1, 0, -1):
             if ns[i] > ns[i - 1]:
                 alpha = math.log(ts[i] / ts[i - 1]) / math.log(ns[i] / ns[i - 1])
                 break
@@ -153,7 +169,7 @@ def main() -> None:
             + " ".join(f"{t:>8.2f}s" for t in ts)
             + (f"  {alpha:.2f}" if alpha is not None else "  n/a")
         )
-        out[name] = {"times": dict(zip(SFS, ts)), "alpha": round(alpha, 3) if alpha else None}
+        out[name] = {"times": dict(zip(labels, ts)), "alpha": round(alpha, 3) if alpha else None}
     print()
     print(json.dumps({"metric": "scale_smoke", "queries": out}))
 

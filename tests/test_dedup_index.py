@@ -161,6 +161,67 @@ def test_dedup_index_crash_before_commit_repairs(spark, sf_dir, tmp_path, monkey
     assert got == _reference_clusters(docs)
 
 
+def test_streaming_dedup_index_ingest(spark, sf_dir, tmp_path):
+    """Streaming micro-batches into the durable dedup index: 3 batches
+    with a crash replay in the middle must land exactly the state
+    ensure_dedup_index produces over the union — the streaming twin of
+    the BM25/IVF ingest composition, now for the dedup lifecycle."""
+    import glob as _glob
+    import os as _os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from commercial_rfp_data_pipeline_spark.streaming.ingest import (
+        dedup_index_ingest_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    wh = str(tmp_path / "wh")
+    ensure_dedup_index(spark, b0, wh)
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    seen: set[str] = set()
+    for i, b in enumerate([b1, b2]):
+        b.coalesce(1).write.mode("append").parquet(inp)
+        for f in _glob.glob(inp + "/*.parquet"):
+            if f not in seen:
+                _os.utime(f, (1_700_000_000 + i * 60,) * 2)
+                seen.add(f)
+    schema = spark.read.parquet(inp).schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+
+    calls = {"n": 0}
+
+    def boom(batch_id: int) -> None:
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after append, before commit")
+
+    q = dedup_index_ingest_sink(stream(), spark, wh, ckpt, on_batch_written=boom)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = dedup_index_ingest_sink(stream(), spark, wh, ckpt)
+    q2.awaitTermination()
+
+    _, cl = dedup_tables(spark, wh)
+    got = {(r.doc_id, r.cluster_id) for r in cl.collect()}
+    assert got == _reference_clusters(docs)
+    surv = dedup_survivors_from_index(spark, wh)
+    assert surv.count() == len({c for _, c in got})
+
+
 def test_corpus_artifacts_keyed_and_invalidated(spark, sf_dir, tmp_path, monkeypatch):
     """plans/artifacts.py: the shared warehouse is keyed by corpus
     content — same corpus maps to the same dir (reuse), a CHANGED

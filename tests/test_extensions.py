@@ -167,8 +167,13 @@ def test_multimodal_stub_and_plumbing(spark, sf_dir):
         extract_features,
     )
 
-    with pytest.raises(NotImplementedError):
+    # round 8 closed the real=True seam with the in-sandbox PNG codec:
+    # valid PNGs decode (test_png_codec_roundtrip_all_filters); invalid
+    # bytes / unsupported mimes are loud ValueErrors, never silent
+    with pytest.raises(ValueError):
         decode_image_stub(b"bytes", "image/png", real=True)
+    with pytest.raises(ValueError):
+        decode_image_stub(b"bytes", "audio/wav", real=True)
 
     docs = load_table(spark, sf_dir, "documents").limit(50)
     feats = extract_features(attach_binary(docs))
