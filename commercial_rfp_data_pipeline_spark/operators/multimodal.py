@@ -283,14 +283,25 @@ def ahash_neardup_pairs(
     max_hamming: int = 6,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup candidate pairs from `perceptual_ahash` output:
-    band-equality join (complete for max_hamming <= 7 by pigeonhole
-    over the 8 bands), then exact Hamming verify on the 64-bit
-    vectors. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """Near-dup candidate pairs from `perceptual_ahash` output via
+    COMBINATION banding (Manku/Jain/Das Sarma, WWW'07 "Detecting
+    near-duplicates for web crawling"): for max_hamming <= 6 the join
+    key is a PAIR of the 8 byte-bands — any pair within Hamming 6
+    differs in at most 6 bands, so at least 2 bands are clean and the
+    C(8,2) = 28 two-band tables are a COMPLETE candidate generator.
+    Then exact Hamming verify on the 64-bit vectors. Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b.
 
-    Scale: the shuffle key is (band_idx, band_value) — each bucket
-    holds only payloads agreeing on 8 specific bits, so candidate
-    volume is sum-of-bucket-squares, never corpus x corpus."""
+    Scale — this is the round-8 restructure the second scale decade
+    forced: single-band keys are only 8 bits (256 values), so bucket
+    occupancy — and candidate volume Θ(n²/256) — grows quadratically
+    with the corpus (measured: the banded join that took 7 s on 5k
+    docs ran minutes on 50k). Two-band keys are 16 bits (65,536
+    values): 28 tables x n²/65,536 ≈ n²/2,340 candidates — 73x fewer,
+    and each added block of key width buys another 256x headroom (the
+    same (m-h)-blocks-of-m generalization production simhash dedup
+    uses). max_hamming == 7 leaves only ONE clean band, where
+    single-band keying remains the only complete choice."""
     if max_hamming > 7:
         raise ValueError(
             "8-band generation is only complete for max_hamming <= 7"
@@ -298,9 +309,33 @@ def ahash_neardup_pairs(
     # NULL-hash rows (gram-less payloads) carry no perceptual content
     # and must not enter candidate generation
     hashes = hashes.filter(F.col("bits").isNotNull())
-    bt = hashes.select(
-        F.col(id_col), F.posexplode("bands").alias("b", "val")
-    )
+    if max_hamming <= 6:
+        from itertools import combinations
+
+        combos = list(combinations(range(8), 2))
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    (
+                        F.element_at("bands", a + 1) * 256
+                        + F.element_at("bands", b + 1)
+                    ).alias("val"),
+                )
+                for t, (a, b) in enumerate(combos)
+            ]
+        )
+        bt = hashes.select(
+            F.col(id_col), F.explode(keys).alias("kv")
+        ).select(
+            id_col,
+            F.col("kv.t").alias("b"),
+            F.col("kv.val").alias("val"),
+        )
+    else:
+        bt = hashes.select(
+            F.col(id_col), F.posexplode("bands").alias("b", "val")
+        )
     a, b = bt.alias("a"), bt.alias("b")
     cand = (
         a.join(

@@ -12,11 +12,17 @@ alphas stay < 1 over sf0.1 -> sf1.
 
 Generation is deterministic (md5-seeded) and distribution-preserving:
 
-- documents (5k -> 50k): nine replicas of each sf0.1 doc with ~1/8 of
-  words resampled from the SAME 31-word vocabulary — replicas are
-  similar-but-not-identical (exact copies would inflate every banded
-  bucket quadratically and overstate candidate volume; pure random
-  text would understate it).
+- documents (5k -> 50k): nine replicas of each sf0.1 doc with ~35% of
+  words resampled from the SAME 31-word vocabulary. The rate is chosen
+  to hold the corpus's NEAR-DUP RATE roughly constant across the
+  decade: at 1/8 resampling the replicas stayed inside the perceptual
+  Hamming<=6 ball of their base, manufacturing a 10x duplication
+  factor that grew the true pair OUTPUT quadratically (measured alpha
+  1.13 on multimodal_phash_neardup — output growth, not plan
+  breakdown); at ~35% the replicas leave both the SimHash<=3 and
+  aHash<=6 balls, so pair volume scales with the corpus the way the
+  base corpus's does. (Exact copies would be worse still; pure random
+  text would understate bucket occupancy.)
 - customer (15k -> 150k): the key sequence simply CONTINUES
   (Customer#%09d) — consecutive numbers are lev-1 neighbors, which is
   exactly the chain skew the fuzzy/ER operators document.
@@ -86,7 +92,7 @@ def main() -> None:
                         h = hashlib.md5(
                             f"{doc_id}:{rep}:{i}".encode()
                         ).digest()
-                        if h[0] < 32:  # ~1/8 resampled
+                        if h[0] < 90:  # ~35% resampled (see module doc)
                             out_w.append(vv[h[1] % len(vv)])
                         else:
                             out_w.append(w)
