@@ -516,3 +516,93 @@ def perceptual_dhash_image(
     return _dhash_from_cells(
         image_pixel_grid(df, payload_col, id_col), id_col, "dhash"
     )
+
+
+def decode_audio_stub(payload: bytes, mime: str, real: bool = False) -> dict:
+    """Audio decode seam (round 8). ``real=True`` runs the in-sandbox
+    16-bit PCM WAV parser (functions/wav.py); other formats raise
+    ValueError at this seam (wire torchaudio/ffmpeg in production).
+    ``real=False`` keeps a deterministic md5 fake, like the image
+    stub."""
+    if real:
+        from commercial_rfp_data_pipeline_spark.functions.wav import (
+            decode_wav,
+        )
+
+        if not mime.startswith("audio/wav"):
+            raise ValueError(
+                f"real decode supports audio/wav in-sandbox, got {mime}"
+            )
+        d = decode_wav(payload)
+        return {
+            "sample_rate": d["sample_rate"],
+            "n_channels": d["n_channels"],
+            "n_samples": d["n_samples"],
+        }
+    h = hashlib.md5(payload).digest()
+    return {
+        "sample_rate": 8000 * (1 + h[0] % 3),
+        "n_channels": 1 + h[1] % 2,
+        "n_samples": 1000 + h[2] * 64,
+    }
+
+
+def audio_energy_grid(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """REAL audio decode (round 8): Arrow-batched WAV parse + 8x8
+    time-x-frequency-band log-energy grid (functions/wav.py —
+    numpy rfft per time segment) — the audio analogue of
+    image_pixel_grid. Undecodable payloads yield NULL cl, the same
+    sentinel as the image and text paths.
+
+    Output feeds the SAME _ahash_from_cells/_dhash_from_cells
+    encoders: one candidate-generation and clustering stack serves
+    text fakes, real pixels, AND real audio."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from commercial_rfp_data_pipeline_spark.functions.wav import (
+            decode_wav,
+            energy_grid,
+        )
+
+        for pdf in batches:
+            ids, cls = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = decode_wav(bytes(p))
+                    cl = energy_grid(
+                        d["samples"], d["n_channels"], grid=grid
+                    )
+                except ValueError:
+                    cl = None
+                ids.append(i)
+                cls.append(cl)
+            yield pd.DataFrame({id_col: ids, "cl": cls})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, cl array<long>"
+    )
+
+
+def perceptual_ahash_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """aHash over REAL decoded audio: WAV parse -> time x freq-band
+    log-energy grid -> the shared mean-threshold/banding encode. The
+    mean threshold makes the hash invariant to uniform gain (log
+    energies shift uniformly, comparisons against the mean cancel),
+    and channel-layout re-encodings (mono vs duplicated stereo)
+    downmix to the same signal and hash IDENTICALLY — the audio
+    re-encoded-duplicate class, caught without any byte overlap."""
+    return _ahash_from_cells(
+        audio_energy_grid(df, payload_col, id_col), id_col, "ahash"
+    )

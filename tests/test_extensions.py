@@ -453,6 +453,94 @@ def test_perceptual_ahash_over_real_pixels(spark):
     assert clusters[3] == 3 and clusters[4] == 4
 
 
+def _mk_wav(freqs, n=4096, rate=8000, gain=3000.0, stereo=False):
+    """Deterministic test tone: a sum of sines at the given
+    frequencies, optionally duplicated into two channels."""
+    import math
+
+    from commercial_rfp_data_pipeline_spark.functions.wav import encode_wav
+
+    mono = [
+        int(
+            gain
+            * sum(math.sin(2 * math.pi * f * t / rate) for f in freqs)
+        )
+        for t in range(n)
+    ]
+    if stereo:
+        inter = []
+        for s in mono:
+            inter.extend((s, s))
+        return encode_wav(inter, rate, n_channels=2)
+    return encode_wav(mono, rate)
+
+
+def test_wav_codec_and_audio_perceptual_hash(spark):
+    """Round 8 audio seam: WAV round-trips exactly; byte-distinct
+    re-encodings of the same SIGNAL (mono vs duplicated-stereo) hash
+    identically through the time x freq-band energy grid; a
+    gain-scaled copy lands within the near-dup Hamming budget; a
+    different tone does not; corrupt payloads carry the NULL
+    sentinel."""
+    from commercial_rfp_data_pipeline_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        decode_audio_stub,
+        perceptual_ahash_audio,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 7, -7]
+    d = decode_wav(encode_wav(samples, 8000))
+    assert d["samples"] == samples and d["sample_rate"] == 8000
+
+    mono = _mk_wav([440, 1200])
+    stereo = _mk_wav([440, 1200], stereo=True)  # byte-distinct re-encode
+    louder = _mk_wav([440, 1200], gain=6000.0)  # gain-scaled copy
+    other = _mk_wav([300, 2600, 3500])  # different content
+    assert mono != stereo
+    feats = decode_audio_stub(stereo, "audio/wav", real=True)
+    assert feats["n_channels"] == 2 and feats["n_samples"] == 4096
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_audio_stub(b"junk", "audio/wav", real=True)
+    with _pytest.raises(ValueError):
+        decode_audio_stub(mono, "video/mp4", real=True)
+
+    docs = spark.createDataFrame(
+        [
+            (0, bytearray(mono)),
+            (1, bytearray(stereo)),
+            (2, bytearray(louder)),
+            (3, bytearray(other)),
+            (4, bytearray(b"corrupt")),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = perceptual_ahash_audio(docs)
+    rows = {r.doc_id: r for r in hashes.collect()}
+    assert rows[0].ahash == rows[1].ahash  # channel-layout invariant
+    assert rows[4].ahash is None and rows[4].bits is None
+
+    pairs = ahash_neardup_pairs(hashes, max_hamming=6)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) in got  # gain-scaled copy caught
+    assert not any(3 in p or 4 in p for p in got)
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(docs.select("doc_id"), pairs).collect()
+    }
+    assert clusters[0] == clusters[1] == clusters[2] == 0
+    assert clusters[3] == 3 and clusters[4] == 4
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     """Streaming tumbling counts == batch tumbling counts on the finite
     events table (batch is the DuckDB-checked oracle)."""
