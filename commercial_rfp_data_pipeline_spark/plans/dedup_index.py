@@ -200,6 +200,129 @@ def _cross_pairs(fp_new: DataFrame, fp_old: DataFrame) -> DataFrame:
     )
 
 
+def purge_from_dedup_index(
+    spark: SparkSession, warehouse: str, doc_ids: list
+) -> dict:
+    """Right-to-be-forgotten for the FOURTH durable index (round 8):
+    a purged document must leave the fingerprint batches (its simhash
+    and quality are derived content) AND the cluster table — and
+    removing it can SPLIT its cluster if it was the bridge between two
+    otherwise-unconnected duplicate families, so the affected clusters
+    are re-derived, not just filtered.
+
+    Shape: members of the touched clusters (bounded — never the
+    corpus) are re-paired from the STORED fingerprints (the same
+    band-LSH + exact-Hamming check as append) and re-labeled with a
+    bounded CC pass; fp batches holding purged docs are re-staged as
+    filtered copies; only affected cluster buckets rewrite under the
+    purge key; ONE atomic manifest commit publishes all of it.
+    Removing nodes removes exactly their edges, so the result EQUALS a
+    from-scratch build over the remaining docs
+    (test_dedup_index_purge_equals_rebuild — including a bridge-doc
+    split). A replayed purge finds no purged rows and no-ops."""
+    root = os.path.join(warehouse, "dedup")
+    m = _manifest(root)
+    if m is None:
+        raise ValueError(f"purge_from_dedup_index: no index at {root}")
+    ids = sorted({int(d) for d in doc_ids})
+    purge_sig = hashlib.md5(
+        ",".join(str(i) for i in ids).encode()
+    ).hexdigest()[:8]
+    is_purged = F.col("doc_id").isin(ids)
+
+    fp_all, clusters = dedup_tables(spark, warehouse)
+    hit_clusters = [
+        r.cluster_id
+        for r in clusters.filter(is_purged)
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    ]
+    # ---- fingerprints: filtered batch copies + manifest re-point ----
+    new_batches: list[str] = []
+    fp_removed = 0
+    for key in m["batches"]:
+        b = spark.read.parquet(os.path.join(root, "fp", key))
+        hits = b.filter(is_purged)
+        if hits.limit(1).count() == 0:
+            new_batches.append(key)
+            continue
+        fp_removed += hits.count()
+        new_key = f"{key}-purge{purge_sig}"
+        b.filter(~is_purged).write.mode("overwrite").parquet(
+            os.path.join(root, "fp", new_key)
+        )
+        new_batches.append(new_key)
+    if fp_removed == 0 and not hit_clusters:
+        return {
+            "fp_removed": 0,
+            "clusters_touched": 0,
+            "buckets_rewritten": 0,
+        }
+
+    # ---- clusters: re-derive the touched families without the purged
+    # nodes (a purged bridge doc splits its cluster) ----
+    members = (
+        clusters.filter(
+            F.col("cluster_id").isin(hit_clusters) & ~is_purged
+        )
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    mem_fp = fp_all.join(members, "doc_id").localCheckpoint()
+    pairs = simhash_pairs(
+        mem_fp.select("doc_id", "simhash"), max_hamming=MAX_HAMMING
+    )
+    relabeled = dup_clusters(members, pairs).localCheckpoint()
+
+    new_label_bkts = {
+        r.b
+        for r in relabeled.select(
+            F.pmod("cluster_id", F.lit(N_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    affected = {c % N_BUCKETS for c in hit_clusters} | new_label_bkts
+    key = f"purge{purge_sig}"
+    if affected:
+        cur_paths = [
+            os.path.join(root, "clusters", m["buckets"][str(b)], f"bkt={b}")
+            for b in sorted(affected)
+        ]
+        cur_paths = [p for p in cur_paths if os.path.isdir(p)]
+        untouched = (
+            spark.read.parquet(*cur_paths).filter(
+                ~F.col("cluster_id").isin(hit_clusters)
+            )
+            if cur_paths
+            else relabeled.limit(0)
+        )
+        updated = untouched.select("doc_id", "cluster_id").unionByName(
+            relabeled.select("doc_id", "cluster_id")
+        )
+        _write_cluster_buckets(updated, root, key)
+    buckets = dict(m["buckets"])
+    for b in affected:
+        buckets[str(b)] = key
+    _commit(root, {"batches": new_batches, "buckets": buckets})
+    # loud post-condition: no purged doc remains anywhere
+    fp2, cl2 = dedup_tables(spark, warehouse)
+    leftover = (
+        fp2.filter(is_purged).limit(1).count()
+        + cl2.filter(is_purged).limit(1).count()
+    )
+    if leftover:
+        raise RuntimeError(
+            "purge_from_dedup_index: purged doc_ids remain after rewrite"
+        )
+    return {
+        "fp_removed": fp_removed,
+        "clusters_touched": len(hit_clusters),
+        "buckets_rewritten": len(affected),
+    }
+
+
 def append_to_dedup_index(
     spark: SparkSession, warehouse: str, new_docs: DataFrame
 ) -> dict:

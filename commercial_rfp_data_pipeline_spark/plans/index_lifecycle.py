@@ -1053,9 +1053,20 @@ def purge_from_indexes(
         "ivf_rows_removed": ivf_removed,
         "cells_rewritten": len(hit_cells),
     }
-    # ---- round 8: the purge cascade also reaches the semantic cache
-    # and the graph ANN index when the subject's vector ids are given
-    # (the cache stores result vec_ids; graph nodes ARE vec_ids)
+    # ---- round 8: the purge cascade also reaches the dedup-cluster
+    # index (doc-keyed, same warehouse) ...
+    if os.path.isdir(os.path.join(warehouse, "dedup", "fp")):
+        from commercial_rfp_data_pipeline_spark.plans.dedup_index import (
+            purge_from_dedup_index,
+        )
+
+        out_ids = [int(d) for d in doc_ids]
+        out["dedup_index"] = purge_from_dedup_index(
+            spark, warehouse, out_ids
+        )
+    # ... and the semantic cache and graph ANN index when the
+    # subject's vector ids are given (the cache stores result
+    # vec_ids; graph nodes ARE vec_ids)
     if vec_ids:
         out["cache_entries_removed"] = purge_from_semantic_cache(
             spark, warehouse, vec_ids

@@ -19,6 +19,7 @@ from commercial_rfp_data_pipeline_spark.plans.dedup_index import (
     dedup_survivors_from_index,
     dedup_tables,
     ensure_dedup_index,
+    purge_from_dedup_index,
 )
 
 
@@ -159,6 +160,72 @@ def test_dedup_index_crash_before_commit_repairs(spark, sf_dir, tmp_path, monkey
     _, cl2 = dedup_tables(spark, wh)
     got = {(r.doc_id, r.cluster_id) for r in cl2.collect()}
     assert got == _reference_clusters(docs)
+
+
+def test_dedup_index_purge_equals_rebuild(spark, sf_dir, tmp_path):
+    """Right-to-be-forgotten for the dedup index: purged docs leave
+    BOTH the fingerprint batches and the cluster table, the affected
+    clusters are re-derived (not just filtered), and the result equals
+    a from-scratch build over the remaining docs. Replayed purge is a
+    committed no-op."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    purged = [r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()]
+    wh = str(tmp_path / "wh")
+    # two fp batches so the purge crosses batch-dir boundaries
+    ensure_dedup_index(spark, first, wh)
+    append_to_dedup_index(spark, wh, second)
+
+    res = purge_from_dedup_index(spark, wh, purged)
+    assert res["fp_removed"] == len(purged)
+    assert res["clusters_touched"] > 0
+
+    remaining = docs.filter(~(F.col("doc_id") % 10 == 0))
+    fp, cl = dedup_tables(spark, wh)
+    assert fp.count() == remaining.count()
+    got = {(r.doc_id, r.cluster_id) for r in cl.collect()}
+    assert got == _reference_clusters(remaining)
+    # survivors still serve, and no purged doc survives
+    surv = {r.doc_id for r in dedup_survivors_from_index(spark, wh).collect()}
+    assert surv.isdisjoint(set(purged))
+
+    import json
+    import os
+
+    mpath = os.path.join(wh, "dedup", "MANIFEST.json")
+    m1 = json.load(open(mpath))
+    res2 = purge_from_dedup_index(spark, wh, purged)
+    assert res2 == {
+        "fp_removed": 0,
+        "clusters_touched": 0,
+        "buckets_rewritten": 0,
+    }
+    assert json.load(open(mpath)) == m1
+
+
+def test_dedup_index_purge_splits_bridged_cluster(spark, tmp_path):
+    """Purging a BRIDGE doc must split its cluster: A~B and B~C at
+    SimHash Hamming <= 3 but A!~C (distance 5) — the md5-deterministic
+    chain below. With B purged, A and C become singletons, exactly as
+    a rebuild over {A, C} yields."""
+    A = "beta table scan filter group join sort window agg hash batch column value query line part order"
+    B = "spark table scan filter group join sort window agg hash batch column value query line part order"
+    C = "spark table scan filter group zeta sort window agg hash batch column value query line part order"
+    docs = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], "doc_id long, text string"
+    )
+    wh = str(tmp_path / "wh")
+    ensure_dedup_index(spark, docs, wh)
+    _, cl0 = dedup_tables(spark, wh)
+    c0 = {r.doc_id: r.cluster_id for r in cl0.collect()}
+    assert c0 == {1: 1, 2: 1, 3: 1}  # one bridged family
+
+    res = purge_from_dedup_index(spark, wh, [2])
+    assert res["fp_removed"] == 1 and res["clusters_touched"] == 1
+    _, cl1 = dedup_tables(spark, wh)
+    c1 = {r.doc_id: r.cluster_id for r in cl1.collect()}
+    assert c1 == {1: 1, 3: 3}  # the family SPLIT
 
 
 def test_streaming_dedup_index_ingest(spark, sf_dir, tmp_path):
