@@ -91,7 +91,23 @@ def warehouse_root() -> str:
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    return os.path.join(repo, "spark-warehouse", "artifacts")
+    root = os.path.join(repo, "spark-warehouse", "artifacts")
+    # registry queries are the first writers of durable artifacts: if
+    # the package lives on a read-only checkout, fall back to a
+    # per-user tmp warehouse instead of failing every consumer
+    try:
+        os.makedirs(root, exist_ok=True)
+        probe = os.path.join(root, ".write_probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        return root
+    except OSError:
+        import tempfile
+
+        return os.path.join(
+            tempfile.gettempdir(), "spark_graft_artifacts"
+        )
 
 
 def corpus_warehouse(spark: SparkSession, sf_dir: str) -> str:
