@@ -319,10 +319,18 @@ def main() -> None:
         "loadavg_end": round(os.getloadavg()[0], 2),
         "env": env,
     }
+    # only the canonical sf0.1 run owns BENCH_FULL_latest.json — a
+    # smoke run at another SF must not clobber the committed artifact
+    # (it happened once; see git history)
+    default_name = (
+        "BENCH_FULL_latest.json"
+        if sf == "0.1"
+        else f"BENCH_FULL_sf{sf}.json"
+    )
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_JSON",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL_latest.json"),
+                     default_name),
     )
     try:
         with open(full_path, "w") as f:

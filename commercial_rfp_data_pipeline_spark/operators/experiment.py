@@ -1,0 +1,308 @@
+"""Experimentation & evaluation analytics kernels.
+
+The reference pipeline feeds RFP answer quality back through manual
+review; a production LLM-data platform closes that loop with
+*measured* experiments: bootstrap confidence intervals on corpus
+metrics, pairwise-preference leaderboards (arena-style), A/B tests
+with variance reduction, and jackknife standard errors for ratio
+metrics. This module holds the distributed kernels; the oracle-backed
+queries live in ``queries/eval_q.py``.
+
+Determinism discipline (the same one ``operators/graph.py`` uses for
+PageRank/HITS): every stochastic choice is an md5 coin on a stable
+key, every cross-row float SUM is an exact DECIMAL sum of values
+rounded to a fixed scale first, and every division/sqrt/exp runs on
+doubles that are bit-identical on both engines — so the DuckDB oracle
+reproduces the result hash exactly.
+
+Scale notes are per function; none of these kernels holds more than a
+models×models or blocks-count table on any single node.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+# ---------------------------------------------------------------------------
+# md5 coins (shared idiom with operators/textops.importance_downsample:
+# u(key) = first 60 bits of md5 as a zero-padded 16-char lowercase hex
+# string, compared against precomputed hex thresholds — no bigint hex
+# parsing needed on either engine)
+# ---------------------------------------------------------------------------
+
+_U60 = float(1 << 60)
+
+
+def u60_hex(col: Column) -> Column:
+    """First 60 bits of md5(col) as a 16-char zero-padded hex string —
+    uniform on [0, 2^60) and lexicographically ordered like the
+    integers it encodes."""
+    return F.lpad(F.substring(F.md5(col), 1, 15), 16, "0")
+
+
+def u60_hex_sql(expr: str) -> str:
+    """DuckDB twin of :func:`u60_hex`."""
+    return f"lpad(substring(md5({expr}), 1, 15), 16, '0')"
+
+
+def frac_to_hex(p: float) -> str:
+    """floor(p * 2^60) as the 16-char hex literal both engines compare
+    u60 strings against."""
+    k = min(max(int(math.floor(p * _U60)), 0), (1 << 60) - 1)
+    return format(k, "016x")
+
+
+# ---------------------------------------------------------------------------
+# Poisson(1) bootstrap weights
+# ---------------------------------------------------------------------------
+
+def _poisson1_cdf_hex(max_k: int) -> list[str]:
+    """Cumulative Poisson(1) probabilities P(X<=k) for k=0..max_k-1 as
+    hex thresholds. A u60 draw below threshold[k] (and not below
+    threshold[k-1]) maps to weight k; draws past the last threshold cap
+    at ``max_k`` (P(X>5) ~ 6e-4 — the truncation bias is far below the
+    bootstrap's own Monte-Carlo noise)."""
+    e1 = math.exp(-1.0)
+    cdf, fact, out = 0.0, 1.0, []
+    for k in range(max_k):
+        if k > 0:
+            fact *= k
+        cdf += e1 / fact
+        out.append(frac_to_hex(cdf))
+    return out
+
+
+POISSON1_MAX_K = 6
+POISSON1_CDF_HEX = _poisson1_cdf_hex(POISSON1_MAX_K)
+
+
+def poisson1_weight(u_hex: Column) -> Column:
+    """Poisson(1) bootstrap weight from a u60 hex draw via the inverse
+    CDF — the standard resampling trick at scale (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    multinomial bootstrap needs the global n per replicate, Poisson(1)
+    weights are row-local, embarrassingly parallel, and unbiased."""
+    expr = F.lit(POISSON1_MAX_K)
+    for k in range(POISSON1_MAX_K - 1, -1, -1):
+        expr = F.when(u_hex < F.lit(POISSON1_CDF_HEX[k]), F.lit(k)).otherwise(
+            expr
+        )
+    return expr
+
+
+def poisson1_weight_sql(u_expr: str) -> str:
+    """DuckDB twin of :func:`poisson1_weight` (same thresholds, same
+    first-match-wins CASE order)."""
+    arms = "\n".join(
+        f"WHEN {u_expr} < '{POISSON1_CDF_HEX[k]}' THEN {k}"
+        for k in range(POISSON1_MAX_K)
+    )
+    return f"CASE {arms} ELSE {POISSON1_MAX_K} END"
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.96
+WILSON_Z2 = 3.8416  # z^2 written as a literal so both engines parse
+# the same decimal string into the same double
+
+
+def wilson_lower_bound(wins: Column, n: Column) -> Column:
+    """Lower bound of the 95% Wilson score interval for a binomial
+    proportion — the ranking statistic a leaderboard uses instead of
+    the raw win rate, so a 2/2 model doesn't outrank a 95/100 one.
+    Pure double arithmetic on (wins, n) integers; the expression tree
+    is mirrored verbatim in the SQL twin."""
+    p = wins.cast("double") / n.cast("double")
+    z2 = F.lit(WILSON_Z2)
+    nn = n.cast("double")
+    return (
+        p
+        + z2 / (F.lit(2.0) * nn)
+        - F.lit(WILSON_Z)
+        * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * nn)) / nn)
+    ) / (F.lit(1.0) + z2 / nn)
+
+
+def wilson_lower_bound_sql(wins: str, n: str) -> str:
+    """DuckDB twin of :func:`wilson_lower_bound` — same tree shape."""
+    p = f"(CAST({wins} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    nn = f"CAST({n} AS DOUBLE)"
+    z2 = f"{WILSON_Z2}"
+    return (
+        f"(({p} + {z2} / (2.0 * {nn}) - {WILSON_Z} * "
+        f"sqrt(({p} * (1.0 - {p}) + {z2} / (4.0 * {nn})) / {nn})) "
+        f"/ (1.0 + {z2} / {nn}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry strengths (MM / Zermelo iteration)
+# ---------------------------------------------------------------------------
+
+BT_ITERS = 10
+_BT_DEC = "decimal(28,9)"
+_BT_FLOOR = "0.000000001"  # strength floor: keeps s_i + s_j > 0 for
+# models that lose every battle (their true MLE strength is 0)
+
+
+def bradley_terry(battles: DataFrame, n_iters: int = BT_ITERS) -> DataFrame:
+    """Bradley–Terry model strengths from a pairwise-battle table via
+    ``n_iters`` MM updates (Hunter 2004, eq. 1):
+
+        s_i  <-  W_i / sum_j n_ij / (s_i + s_j),   then sum-normalize.
+
+    ``battles`` has (model_a, model_b, winner). The heavy part — the
+    battle log — is aggregated ONCE into the (i, j, n_ij) pair-count
+    and per-model win tables (two map-side-combining groupBys over the
+    distributed log); every MM iteration then runs on the tiny
+    models^2-bounded tables, localCheckpoint'd per round so plan depth
+    stays O(1). Strengths live as DECIMAL(28,9) with a 9-dp round
+    after every division, so each per-model SUM is order-independent
+    and the whole unrolled iteration reproduces as oracle CTEs (the
+    HITS discipline, operators/graph.py:390).
+
+    Returns (model, n_battles, wins, strength<double>)."""
+    b = battles.select("model_a", "model_b", "winner").localCheckpoint(
+        eager=False
+    )
+    sym = b.select(
+        F.col("model_a").alias("i"), F.col("model_b").alias("j")
+    ).unionAll(b.select(F.col("model_b").alias("i"), F.col("model_a").alias("j")))
+    npair = sym.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n"))
+    npair = npair.localCheckpoint()  # tiny: <= models^2 rows
+    wins = (
+        b.groupBy(F.col("winner").alias("m"))
+        .agg(F.count(F.lit(1)).alias("wins"))
+    )
+    models = (
+        npair.select(F.col("i").alias("m"))
+        .distinct()
+        .join(wins, "m", "left")
+        .select("m", F.coalesce("wins", F.lit(0)).alias("wins"))
+    )
+    nb = npair.groupBy(F.col("i").alias("m")).agg(
+        F.sum("n").alias("n_battles")
+    )
+    models = models.join(nb, "m").localCheckpoint()
+
+    floor = F.lit(_BT_FLOOR).cast(_BT_DEC)
+    s = models.select("m", F.lit(1).cast(_BT_DEC).alias("s"))
+    for _ in range(n_iters):
+        si = s.select(F.col("m").alias("i"), F.col("s").alias("si"))
+        sj = s.select(F.col("m").alias("j"), F.col("s").alias("sj"))
+        terms = (
+            npair.join(si, "i")
+            .join(sj, "j")
+            .select(
+                F.col("i").alias("m"),
+                F.round(
+                    F.col("n").cast("double")
+                    / (F.col("si") + F.col("sj")).cast("double"),
+                    9,
+                )
+                .cast(_BT_DEC)
+                .alias("term"),
+            )
+        )
+        denom = terms.groupBy("m").agg(F.sum("term").alias("denom"))
+        raw = models.join(denom, "m").select(
+            "m",
+            F.greatest(
+                F.round(
+                    F.col("wins").cast("double")
+                    / F.col("denom").cast("double"),
+                    9,
+                ).cast(_BT_DEC),
+                floor,
+            ).alias("raw"),
+        )
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        s = raw.crossJoin(F.broadcast(tot)).select(
+            "m",
+            F.greatest(
+                F.round(
+                    F.col("raw").cast("double") / F.col("tot").cast("double"),
+                    9,
+                ).cast(_BT_DEC),
+                floor,
+            ).alias("s"),
+        )
+        s = s.localCheckpoint()  # models-count rows; keeps each round O(1)
+    return (
+        models.join(s, "m")
+        .select(
+            F.col("m").alias("model"),
+            "n_battles",
+            "wins",
+            F.col("s").cast("double").alias("strength"),
+        )
+    )
+
+
+def bradley_terry_oracle_ctes(n_iters: int = BT_ITERS) -> str:
+    """DuckDB CTE chain reproducing :func:`bradley_terry` from a CTE
+    named ``battles`` (model_a, model_b, winner) — generated from the
+    SAME constants so the engines cannot drift. Emits CTE fragments
+    only (caller splices into its WITH); final strengths land in
+    ``bt_final(m, n_battles, wins, strength)``. All state CTEs are
+    MATERIALIZED: each is referenced twice per round."""
+    dec = "DECIMAL(28,9)"
+    ctes = [
+        """bt_sym AS MATERIALIZED (
+  SELECT model_a AS i, model_b AS j FROM battles
+  UNION ALL SELECT model_b AS i, model_a AS j FROM battles)""",
+        """bt_npair AS MATERIALIZED (
+  SELECT i, j, count(*) AS n FROM bt_sym GROUP BY i, j)""",
+        """bt_wins AS MATERIALIZED (
+  SELECT winner AS m, count(*) AS wins FROM battles GROUP BY winner)""",
+        f"""bt_models AS MATERIALIZED (
+  SELECT d.m, COALESCE(w.wins, 0) AS wins, d.n_battles
+  FROM (SELECT i AS m, sum(n) AS n_battles FROM bt_npair GROUP BY i) d
+  LEFT JOIN bt_wins w ON w.m = d.m)""",
+        f"""bt_s0 AS MATERIALIZED (
+  SELECT m, CAST(1 AS {dec}) AS s FROM bt_models)""",
+    ]
+    prev = "bt_s0"
+    for r in range(1, n_iters + 1):
+        ctes.append(
+            f"""bt_t{r} AS MATERIALIZED (
+  SELECT p.i AS m,
+         CAST(round(CAST(p.n AS DOUBLE)
+              / CAST(si.s + sj.s AS DOUBLE), 9) AS {dec}) AS term
+  FROM bt_npair p
+  JOIN {prev} si ON si.m = p.i
+  JOIN {prev} sj ON sj.m = p.j)"""
+        )
+        ctes.append(
+            f"""bt_r{r} AS MATERIALIZED (
+  SELECT mo.m,
+         greatest(CAST(round(CAST(mo.wins AS DOUBLE)
+              / CAST(d.denom AS DOUBLE), 9) AS {dec}),
+                  CAST({_BT_FLOOR} AS {dec})) AS raw
+  FROM bt_models mo
+  JOIN (SELECT m, sum(term) AS denom FROM bt_t{r} GROUP BY m) d
+    ON d.m = mo.m)"""
+        )
+        ctes.append(
+            f"""bt_s{r} AS MATERIALIZED (
+  SELECT m,
+         greatest(CAST(round(CAST(raw AS DOUBLE)
+              / CAST((SELECT sum(raw) FROM bt_r{r}) AS DOUBLE), 9)
+              AS {dec}),
+                  CAST({_BT_FLOOR} AS {dec})) AS s
+  FROM bt_r{r})"""
+        )
+        prev = f"bt_s{r}"
+    ctes.append(
+        f"""bt_final AS (
+  SELECT mo.m, mo.n_battles, mo.wins, CAST(s.s AS DOUBLE) AS strength
+  FROM bt_models mo JOIN {prev} s ON s.m = mo.m)"""
+    )
+    return ",\n".join(ctes)

@@ -61,6 +61,7 @@ def _register_all() -> None:
         stats_q,
         layout_q,
         round8_q,
+        eval_q,
     )
 
 

@@ -1,0 +1,337 @@
+"""Round-8 experimentation/eval family: unit-level checks that go
+beyond the DuckDB oracle parity (which verify_local covers) — the
+statistics themselves must be right, not just reproducible."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.operators.experiment import (
+    POISSON1_CDF_HEX,
+    bradley_terry,
+    frac_to_hex,
+    poisson1_weight,
+    u60_hex,
+    wilson_lower_bound,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# md5 coin plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_frac_to_hex_is_60_bit_aligned_with_u60():
+    # u60 hex strings carry a leading 0 nibble (60 bits in 16 chars);
+    # thresholds must live on the same scale or every comparison is
+    # vacuously true/false (the arm-split bug this guards against)
+    assert frac_to_hex(0.5) == "0800000000000000"
+    assert frac_to_hex(0.0) == "0" * 16
+    assert frac_to_hex(1.0) == "0fffffffffffffff"
+    for h in POISSON1_CDF_HEX:
+        assert len(h) == 16 and h[0] == "0"
+
+
+def test_u60_threshold_split_is_balanced(spark):
+    df = spark.range(4000).select(
+        u60_hex(F.concat(F.lit("t:"), F.col("id").cast("string"))).alias("u")
+    )
+    frac = (
+        df.filter(F.col("u") < F.lit(frac_to_hex(0.5))).count() / 4000.0
+    )
+    assert 0.45 < frac < 0.55
+
+
+def test_poisson1_weights_match_inverse_cdf(spark):
+    import hashlib
+
+    rows = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            poisson1_weight(
+                u60_hex(F.concat(F.lit("p:"), F.col("id").cast("string")))
+            ).alias("w"),
+        )
+        .collect()
+    )
+    # python reference: same md5 -> same inverse CDF
+    e1 = math.exp(-1.0)
+    cdf, fact, cdfs = 0.0, 1.0, []
+    for k in range(6):
+        if k:
+            fact *= k
+        cdf += e1 / fact
+        cdfs.append(cdf)
+    for r in rows[:200]:
+        u = int(hashlib.md5(f"p:{r.id}".encode()).hexdigest()[:15], 16)
+        exp = next((k for k, c in enumerate(cdfs) if u < c * 2**60), 6)
+        assert r.w == exp
+    mean_w = sum(r.w for r in rows) / len(rows)
+    assert 0.9 < mean_w < 1.1  # Poisson(1) mean
+
+
+# ---------------------------------------------------------------------------
+# Wilson / leaderboard
+# ---------------------------------------------------------------------------
+
+
+def _wilson_py(w, n, z=1.96, z2=3.8416):
+    p = w / n
+    return (p + z2 / (2 * n) - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n)) / (
+        1 + z2 / n
+    )
+
+
+def test_wilson_lower_bound_matches_reference(spark):
+    df = spark.createDataFrame(
+        [Row(w=95, n=100), Row(w=2, n=2), Row(w=0, n=10)]
+    ).select("w", "n", wilson_lower_bound(F.col("w"), F.col("n")).alias("lb"))
+    got = {(r.w, r.n): r.lb for r in df.collect()}
+    for (w, n), lb in got.items():
+        assert lb == pytest.approx(_wilson_py(w, n), abs=1e-12)
+    # the whole point: a 2/2 record must NOT outrank 95/100
+    assert got[(2, 2)] < got[(95, 100)]
+    assert got[(0, 10)] >= 0.0 or got[(0, 10)] > -1e-9
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry
+# ---------------------------------------------------------------------------
+
+
+def _battle_rows():
+    # a beats b 9/10, b beats c 9/10, a beats c 10/10 -> strength
+    # order must come out a > b > c
+    rows = []
+    for i in range(10):
+        rows.append(Row(model_a="a", model_b="b", winner="a" if i < 9 else "b"))
+        rows.append(Row(model_a="b", model_b="c", winner="b" if i < 9 else "c"))
+        rows.append(Row(model_a="a", model_b="c", winner="a"))
+    return rows
+
+
+def test_bradley_terry_orders_by_true_dominance(spark):
+    bt = bradley_terry(spark.createDataFrame(_battle_rows()))
+    s = {r.model: r.strength for r in bt.collect()}
+    assert s["a"] > s["b"] > s["c"] > 0
+    assert sum(s.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bradley_terry_is_row_order_invariant(spark):
+    rows = _battle_rows()
+    a = {
+        r.model: r.strength
+        for r in bradley_terry(spark.createDataFrame(rows)).collect()
+    }
+    b = {
+        r.model: r.strength
+        for r in bradley_terry(
+            spark.createDataFrame(list(reversed(rows)) ).repartition(7)
+        ).collect()
+    }
+    assert a == b  # DECIMAL state: bit-identical, not just close
+
+
+# ---------------------------------------------------------------------------
+# registry queries against sf0.001
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_ci_brackets_point(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_poisson_bootstrap_ci,
+    )
+
+    out = q_poisson_bootstrap_ci(spark, SF).collect()
+    assert len(out) >= 3
+    for r in out:
+        assert r.ci_lo <= r.boot_mean <= r.ci_hi
+        # CI should bracket the point estimate for a mean of thousands
+        # of iid rows (it's the bootstrap of exactly that statistic)
+        assert r.ci_lo <= r.point_mean <= r.ci_hi
+        assert r.ci_hi - r.ci_lo > 0
+
+
+def test_cuped_reduces_variance_and_splits_arms(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_cuped_adjusted_ab_test,
+    )
+
+    rows = q_cuped_adjusted_ab_test(spark, SF).collect()
+    arms = {r.arm for r in rows}
+    assert arms == {"A", "B"}
+    thetas = {r.theta for r in rows}
+    assert len(thetas) == 1  # one pooled theta broadcast to both arms
+    for r in rows:
+        assert r.n_users > 0
+        assert r.var_y >= 0 and r.var_y_adj >= 0
+
+
+def test_cuped_variance_reduction_on_correlated_users(spark, tmp_path):
+    # synthetic corpus: 400 users whose experiment-period outcome is
+    # pre-period spend + small noise -> CUPED must reduce within-arm
+    # variance substantially (the pooled guarantee holds per-arm once
+    # n is large enough for the arm covariances to match the pooled fit)
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_cuped_adjusted_ab_test,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(400):
+        base = 100.0 + (u % 50) * 10.0
+        noise = ((u * 7919) % 101 - 50) / 10.0
+        rows.append(
+            Row(
+                event_id=eid,
+                ts="2024-01-05 00:00:00",
+                user_id=u,
+                event_type="buy",
+                value=round(base, 2),
+                props="{}",
+            )
+        )
+        eid += 1
+        rows.append(
+            Row(
+                event_id=eid,
+                ts="2024-01-20 00:00:00",
+                user_id=u,
+                event_type="buy",
+                value=round(base + noise, 2),
+                props="{}",
+            )
+        )
+        eid += 1
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sf = str(tmp_path / "synth")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = q_cuped_adjusted_ab_test(spark, sf).collect()
+    assert {r.arm for r in out} == {"A", "B"}
+    for r in out:
+        assert r.var_y_adj < r.var_y * 0.2  # >80% variance removed
+        assert r.var_reduction > 0.8
+
+
+def test_ab_design_audit_shape(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_ab_design_audit,
+    )
+
+    r = q_ab_design_audit(spark, SF).collect()[0]
+    assert r.n_a + r.n_b > 0
+    assert r.srm_chi2 >= 0
+    assert r.mde_abs > 0
+    assert r.srm_flag in (0, 1)
+
+
+def test_jackknife_se_zero_for_identical_blocks(spark):
+    from commercial_rfp_data_pipeline_spark.operators.experiment import (  # noqa: F401
+        bradley_terry,
+    )
+    from commercial_rfp_data_pipeline_spark.queries import eval_q
+
+    # registry query on real data: SE positive, ratio sane
+    r = eval_q.q_jackknife_ratio_metric_se(spark, SF).collect()[0]
+    assert r.jk_se > 0
+    assert r.n_blocks == 32
+    assert abs(r.jk_mean - r.ratio_point) < 0.01 * r.ratio_point
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_kaplan_meier_repurchase,
+    )
+
+    rows = sorted(
+        q_kaplan_meier_repurchase(spark, SF).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows[0].survival <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.survival <= a.survival + 1e-9  # survival never rises
+        assert a.n_risk >= b.n_risk  # at-risk set shrinks
+    # everyone starts at risk
+    assert rows[0].n_risk == sum(r.n_events + r.n_censored for r in rows)
+
+
+def test_rouge_known_pair_exact(spark, tmp_path):
+    # ref "a b c d" vs cand "a b c e": unigram clip 3/4 -> f1 = 0.75;
+    # bigram clip 2/3 ({ab,bc} of {ab,bc,cd|ce}) -> f2 = 2/3
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_rouge_ngram_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d", lang="en", source="s0", n_chars=7),
+            Row(doc_id=1, text="a b c e", lang="en", source="s1", n_chars=7),
+        ]
+    )
+    sf = str(tmp_path / "rouge")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = q_rouge_ngram_eval(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pairs == 1
+    assert r.rouge1_p == pytest.approx(0.75, abs=1e-6)
+    assert r.rouge1_r == pytest.approx(0.75, abs=1e-6)
+    assert r.rouge1_f == pytest.approx(0.75, abs=1e-6)
+    assert r.rouge2_f == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+def test_rouge_bounds_on_corpus(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_rouge_ngram_eval,
+    )
+
+    for r in q_rouge_ngram_eval(spark, SF).collect():
+        for v in (r.rouge1_p, r.rouge1_r, r.rouge1_f, r.rouge2_f):
+            assert 0.0 <= float(v) <= 1.0
+        assert r.n_pairs > 0
+
+
+def test_annotator_accuracy_tracks_noise_rate(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_annotator_label_model,
+    )
+
+    rows = sorted(
+        q_annotator_label_model(spark, SF).collect(),
+        key=lambda r: r.annotator,
+    )
+    assert [r.annotator for r in rows] == [0, 1, 2, 3, 4]
+    # noise rates rise 0.05 -> 0.37, so accuracy vs consensus must fall
+    assert rows[0].acc > rows[-1].acc
+    accs = [r.acc for r in rows]
+    assert accs == sorted(accs, reverse=True)
+    # log-odds weights order the same way, and a .63+-accuracy rater
+    # still beats coin-flip weight 0
+    wts = [r.weight for r in rows]
+    assert wts == sorted(wts, reverse=True)
+    assert all(w > 0 for w in wts)
+    assert all(r.n_labels == rows[0].n_labels for r in rows)
+
+
+def test_winrate_leaderboard_rank_consistent(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_winrate_wilson_leaderboard,
+    )
+
+    rows = q_winrate_wilson_leaderboard(spark, SF).collect()
+    by_rank = sorted(rows, key=lambda r: (r.rank, r.model))
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.wilson_lb >= b.wilson_lb - 1e-12
+    for r in rows:
+        assert 0 <= r.win_rate <= 1
+        assert r.wilson_lb <= r.win_rate + 1e-12
+        assert r.wins <= r.n_battles
