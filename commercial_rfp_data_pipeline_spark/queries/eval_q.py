@@ -874,6 +874,375 @@ def q_kaplan_meier_repurchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sequential monitoring + difference-in-differences
+# ---------------------------------------------------------------------------
+
+_SEQ_HORIZON = 30  # planned days (events corpus spans Jan 1-30)
+_OBF_C = 2.2414  # O'Brien-Fleming boundary shape constant, two-sided
+# alpha=.05: z_crit(t) = C / sqrt(t) at information fraction t
+
+
+@query(
+    "sequential_ab_monitoring",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_part('day', ts) AS INT) AS day,
+             CASE WHEN {u60_hex_sql(
+                 "'" + _AB_SEED + "' || CAST(user_id AS VARCHAR)")}
+                  < '{_ARM_A_MAX}' THEN 'A' ELSE 'B' END AS arm,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(19,2))
+                 * CAST(value AS DECIMAL(19,2))) AS ss
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT a.day, a.arm, sum(b.n) AS cn, sum(b.s) AS cs,
+             sum(b.ss) AS css
+      FROM daily a JOIN daily b ON b.arm = a.arm AND b.day <= a.day
+      GROUP BY a.day, a.arm
+    ),
+    wide AS (
+      SELECT ca.day,
+             ca.cn AS na, CAST(ca.cs AS DOUBLE) AS sa,
+             CAST(ca.css AS DOUBLE) AS ssa,
+             cb.cn AS nb, CAST(cb.cs AS DOUBLE) AS sb,
+             CAST(cb.css AS DOUBLE) AS ssb
+      FROM cum ca JOIN cum cb ON cb.day = ca.day
+      WHERE ca.arm = 'A' AND cb.arm = 'B'
+    )
+    SELECT day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(sa / na, 6) AS mean_a,
+           round(sb / nb, 6) AS mean_b,
+           round((sa / na - sb / nb)
+                 / sqrt(((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+                        / (na + nb) * (1.0 / na + 1.0 / nb)), 4) AS z,
+           round({_OBF_C} / sqrt(day / {_SEQ_HORIZON}.0), 4) AS z_crit,
+           CASE WHEN abs((sa / na - sb / nb)
+                 / sqrt(((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+                        / (na + nb) * (1.0 / na + 1.0 / nb)))
+                > {_OBF_C} / sqrt(day / {_SEQ_HORIZON}.0)
+                THEN 1 ELSE 0 END AS crossed
+    FROM wide
+    """,
+)
+def q_sequential_ab_monitoring(spark, sf_dir):
+    """Group-sequential A/B monitoring: the cumulative-through-day-d
+    z statistic for mean event value between md5-assigned arms,
+    checked against an O'Brien-Fleming-shaped boundary C/sqrt(t) at
+    information fraction t = d/30 — the always-valid peeking
+    discipline that stops an experiment early without inflating false
+    positives (naive daily z>1.96 peeking has ~20%+ type-I error over
+    a month). Scale: one groupBy(day, arm) over the stream, then the
+    cumulative runs on the ~60-row daily table via a broadcast
+    theta-join — the full pass is the only corpus-sized stage."""
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        u60_hex(F.concat(F.lit(_AB_SEED), F.col("user_id").cast("string")))
+        < F.lit(_ARM_A_MAX),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    v = F.col("value").cast("decimal(18,2)")
+    daily = e.groupBy(
+        F.dayofmonth("ts").cast("int").alias("day"), arm.alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    daily = daily.localCheckpoint(eager=False)  # ~60 rows, 2 consumers
+    d2 = daily.select(
+        F.col("arm").alias("_arm"),
+        F.col("day").alias("_day"),
+        F.col("n").alias("_n"),
+        F.col("s").alias("_s"),
+        F.col("ss").alias("_ss"),
+    )
+    cum = (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("_arm") == F.col("arm")) & (F.col("_day") <= F.col("day")),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.sum("_n").alias("cn"),
+            F.sum("_s").alias("cs"),
+            F.sum("_ss").alias("css"),
+        )
+    )
+    ca = cum.filter(F.col("arm") == "A").select(
+        "day",
+        F.col("cn").alias("na"),
+        F.col("cs").cast("double").alias("sa"),
+        F.col("css").cast("double").alias("ssa"),
+    )
+    cb = cum.filter(F.col("arm") == "B").select(
+        F.col("day").alias("dayb"),
+        F.col("cn").alias("nb"),
+        F.col("cs").cast("double").alias("sb"),
+        F.col("css").cast("double").alias("ssb"),
+    )
+    w = ca.join(cb, F.col("dayb") == F.col("day"))
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb, ssa, ssb = F.col("sa"), F.col("sb"), F.col("ssa"), F.col("ssb")
+    z = (sa / na - sb / nb) / F.sqrt(
+        ((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+        / (na + nb)
+        * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    zc = F.lit(_OBF_C) / F.sqrt(F.col("day") / F.lit(float(_SEQ_HORIZON)))
+    return w.select(
+        "day",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(sb / nb, 6).alias("mean_b"),
+        F.round(z, 4).alias("z"),
+        F.round(zc, 4).alias("z_crit"),
+        F.when(F.abs(z) > zc, F.lit(1)).otherwise(F.lit(0)).alias("crossed"),
+    )
+
+
+@query(
+    "diff_in_differences",
+    f"""
+    WITH {_XY_CTE.strip()},
+    chg AS (
+      SELECT arm, x, y, CAST(y - x AS DECIMAL(15,2)) AS d
+      FROM assigned
+    ),
+    cells AS (
+      SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(d) AS sd,
+             sum(CAST(d AS DECIMAL(19,2)) * CAST(d AS DECIMAL(19,2)))
+               AS sdd
+      FROM chg GROUP BY arm
+    ),
+    wide AS (
+      SELECT a.n AS na, CAST(a.sx AS DOUBLE) AS sxa,
+             CAST(a.sy AS DOUBLE) AS sya, CAST(a.sd AS DOUBLE) AS sda,
+             CAST(a.sdd AS DOUBLE) AS sdda,
+             b.n AS nb, CAST(b.sx AS DOUBLE) AS sxb,
+             CAST(b.sy AS DOUBLE) AS syb, CAST(b.sd AS DOUBLE) AS sdb,
+             CAST(b.sdd AS DOUBLE) AS sddb
+      FROM cells a, cells b WHERE a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(sxa / na, 6) AS pre_mean_a,
+           round(sya / na, 6) AS post_mean_a,
+           round(sxb / nb, 6) AS pre_mean_b,
+           round(syb / nb, 6) AS post_mean_b,
+           round(sdb / nb - sda / na, 6) AS did_effect,
+           round(sqrt((sdda / na - (sda / na) * (sda / na)) / na
+                      + (sddb / nb - (sdb / nb) * (sdb / nb)) / nb),
+                 6) AS se,
+           round((sdb / nb - sda / na)
+                 / nullif(sqrt((sdda / na - (sda / na) * (sda / na)) / na
+                      + (sddb / nb - (sdb / nb) * (sdb / nb)) / nb), 0),
+                 4) AS t_stat
+    FROM wide
+    """,
+)
+def q_diff_in_differences(spark, sf_dir):
+    """Difference-in-differences on per-user pre/post value: the
+    panel-data form (effect = mean per-user change in B minus mean
+    per-user change in A) with its standard error — the measurement a
+    staged rollout uses when randomization isn't available and both
+    groups share a time trend. Scale: one groupBy(user), one two-row
+    cell aggregate; everything downstream is a single-row select."""
+    a = _assigned_users(spark, sf_dir)
+    chg = a.select(
+        "arm",
+        "x",
+        "y",
+        (F.col("y") - F.col("x")).cast("decimal(15,2)").alias("d"),
+    )
+    cells = chg.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+    )
+    ca = cells.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"),
+        F.col("sx").cast("double").alias("sxa"),
+        F.col("sy").cast("double").alias("sya"),
+        F.col("sd").cast("double").alias("sda"),
+        F.col("sdd").cast("double").alias("sdda"),
+    )
+    cb = cells.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"),
+        F.col("sx").cast("double").alias("sxb"),
+        F.col("sy").cast("double").alias("syb"),
+        F.col("sd").cast("double").alias("sdb"),
+        F.col("sdd").cast("double").alias("sddb"),
+    )
+    w = ca.crossJoin(F.broadcast(cb))
+    na, nb = F.col("na"), F.col("nb")
+    sda, sdb = F.col("sda"), F.col("sdb")
+    did = sdb / nb - sda / na
+    se = F.sqrt(
+        (F.col("sdda") / na - (sda / na) * (sda / na)) / na
+        + (F.col("sddb") / nb - (sdb / nb) * (sdb / nb)) / nb
+    )
+    return w.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(F.col("sxa") / na, 6).alias("pre_mean_a"),
+        F.round(F.col("sya") / na, 6).alias("post_mean_a"),
+        F.round(F.col("sxb") / nb, 6).alias("pre_mean_b"),
+        F.round(F.col("syb") / nb, 6).alias("post_mean_b"),
+        F.round(did, 6).alias("did_effect"),
+        F.round(se, 6).alias("se"),
+        F.round(did / F.nullif(se, F.lit(0.0)), 4).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square term selection
+# ---------------------------------------------------------------------------
+
+_CHI2_TOPK = 20
+
+
+@query(
+    "chi2_term_selection",
+    f"""
+    WITH rnorm AS (SELECT doc_id, lang, {_NORM} AS t FROM documents),
+    pres AS (
+      SELECT DISTINCT doc_id, lang, g FROM (
+        SELECT doc_id, lang, unnest(string_split(t, ' ')) AS g
+        FROM rnorm WHERE length(t) > 0)
+    ),
+    ndocs AS (SELECT count(*) AS nd FROM rnorm WHERE length(t) > 0),
+    nlang AS (SELECT lang, count(*) AS nl FROM rnorm
+              WHERE length(t) > 0 GROUP BY lang),
+    tl AS (SELECT lang, g, count(*) AS a FROM pres GROUP BY lang, g),
+    tg AS (SELECT g, count(*) AS df FROM pres GROUP BY g),
+    chi AS (
+      SELECT tl.lang, tl.g AS term,
+             CAST(tl.a AS BIGINT) AS a,
+             CAST(tg.df - tl.a AS BIGINT) AS b,
+             CAST(nlang.nl - tl.a AS BIGINT) AS c,
+             CAST(ndocs.nd - nlang.nl - (tg.df - tl.a) AS BIGINT) AS d,
+             CAST(ndocs.nd AS BIGINT) AS nd
+      FROM tl
+      JOIN tg ON tg.g = tl.g
+      JOIN nlang ON nlang.lang = tl.lang
+      CROSS JOIN ndocs
+    ),
+    scored AS (
+      -- a zero margin (term in every doc, or a single-language corpus)
+      -- zeroes the numerator too: the term carries no signal -> chi2 0
+      SELECT lang, term, a + b AS doc_freq,
+             round(coalesce(CAST(nd AS DOUBLE)
+                   * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                   * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                   / nullif(CAST(a + b AS DOUBLE) * (c + d)
+                            * (a + c) * (b + d), 0), 0.0), 4) AS chi2
+      FROM chi
+    ),
+    ranked AS (
+      SELECT lang, term, doc_freq, chi2,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY chi2 DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT lang, term, CAST(doc_freq AS BIGINT) AS doc_freq, chi2,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_CHI2_TOPK}
+    """,
+)
+def q_chi2_term_selection(spark, sf_dir):
+    """Chi-square feature selection: the {K} most
+    language-discriminative terms per language from doc-level presence
+    counts (one-vs-rest 2x2 contingency per (term, lang)) — the
+    classic supervised vocabulary pruner for classifier gates and
+    routing features. Scale: presence is a narrow explode + distinct
+    on (doc, lang, term); counts are two map-side-combining groupBys
+    keyed by term; the rank window is PARTITIONED by lang over
+    vocab-sized input — never a global sort."""
+    from pyspark.sql import Window as W
+
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        norm_text,
+        words,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.length(norm_text("text")) > 0)
+    )
+    docs = docs.localCheckpoint(eager=False)
+    pres = docs.select(
+        "doc_id", "lang", F.explode(words("text")).alias("g")
+    ).distinct()
+    ndocs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    nlang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    tl = pres.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("a"))
+    tg = pres.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    chi = (
+        tl.join(tg, "g")
+        .join(F.broadcast(nlang), "lang")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "lang",
+            F.col("g").alias("term"),
+            F.col("a").cast("bigint").alias("a"),
+            (F.col("df") - F.col("a")).cast("bigint").alias("b"),
+            (F.col("nl") - F.col("a")).cast("bigint").alias("c"),
+            (F.col("nd") - F.col("nl") - (F.col("df") - F.col("a")))
+            .cast("bigint")
+            .alias("d"),
+            F.col("nd").cast("bigint").alias("nd"),
+        )
+    )
+    num = F.col("a").cast("double") * F.col("d") - F.col("b").cast(
+        "double"
+    ) * F.col("c")
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+    )
+    scored = chi.select(
+        "lang",
+        "term",
+        (F.col("a") + F.col("b")).alias("doc_freq"),
+        F.round(
+            F.coalesce(
+                F.col("nd").cast("double") * num * num
+                / F.nullif(den, F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("chi2"),
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.col("chi2").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CHI2_TOPK)
+        .select(
+            "lang",
+            "term",
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            "chi2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+q_chi2_term_selection.__doc__ = q_chi2_term_selection.__doc__.replace(
+    "{K}", str(_CHI2_TOPK)
+)
+
+
+# ---------------------------------------------------------------------------
 # ROUGE n-gram eval
 # ---------------------------------------------------------------------------
 

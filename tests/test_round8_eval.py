@@ -322,6 +322,100 @@ def test_annotator_accuracy_tracks_noise_rate(spark):
     assert all(r.n_labels == rows[0].n_labels for r in rows)
 
 
+def test_sequential_monitoring_boundary_shrinks(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_sequential_ab_monitoring,
+    )
+
+    rows = sorted(
+        q_sequential_ab_monitoring(spark, SF).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) >= 10
+    for a, b in zip(rows, rows[1:]):
+        assert b.z_crit < a.z_crit  # OBF boundary tightens with info
+        assert b.n_a >= a.n_a and b.n_b >= a.n_b  # cumulative
+    for r in rows:
+        assert r.crossed == (1 if abs(r.z) > r.z_crit else 0)
+
+
+def test_diff_in_differences_recovers_injected_effect(spark, tmp_path):
+    import hashlib
+
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        _AB_SEED,
+        _ARM_A_MAX,
+        q_diff_in_differences,
+    )
+
+    # compute each user's arm the same way the query does, then inject
+    # a +50 post-period lift ONLY for arm-B users: DiD must recover ~50
+    def arm(u):
+        h = hashlib.md5(f"{_AB_SEED}{u}".encode()).hexdigest()
+        u60 = h[:15].rjust(16, "0")
+        return "A" if u60 < _ARM_A_MAX else "B"
+
+    rows, eid = [], 0
+    for u in range(300):
+        base = 100.0 + (u % 40)
+        lift = 50.0 if arm(u) == "B" else 0.0
+        for ts, val in [
+            ("2024-01-05 00:00:00", base),
+            ("2024-01-20 00:00:00", base + lift),
+        ]:
+            rows.append(
+                Row(
+                    event_id=eid,
+                    ts=ts,
+                    user_id=u,
+                    event_type="buy",
+                    value=round(val, 2),
+                    props="{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sf = str(tmp_path / "did")
+    df.write.parquet(f"{sf}/events.parquet")
+    r = q_diff_in_differences(spark, sf).collect()[0]
+    assert r.did_effect == pytest.approx(50.0, abs=1e-6)
+    assert r.se == pytest.approx(0.0, abs=1e-6)  # zero within-arm noise
+    assert r.n_a + r.n_b == 300
+
+
+def test_chi2_flags_perfectly_discriminative_term(spark, tmp_path):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_chi2_term_selection,
+    )
+
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 == 0 else "de"
+        marker = "zmarker" if lang == "en" else "qmarker"
+        rows.append(
+            Row(
+                doc_id=i,
+                text=f"common words here {marker}",
+                lang=lang,
+                source="s0",
+                n_chars=20,
+            )
+        )
+    sf = str(tmp_path / "chi2")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    out = q_chi2_term_selection(spark, sf).collect()
+    top = {r.lang: r for r in out if r.rnk == 1}
+    assert top["en"].term == "zmarker"
+    assert top["de"].term == "qmarker"
+    # perfect 2x2 (20,0,0,20) -> chi2 = N = 40
+    assert top["en"].chi2 == pytest.approx(40.0, abs=1e-6)
+    # shared terms are non-discriminative: chi2 0 for 'common'
+    shared = [r for r in out if r.term == "common"]
+    assert all(r.chi2 == 0 for r in shared)
+
+
 def test_winrate_leaderboard_rank_consistent(spark):
     from commercial_rfp_data_pipeline_spark.queries.eval_q import (
         q_winrate_wilson_leaderboard,
