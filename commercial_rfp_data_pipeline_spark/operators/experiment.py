@@ -176,7 +176,9 @@ def bradley_terry(battles: DataFrame, n_iters: int = BT_ITERS) -> DataFrame:
         F.col("model_a").alias("i"), F.col("model_b").alias("j")
     ).unionAll(b.select(F.col("model_b").alias("i"), F.col("model_a").alias("j")))
     npair = sym.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n"))
-    npair = npair.localCheckpoint()  # tiny: <= models^2 rows
+    # tiny: <= models^2 rows — one partition so every MM round is a
+    # single-task stage instead of 32 empty ones
+    npair = npair.coalesce(1).localCheckpoint()
     wins = (
         b.groupBy(F.col("winner").alias("m"))
         .agg(F.count(F.lit(1)).alias("wins"))
@@ -190,13 +192,21 @@ def bradley_terry(battles: DataFrame, n_iters: int = BT_ITERS) -> DataFrame:
     nb = npair.groupBy(F.col("i").alias("m")).agg(
         F.sum("n").alias("n_battles")
     )
-    models = models.join(nb, "m").localCheckpoint()
+    models = models.join(nb, "m").coalesce(1).localCheckpoint()
 
     floor = F.lit(_BT_FLOOR).cast(_BT_DEC)
     s = models.select("m", F.lit(1).cast(_BT_DEC).alias("s"))
+    # the MM map is scale-invariant, so normalization happens ONCE at
+    # the end instead of per round — that removes a broadcast job per
+    # iteration; lazy checkpoints truncate the logical plan per round
+    # (Catalyst never sees the 2^k double-reference blowup) while the
+    # underlying RDD DAG shares each round's state between the si and
+    # sj lookups, so one final action computes every round exactly once
     for _ in range(n_iters):
-        si = s.select(F.col("m").alias("i"), F.col("s").alias("si"))
-        sj = s.select(F.col("m").alias("j"), F.col("s").alias("sj"))
+        # broadcast lookups: the only shuffle per round is the
+        # models-count groupBy, which AQE collapses to one task
+        si = F.broadcast(s.select(F.col("m").alias("i"), F.col("s").alias("si")))
+        sj = F.broadcast(s.select(F.col("m").alias("j"), F.col("s").alias("sj")))
         terms = (
             npair.join(si, "i")
             .join(sj, "j")
@@ -212,7 +222,7 @@ def bradley_terry(battles: DataFrame, n_iters: int = BT_ITERS) -> DataFrame:
             )
         )
         denom = terms.groupBy("m").agg(F.sum("term").alias("denom"))
-        raw = models.join(denom, "m").select(
+        s = models.join(F.broadcast(denom), "m").select(
             "m",
             F.greatest(
                 F.round(
@@ -221,27 +231,20 @@ def bradley_terry(battles: DataFrame, n_iters: int = BT_ITERS) -> DataFrame:
                     9,
                 ).cast(_BT_DEC),
                 floor,
-            ).alias("raw"),
-        )
-        tot = raw.agg(F.sum("raw").alias("tot"))
-        s = raw.crossJoin(F.broadcast(tot)).select(
-            "m",
-            F.greatest(
-                F.round(
-                    F.col("raw").cast("double") / F.col("tot").cast("double"),
-                    9,
-                ).cast(_BT_DEC),
-                floor,
             ).alias("s"),
         )
-        s = s.localCheckpoint()  # models-count rows; keeps each round O(1)
+        s = s.localCheckpoint(eager=False)
+    tot = s.agg(F.sum("s").alias("tot"))
     return (
         models.join(s, "m")
+        .crossJoin(F.broadcast(tot))
         .select(
             F.col("m").alias("model"),
             "n_battles",
             "wins",
-            F.col("s").cast("double").alias("strength"),
+            F.round(
+                F.col("s").cast("double") / F.col("tot").cast("double"), 9
+            ).alias("strength"),
         )
     )
 
@@ -270,6 +273,8 @@ def bradley_terry_oracle_ctes(n_iters: int = BT_ITERS) -> str:
   SELECT m, CAST(1 AS {dec}) AS s FROM bt_models)""",
     ]
     prev = "bt_s0"
+    # no per-round normalization: the MM map is scale-invariant, so
+    # one final sum-normalize is equivalent (mirrors bradley_terry)
     for r in range(1, n_iters + 1):
         ctes.append(
             f"""bt_t{r} AS MATERIALIZED (
@@ -281,28 +286,22 @@ def bradley_terry_oracle_ctes(n_iters: int = BT_ITERS) -> str:
   JOIN {prev} sj ON sj.m = p.j)"""
         )
         ctes.append(
-            f"""bt_r{r} AS MATERIALIZED (
+            f"""bt_s{r} AS MATERIALIZED (
   SELECT mo.m,
          greatest(CAST(round(CAST(mo.wins AS DOUBLE)
               / CAST(d.denom AS DOUBLE), 9) AS {dec}),
-                  CAST({_BT_FLOOR} AS {dec})) AS raw
+                  CAST({_BT_FLOOR} AS {dec})) AS s
   FROM bt_models mo
   JOIN (SELECT m, sum(term) AS denom FROM bt_t{r} GROUP BY m) d
     ON d.m = mo.m)"""
         )
-        ctes.append(
-            f"""bt_s{r} AS MATERIALIZED (
-  SELECT m,
-         greatest(CAST(round(CAST(raw AS DOUBLE)
-              / CAST((SELECT sum(raw) FROM bt_r{r}) AS DOUBLE), 9)
-              AS {dec}),
-                  CAST({_BT_FLOOR} AS {dec})) AS s
-  FROM bt_r{r})"""
-        )
         prev = f"bt_s{r}"
     ctes.append(
         f"""bt_final AS (
-  SELECT mo.m, mo.n_battles, mo.wins, CAST(s.s AS DOUBLE) AS strength
+  SELECT mo.m, mo.n_battles, mo.wins,
+         round(CAST(s.s AS DOUBLE)
+               / CAST((SELECT sum(s) FROM {prev}) AS DOUBLE), 9)
+           AS strength
   FROM bt_models mo JOIN {prev} s ON s.m = mo.m)"""
     )
     return ",\n".join(ctes)
