@@ -143,6 +143,100 @@ def wilson_lower_bound_sql(wins: str, n: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# A/B assignment + sequential-monitoring kernels (shared by the batch
+# query queries/eval_q.py:q_sequential_ab_monitoring and the streaming
+# twin streaming/monitor.py — same expressions, so batch == streaming)
+# ---------------------------------------------------------------------------
+
+AB_SEED = "ab1:"
+ARM_A_MAX = frac_to_hex(0.5)  # u60 50/50 split point
+SEQ_HORIZON = 30  # planned days (events corpus spans Jan 1-30)
+OBF_C = 2.2414  # O'Brien-Fleming boundary shape constant, two-sided
+# alpha=.05: z_crit(t) = C / sqrt(t) at information fraction t
+
+
+def arm_assignment(user_col: Column) -> Column:
+    """Deterministic 50/50 A/B arm from the md5 coin on the user id."""
+    return F.when(
+        u60_hex(F.concat(F.lit(AB_SEED), user_col.cast("string")))
+        < F.lit(ARM_A_MAX),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+
+
+def daily_arm_moments(events: DataFrame) -> DataFrame:
+    """Per (day, arm) exact-DECIMAL moment partials (n, s, ss) of event
+    value — the only corpus-sized pass of the monitor; map-side
+    combining groupBy, mergeable across micro-batches (sums of sums)."""
+    v = F.col("value").cast("decimal(18,2)")
+    return events.groupBy(
+        F.dayofmonth("ts").cast("int").alias("day"),
+        arm_assignment(F.col("user_id")).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+
+
+def monitor_readout_from_daily(daily: DataFrame) -> DataFrame:
+    """Cumulative-through-day z statistics + O'Brien-Fleming boundary
+    from the (day, arm, n, s, ss) moment table. Everything here runs
+    on the ~2x31-row table via a broadcast theta-join."""
+    daily = daily.localCheckpoint(eager=False)  # tiny, 2 consumers
+    d2 = daily.select(
+        F.col("arm").alias("_arm"),
+        F.col("day").alias("_day"),
+        F.col("n").alias("_n"),
+        F.col("s").alias("_s"),
+        F.col("ss").alias("_ss"),
+    )
+    cum = (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("_arm") == F.col("arm")) & (F.col("_day") <= F.col("day")),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.sum("_n").alias("cn"),
+            F.sum("_s").alias("cs"),
+            F.sum("_ss").alias("css"),
+        )
+    )
+    ca = cum.filter(F.col("arm") == "A").select(
+        "day",
+        F.col("cn").alias("na"),
+        F.col("cs").cast("double").alias("sa"),
+        F.col("css").cast("double").alias("ssa"),
+    )
+    cb = cum.filter(F.col("arm") == "B").select(
+        F.col("day").alias("dayb"),
+        F.col("cn").alias("nb"),
+        F.col("cs").cast("double").alias("sb"),
+        F.col("css").cast("double").alias("ssb"),
+    )
+    w = ca.join(cb, F.col("dayb") == F.col("day"))
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb, ssa, ssb = F.col("sa"), F.col("sb"), F.col("ssa"), F.col("ssb")
+    z = (sa / na - sb / nb) / F.sqrt(
+        ((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+        / (na + nb)
+        * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    zc = F.lit(OBF_C) / F.sqrt(F.col("day") / F.lit(float(SEQ_HORIZON)))
+    return w.select(
+        "day",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(sb / nb, 6).alias("mean_b"),
+        F.round(z, 4).alias("z"),
+        F.round(zc, 4).alias("z_crit"),
+        F.when(F.abs(z) > zc, F.lit(1)).otherwise(F.lit(0)).alias("crossed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bradley–Terry strengths (MM / Zermelo iteration)
 # ---------------------------------------------------------------------------
 

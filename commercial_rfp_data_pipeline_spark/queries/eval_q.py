@@ -35,9 +35,15 @@ from pyspark.sql import functions as F
 
 from commercial_rfp_data_pipeline_spark.io import load_table
 from commercial_rfp_data_pipeline_spark.operators.experiment import (
+    AB_SEED,
+    ARM_A_MAX,
+    OBF_C,
+    SEQ_HORIZON,
     bradley_terry,
     bradley_terry_oracle_ctes,
+    daily_arm_moments,
     frac_to_hex,
+    monitor_readout_from_daily,
     poisson1_weight,
     poisson1_weight_sql,
     u60_hex,
@@ -338,10 +344,12 @@ q_poisson_bootstrap_ci.__doc__ = q_poisson_bootstrap_ci.__doc__.replace(
 # ---------------------------------------------------------------------------
 
 _AB_SPLIT = "2024-01-16"  # pre-period / experiment-period boundary
-_AB_SEED = "ab1:"
-# u60 values are 60-bit ints in a 16-hex field (top nibble always 0),
-# so the 50/50 split point is floor(0.5 * 2^60), not '8000...'
-_ARM_A_MAX = frac_to_hex(0.5)  # == '0800000000000000'
+# assignment constants live in operators/experiment.py (shared with
+# the streaming monitor); u60 values are 60-bit ints in a 16-hex
+# field (top nibble always 0), so the 50/50 split point is
+# floor(0.5 * 2^60), not '8000...'
+_AB_SEED = AB_SEED
+_ARM_A_MAX = ARM_A_MAX
 
 _XY_CTE = f"""
 peruser AS (
@@ -877,9 +885,8 @@ def q_kaplan_meier_repurchase(spark, sf_dir):
 # sequential monitoring + difference-in-differences
 # ---------------------------------------------------------------------------
 
-_SEQ_HORIZON = 30  # planned days (events corpus spans Jan 1-30)
-_OBF_C = 2.2414  # O'Brien-Fleming boundary shape constant, two-sided
-# alpha=.05: z_crit(t) = C / sqrt(t) at information fraction t
+_SEQ_HORIZON = SEQ_HORIZON
+_OBF_C = OBF_C
 
 
 @query(
@@ -935,72 +942,11 @@ def q_sequential_ab_monitoring(spark, sf_dir):
     positives (naive daily z>1.96 peeking has ~20%+ type-I error over
     a month). Scale: one groupBy(day, arm) over the stream, then the
     cumulative runs on the ~60-row daily table via a broadcast
-    theta-join — the full pass is the only corpus-sized stage."""
+    theta-join — the full pass is the only corpus-sized stage. The
+    kernels are shared verbatim with the streaming twin
+    (streaming/monitor.py), so batch == streaming by construction."""
     e = load_table(spark, sf_dir, "events")
-    arm = F.when(
-        u60_hex(F.concat(F.lit(_AB_SEED), F.col("user_id").cast("string")))
-        < F.lit(_ARM_A_MAX),
-        F.lit("A"),
-    ).otherwise(F.lit("B"))
-    v = F.col("value").cast("decimal(18,2)")
-    daily = e.groupBy(
-        F.dayofmonth("ts").cast("int").alias("day"), arm.alias("arm")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(v).alias("s"),
-        F.sum(v * v).alias("ss"),
-    )
-    daily = daily.localCheckpoint(eager=False)  # ~60 rows, 2 consumers
-    d2 = daily.select(
-        F.col("arm").alias("_arm"),
-        F.col("day").alias("_day"),
-        F.col("n").alias("_n"),
-        F.col("s").alias("_s"),
-        F.col("ss").alias("_ss"),
-    )
-    cum = (
-        daily.join(
-            F.broadcast(d2),
-            (F.col("_arm") == F.col("arm")) & (F.col("_day") <= F.col("day")),
-        )
-        .groupBy("day", "arm")
-        .agg(
-            F.sum("_n").alias("cn"),
-            F.sum("_s").alias("cs"),
-            F.sum("_ss").alias("css"),
-        )
-    )
-    ca = cum.filter(F.col("arm") == "A").select(
-        "day",
-        F.col("cn").alias("na"),
-        F.col("cs").cast("double").alias("sa"),
-        F.col("css").cast("double").alias("ssa"),
-    )
-    cb = cum.filter(F.col("arm") == "B").select(
-        F.col("day").alias("dayb"),
-        F.col("cn").alias("nb"),
-        F.col("cs").cast("double").alias("sb"),
-        F.col("css").cast("double").alias("ssb"),
-    )
-    w = ca.join(cb, F.col("dayb") == F.col("day"))
-    na, nb = F.col("na"), F.col("nb")
-    sa, sb, ssa, ssb = F.col("sa"), F.col("sb"), F.col("ssa"), F.col("ssb")
-    z = (sa / na - sb / nb) / F.sqrt(
-        ((ssa - sa * sa / na) + (ssb - sb * sb / nb))
-        / (na + nb)
-        * (F.lit(1.0) / na + F.lit(1.0) / nb)
-    )
-    zc = F.lit(_OBF_C) / F.sqrt(F.col("day") / F.lit(float(_SEQ_HORIZON)))
-    return w.select(
-        "day",
-        na.cast("bigint").alias("n_a"),
-        nb.cast("bigint").alias("n_b"),
-        F.round(sa / na, 6).alias("mean_a"),
-        F.round(sb / nb, 6).alias("mean_b"),
-        F.round(z, 4).alias("z"),
-        F.round(zc, 4).alias("z_crit"),
-        F.when(F.abs(z) > zc, F.lit(1)).otherwise(F.lit(0)).alias("crossed"),
-    )
+    return monitor_readout_from_daily(daily_arm_moments(e))
 
 
 @query(

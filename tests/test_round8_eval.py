@@ -416,6 +416,68 @@ def test_chi2_flags_perfectly_discriminative_term(spark, tmp_path):
     assert all(r.chi2 == 0 for r in shared)
 
 
+def test_streaming_monitor_equals_batch_with_crash_replay(spark, tmp_path):
+    """The streaming monitor over 3 micro-batches (with an injected
+    crash + replay in the middle) must produce EXACTLY the batch
+    query's z table over the same events — shared kernels + exact
+    DECIMAL partials make the equality bitwise, not approximate."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.errors import StreamingQueryException
+
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_sequential_ab_monitoring,
+    )
+    from commercial_rfp_data_pipeline_spark.streaming.monitor import (
+        monitor_ingest_sink,
+        monitor_readout,
+        read_events_stream,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    inp = str(tmp_path / "in")
+    seen: set[str] = set()
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        for f in _glob.glob(inp + "/*.parquet"):
+            if f not in seen:
+                _os.utime(f, (1_700_000_000 + i * 60,) * 2)
+                seen.add(f)
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    calls = {"n": 0}
+
+    def boom(batch_id: int) -> None:
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = monitor_ingest_sink(
+        read_events_stream(spark, inp), spark, store, ckpt,
+        on_batch_written=boom,
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = monitor_ingest_sink(
+        read_events_stream(spark, inp), spark, store, ckpt
+    )
+    q2.awaitTermination()
+
+    got = {
+        r.day: r.asDict()
+        for r in monitor_readout(spark, store).collect()
+    }
+    want = {
+        r.day: r.asDict()
+        for r in q_sequential_ab_monitoring(spark, SF).collect()
+    }
+    assert got == want  # exact, every column, every day
+
+
 def test_winrate_leaderboard_rank_consistent(spark):
     from commercial_rfp_data_pipeline_spark.queries.eval_q import (
         q_winrate_wilson_leaderboard,
