@@ -609,6 +609,164 @@ def q_ab_design_audit(spark, sf_dir):
     )
 
 
+_QTE_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+@query(
+    "quantile_treatment_effects",
+    f"""
+    WITH {_XY_CTE.strip()},
+    wide AS (
+      SELECT arm,
+             {', '.join(
+                 f"round(quantile_cont(CAST(y AS DOUBLE), {q}), 6)"
+                 f" AS q{int(q * 100)}" for q in _QTE_QS)}
+      FROM assigned GROUP BY arm
+    ),
+    ab AS (
+      SELECT {', '.join(
+          f"a.q{int(q * 100)} AS a{int(q * 100)},"
+          f" b.q{int(q * 100)} AS b{int(q * 100)}" for q in _QTE_QS)}
+      FROM wide a, wide b WHERE a.arm = 'A' AND b.arm = 'B'
+    )
+    {' UNION ALL '.join(
+        f"SELECT CAST({q} AS DOUBLE) AS quantile, a{int(q * 100)} AS q_a,"
+        f" b{int(q * 100)} AS q_b,"
+        f" round(b{int(q * 100)} - a{int(q * 100)}, 6) AS qte FROM ab"
+        for q in _QTE_QS)}
+    """,
+)
+def q_quantile_treatment_effects(spark, sf_dir):
+    """Quantile treatment effects: the per-arm exact percentiles of
+    per-user outcome and their differences at p10..p90 — the
+    distributional readout that catches an experiment helping the
+    median user while hurting the tail (invisible to a mean diff).
+    Scale: one groupBy(user) pass, then two percentile aggregates over
+    per-user rows; at 100 TB swap percentile for percentile_approx
+    without touching the stack step."""
+    a = _assigned_users(spark, sf_dir)
+    y = F.col("y").cast("double")
+    wide = a.groupBy("arm").agg(
+        *[
+            F.round(F.percentile(y, F.lit(q)), 6).alias(f"q{int(q * 100)}")
+            for q in _QTE_QS
+        ]
+    )
+    wa = wide.filter(F.col("arm") == "A").select(
+        *[F.col(f"q{int(q * 100)}").alias(f"a{int(q * 100)}") for q in _QTE_QS]
+    )
+    wb = wide.filter(F.col("arm") == "B").select(
+        *[F.col(f"q{int(q * 100)}").alias(f"b{int(q * 100)}") for q in _QTE_QS]
+    )
+    ab = wa.crossJoin(F.broadcast(wb))
+    parts = [
+        ab.select(
+            F.lit(q).alias("quantile"),
+            F.col(f"a{int(q * 100)}").alias("q_a"),
+            F.col(f"b{int(q * 100)}").alias("q_b"),
+            F.round(
+                F.col(f"b{int(q * 100)}") - F.col(f"a{int(q * 100)}"), 6
+            ).alias("qte"),
+        )
+        for q in _QTE_QS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "ab_funnel_conversion_ztest",
+    f"""
+    WITH {_XY_CTE.strip()},
+    arms AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+      FROM assigned
+    ),
+    conv AS (
+      SELECT DISTINCT e.user_id, e.event_type, a.arm
+      FROM events e JOIN assigned a ON a.user_id = e.user_id
+      WHERE e.ts >= TIMESTAMP '{_AB_SPLIT}'
+    ),
+    rates AS (
+      SELECT event_type,
+             sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+      FROM conv GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(ar.na AS BIGINT) AS n_a, CAST(ar.nb AS BIGINT) AS n_b,
+           CAST(r.ca AS BIGINT) AS conv_a, CAST(r.cb AS BIGINT) AS conv_b,
+           round(CAST(r.ca AS DOUBLE) / ar.na, 6) AS rate_a,
+           round(CAST(r.cb AS DOUBLE) / ar.nb, 6) AS rate_b,
+           round((CAST(r.cb AS DOUBLE) / ar.nb
+                  - CAST(r.ca AS DOUBLE) / ar.na)
+                 / sqrt((CAST(r.ca + r.cb AS DOUBLE) / (ar.na + ar.nb))
+                        * (1.0 - CAST(r.ca + r.cb AS DOUBLE)
+                                 / (ar.na + ar.nb))
+                        * (1.0 / ar.na + 1.0 / ar.nb)), 4) AS z,
+           CASE WHEN abs((CAST(r.cb AS DOUBLE) / ar.nb
+                  - CAST(r.ca AS DOUBLE) / ar.na)
+                 / sqrt((CAST(r.ca + r.cb AS DOUBLE) / (ar.na + ar.nb))
+                        * (1.0 - CAST(r.ca + r.cb AS DOUBLE)
+                                 / (ar.na + ar.nb))
+                        * (1.0 / ar.na + 1.0 / ar.nb))) > 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM rates r, arms ar
+    """,
+)
+def q_ab_funnel_conversion_ztest(spark, sf_dir):
+    """Per-step conversion readout: for each event type, the share of
+    users in each arm who performed it at least once during the
+    experiment period, with the pooled two-proportion z test — the
+    funnel-health companion to the value-based CUPED readout (a flat
+    mean can hide one funnel step cratering). Scale: one distinct over
+    (user, type, arm) post-split events + a 5-row aggregate against
+    broadcast arm totals."""
+    a = _assigned_users(spark, sf_dir).select("user_id", "arm")
+    a = a.localCheckpoint(eager=False)  # feeds totals + the conv join
+    arms = a.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("ts") >= F.lit(_AB_SPLIT).cast("timestamp"))
+        .select("user_id", "event_type")
+        .join(a, "user_id")
+        .distinct()
+    )
+    rates = conv.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("cb"),
+    )
+    r = rates.crossJoin(F.broadcast(arms))
+    na, nb = F.col("na"), F.col("nb")
+    ca, cb = F.col("ca"), F.col("cb")
+    pa = ca.cast("double") / na
+    pb = cb.cast("double") / nb
+    pool = (ca + cb).cast("double") / (na + nb)
+    z = (pb - pa) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return r.select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        ca.cast("bigint").alias("conv_a"),
+        cb.cast("bigint").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > F.lit(1.96), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("significant"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # jackknife SE for a ratio metric
 # ---------------------------------------------------------------------------

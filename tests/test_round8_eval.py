@@ -416,6 +416,42 @@ def test_chi2_flags_perfectly_discriminative_term(spark, tmp_path):
     assert all(r.chi2 == 0 for r in shared)
 
 
+def test_quantile_treatment_effects_consistent(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_quantile_treatment_effects,
+    )
+
+    rows = sorted(
+        q_quantile_treatment_effects(spark, SF).collect(),
+        key=lambda r: r.quantile,
+    )
+    assert [r.quantile for r in rows] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    for r in rows:
+        assert r.qte == pytest.approx(r.q_b - r.q_a, abs=1e-6)
+    # per-arm quantiles are monotone in the quantile level
+    for a, b in zip(rows, rows[1:]):
+        assert b.q_a >= a.q_a and b.q_b >= a.q_b
+
+
+def test_funnel_ztest_counts_close(spark):
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        q_ab_funnel_conversion_ztest,
+    )
+
+    rows = q_ab_funnel_conversion_ztest(spark, SF).collect()
+    assert len(rows) >= 3  # event types present in the corpus
+    for r in rows:
+        assert r.conv_a <= r.n_a and r.conv_b <= r.n_b
+        assert 0 <= r.rate_a <= 1 and 0 <= r.rate_b <= 1
+        if r.z is None:
+            # degenerate: every user (or none) converted in both arms
+            # -> zero pooled variance, no test; must not flag
+            assert r.significant == 0
+            assert r.rate_a in (0.0, 1.0) and r.rate_b in (0.0, 1.0)
+        else:
+            assert r.significant == (1 if abs(r.z) > 1.96 else 0)
+
+
 def test_streaming_monitor_equals_batch_with_crash_replay(spark, tmp_path):
     """The streaming monitor over 3 micro-batches (with an injected
     crash + replay in the middle) must produce EXACTLY the batch
