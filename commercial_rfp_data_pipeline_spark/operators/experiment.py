@@ -215,7 +215,7 @@ def monitor_readout_from_daily(daily: DataFrame) -> DataFrame:
         F.col("cs").cast("double").alias("sb"),
         F.col("css").cast("double").alias("ssb"),
     )
-    w = ca.join(cb, F.col("dayb") == F.col("day"))
+    w = ca.join(F.broadcast(cb), F.col("dayb") == F.col("day"))
     na, nb = F.col("na"), F.col("nb")
     sa, sb, ssa, ssb = F.col("sa"), F.col("sb"), F.col("ssa"), F.col("ssb")
     z = (sa / na - sb / nb) / F.sqrt(
