@@ -78,6 +78,62 @@ def test_poisson1_weights_match_inverse_cdf(spark):
 
 
 # ---------------------------------------------------------------------------
+# property tests (hypothesis): kernel invariants over arbitrary inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None)
+@given(keys=st.lists(st.text(alphabet="abc:0123456789#", min_size=1,
+                             max_size=12), min_size=1, max_size=30))
+def test_poisson_weight_matches_python_cdf_any_key(spark, keys):
+    """Engine-side Poisson(1) weights equal the python inverse-CDF of
+    the same md5 draw for ARBITRARY key strings (the parity the
+    bootstrap's determinism rests on)."""
+    import hashlib
+
+    rows = spark.createDataFrame(
+        [(k,) for k in set(keys)], "k string"
+    ).select("k", poisson1_weight(u60_hex(F.col("k"))).alias("w"))
+    e1 = math.exp(-1.0)
+    cdf, fact, cdfs = 0.0, 1.0, []
+    for k in range(6):
+        if k:
+            fact *= k
+        cdf += e1 / fact
+        cdfs.append(cdf)
+    for r in rows.collect():
+        u = int(hashlib.md5(r.k.encode()).hexdigest()[:15], 16)
+        exp = next((i for i, c in enumerate(cdfs) if u < c * 2**60), 6)
+        assert r.w == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w1=st.integers(0, 200),
+    n_extra=st.integers(1, 200),
+    n1=st.integers(1, 200),
+)
+def test_wilson_monotone_in_wins_and_below_rate(spark, w1, n_extra, n1):
+    """Wilson LB is below the raw rate, within [0, 1], and adding a
+    win at fixed n never lowers it."""
+    n = max(n1, w1 + 1)
+    df = spark.createDataFrame(
+        [(w1, n), (w1 + 1, n + (0 if w1 + 1 <= n else n_extra))],
+        "w long, n long",
+    ).select(
+        "w", "n", wilson_lower_bound(F.col("w"), F.col("n")).alias("lb")
+    )
+    rows = {r.w: r for r in df.collect()}
+    for r in rows.values():
+        assert -1e-12 <= r.lb <= r.w / r.n + 1e-12
+    if rows[w1].n == rows[w1 + 1].n:
+        assert rows[w1 + 1].lb >= rows[w1].lb - 1e-12
+
+
+# ---------------------------------------------------------------------------
 # Wilson / leaderboard
 # ---------------------------------------------------------------------------
 
