@@ -1590,38 +1590,91 @@ _ANN_THR_SQL = "CASE an.a " + " ".join(
     f"WHEN {a} THEN '{h}'" for a, h in enumerate(_ANN_THR[:-1])
 ) + f" ELSE '{_ANN_THR[-1]}' END"
 
+# shared synthetic-annotation CTE prefix (ends in `votes(doc_id, a,
+# vote)`) — used by annotator_label_model AND krippendorff_alpha
+_ANN_VOTES_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN 0
+              ELSE len(string_split(t, ' ')) END AS n_tokens
+  FROM (SELECT doc_id, {_NORM} AS t FROM documents)
+),
+truth AS (
+  SELECT doc_id, CASE WHEN n_tokens < 40 THEN 0
+                      WHEN n_tokens < 65 THEN 1 ELSE 2 END AS band
+  FROM toks
+),
+annx AS (SELECT CAST(a AS INT) AS a
+         FROM unnest(generate_series(0, {_ANN_N - 1})) t(a)),
+keyed AS (
+  SELECT tr.doc_id, an.a, tr.band,
+         md5('{_ANN_SEED}' || CAST(tr.doc_id AS VARCHAR) || '#'
+             || CAST(an.a AS VARCHAR)) AS h,
+         {_ANN_THR_SQL} AS thr
+  FROM truth tr CROSS JOIN annx an
+),
+votes AS (
+  SELECT doc_id, a,
+         CASE WHEN lpad(substring(h, 1, 15), 16, '0') < thr
+              THEN (band + CASE WHEN substring(h, 16, 1) < '8'
+                                THEN 1 ELSE 2 END) % 3
+              ELSE band END AS vote
+  FROM keyed
+)
+"""
+
+
+def _annotator_votes(spark, sf_dir):
+    """(doc_id, a, vote) — 5 synthetic annotators per document, md5
+    noise flips at per-annotator rates; a 5x narrow map."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = token_count("text")
+    truth = docs.select(
+        "doc_id",
+        F.when(tc < 40, F.lit(0))
+        .when(tc < 65, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("band"),
+    )
+    ann = spark.range(_ANN_N).select(F.col("id").cast("int").alias("a"))
+    thr = F.when(F.col("a") == 0, F.lit(_ANN_THR[0]))
+    for i in range(1, _ANN_N - 1):
+        thr = thr.when(F.col("a") == i, F.lit(_ANN_THR[i]))
+    thr = thr.otherwise(F.lit(_ANN_THR[-1]))
+    h = F.md5(
+        F.concat(
+            F.lit(_ANN_SEED),
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("a").cast("string"),
+        )
+    )
+    keyed = truth.crossJoin(F.broadcast(ann)).select(
+        "doc_id", "a", "band", h.alias("h"), thr.alias("thr")
+    )
+    shift = F.when(F.substring("h", 16, 1) < "8", F.lit(1)).otherwise(
+        F.lit(2)
+    )
+    return keyed.select(
+        "doc_id",
+        "a",
+        F.when(
+            F.lpad(F.substring("h", 1, 15), 16, "0") < F.col("thr"),
+            (F.col("band") + shift) % 3,
+        )
+        .otherwise(F.col("band"))
+        .alias("vote"),
+    )
+
 
 @query(
     "annotator_label_model",
     f"""
-    WITH toks AS (
-      SELECT doc_id,
-             CASE WHEN length(t) = 0 THEN 0
-                  ELSE len(string_split(t, ' ')) END AS n_tokens
-      FROM (SELECT doc_id, {_NORM} AS t FROM documents)
-    ),
-    truth AS (
-      SELECT doc_id, CASE WHEN n_tokens < 40 THEN 0
-                          WHEN n_tokens < 65 THEN 1 ELSE 2 END AS band
-      FROM toks
-    ),
-    annx AS (SELECT CAST(a AS INT) AS a
-             FROM unnest(generate_series(0, {_ANN_N - 1})) t(a)),
-    keyed AS (
-      SELECT tr.doc_id, an.a, tr.band,
-             md5('{_ANN_SEED}' || CAST(tr.doc_id AS VARCHAR) || '#'
-                 || CAST(an.a AS VARCHAR)) AS h,
-             {_ANN_THR_SQL} AS thr
-      FROM truth tr CROSS JOIN annx an
-    ),
-    votes AS (
-      SELECT doc_id, a,
-             CASE WHEN lpad(substring(h, 1, 15), 16, '0') < thr
-                  THEN (band + CASE WHEN substring(h, 16, 1) < '8'
-                                    THEN 1 ELSE 2 END) % 3
-                  ELSE band END AS vote
-      FROM keyed
-    ),
+    WITH {_ANN_VOTES_CTE.strip()},
     vc AS (SELECT doc_id, vote, count(*) AS c FROM votes
            GROUP BY doc_id, vote),
     mxc AS (SELECT doc_id, max(c) AS mc FROM vc GROUP BY doc_id),
@@ -1676,48 +1729,7 @@ def q_annotator_label_model(spark, sf_dir):
     Scale: votes are a 5x narrow map over documents; every argmax is a
     (doc)-keyed groupBy with map-side combine; the weight table is
     5 rows broadcast."""
-    from commercial_rfp_data_pipeline_spark.operators.textops import (
-        token_count,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    tc = token_count("text")
-    truth = docs.select(
-        "doc_id",
-        F.when(tc < 40, F.lit(0))
-        .when(tc < 65, F.lit(1))
-        .otherwise(F.lit(2))
-        .alias("band"),
-    )
-    ann = spark.range(_ANN_N).select(F.col("id").cast("int").alias("a"))
-    thr = F.when(F.col("a") == 0, F.lit(_ANN_THR[0]))
-    for i in range(1, _ANN_N - 1):
-        thr = thr.when(F.col("a") == i, F.lit(_ANN_THR[i]))
-    thr = thr.otherwise(F.lit(_ANN_THR[-1]))
-    h = F.md5(
-        F.concat(
-            F.lit(_ANN_SEED),
-            F.col("doc_id").cast("string"),
-            F.lit("#"),
-            F.col("a").cast("string"),
-        )
-    )
-    keyed = truth.crossJoin(F.broadcast(ann)).select(
-        "doc_id", "a", "band", h.alias("h"), thr.alias("thr")
-    )
-    shift = F.when(F.substring("h", 16, 1) < "8", F.lit(1)).otherwise(
-        F.lit(2)
-    )
-    votes = keyed.select(
-        "doc_id",
-        "a",
-        F.when(
-            F.lpad(F.substring("h", 1, 15), 16, "0") < F.col("thr"),
-            (F.col("band") + shift) % 3,
-        )
-        .otherwise(F.col("band"))
-        .alias("vote"),
-    ).localCheckpoint(eager=False)
+    votes = _annotator_votes(spark, sf_dir).localCheckpoint(eager=False)
     vc = votes.groupBy("doc_id", "vote").agg(F.count(F.lit(1)).alias("c"))
     mxc = vc.groupBy("doc_id").agg(F.max("c").alias("mc"))
     mv = (
@@ -1778,4 +1790,99 @@ def q_annotator_label_model(spark, sf_dir):
         "acc",
         "weight",
         F.col("n_changed").cast("bigint").alias("ds_changed_docs"),
+    )
+
+
+@query(
+    "krippendorff_alpha_nominal",
+    f"""
+    WITH {_ANN_VOTES_CTE.strip()},
+    vc AS (SELECT doc_id, vote, count(*) AS c FROM votes
+           GROUP BY doc_id, vote),
+    um AS (SELECT doc_id, sum(c) AS m FROM vc GROUP BY doc_id),
+    disag AS (
+      SELECT sum(vc.c * (um.m - vc.c)) AS pairs_disagree,
+             sum(vc.c * (um.m - 1)) AS pairs_total
+      FROM vc JOIN um ON um.doc_id = vc.doc_id
+    ),
+    gl AS (
+      SELECT vote, count(*) AS nc FROM votes GROUP BY vote
+    ),
+    tot AS (SELECT sum(nc) AS n FROM gl),
+    de AS (
+      SELECT sum(CAST(g.nc AS DOUBLE) * (t.n - g.nc))
+               / (CAST(t.n AS DOUBLE) * (t.n - 1)) AS de_rate,
+             CAST(t.n AS BIGINT) AS n_votes
+      FROM gl g, tot t GROUP BY t.n
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM um) AS n_docs,
+           de.n_votes,
+           round(CAST(d.pairs_disagree AS DOUBLE)
+                 / CAST(d.pairs_total AS DOUBLE), 6) AS do_rate,
+           round(de.de_rate, 6) AS de_rate,
+           round(1.0 - (CAST(d.pairs_disagree AS DOUBLE)
+                        / CAST(d.pairs_total AS DOUBLE)) / de.de_rate,
+                 6) AS alpha
+    FROM disag d, de
+    """,
+)
+def q_krippendorff_alpha_nominal(spark, sf_dir):
+    """Krippendorff's alpha (nominal) over the synthetic annotation
+    table — the chance-corrected inter-rater reliability an annotation
+    program reports before trusting its labels (alpha >= 0.8 is the
+    conventional bar; Cohen's kappa, already covered, only handles two
+    raters). Observed disagreement is the exact pair count
+    sum_u sum_c o_uc (m_u - o_uc) over units; expected disagreement
+    comes from the pooled label distribution with the small-sample
+    n(n-1) correction. All counts are exact integer aggregates — two
+    map-side-combining groupBys over the 5x-documents vote table, then
+    constant-size arithmetic."""
+    votes = _annotator_votes(spark, sf_dir).localCheckpoint(eager=False)
+    vc = votes.groupBy("doc_id", "vote").agg(F.count(F.lit(1)).alias("c"))
+    um = vc.groupBy("doc_id").agg(F.sum("c").alias("m"))
+    disag = (
+        vc.join(um, "doc_id")
+        .agg(
+            F.sum(F.col("c") * (F.col("m") - F.col("c"))).alias(
+                "pairs_disagree"
+            ),
+            F.sum(F.col("c") * (F.col("m") - F.lit(1))).alias(
+                "pairs_total"
+            ),
+        )
+    )
+    glob = votes.groupBy("vote").agg(F.count(F.lit(1)).alias("nc"))
+    tot = glob.agg(F.sum("nc").alias("n"))
+    de = (
+        glob.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.col("nc").cast("double") * (F.col("n") - F.col("nc"))
+            ).alias("_num")
+        )
+        .select(
+            (
+                F.col("_num")
+                / (F.col("n").cast("double") * (F.col("n") - F.lit(1)))
+            ).alias("de_rate"),
+            F.col("n").cast("bigint").alias("n_votes"),
+        )
+    )
+    ndocs = um.agg(F.count(F.lit(1)).alias("n_docs"))
+    do_rate = F.col("pairs_disagree").cast("double") / F.col(
+        "pairs_total"
+    ).cast("double")
+    return (
+        disag.crossJoin(F.broadcast(de))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_votes",
+            F.round(do_rate, 6).alias("do_rate"),
+            F.round(F.col("de_rate"), 6).alias("de_rate"),
+            F.round(
+                F.lit(1.0) - do_rate / F.col("de_rate"), 6
+            ).alias("alpha"),
+        )
     )

@@ -570,6 +570,35 @@ def test_streaming_monitor_equals_batch_with_crash_replay(spark, tmp_path):
     assert got == want  # exact, every column, every day
 
 
+def test_krippendorff_alpha_matches_python_reference(spark):
+    from collections import Counter
+
+    from commercial_rfp_data_pipeline_spark.queries.eval_q import (
+        _annotator_votes,
+        q_krippendorff_alpha_nominal,
+    )
+
+    votes = _annotator_votes(spark, SF).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in votes:
+        by_doc.setdefault(r.doc_id, []).append(r.vote)
+    pd_, pt = 0, 0
+    for vs in by_doc.values():
+        m = len(vs)
+        for c in Counter(vs).values():
+            pd_ += c * (m - c)
+            pt += c * (m - 1)
+    n = len(votes)
+    glob = Counter(r.vote for r in votes)
+    de = sum(c * (n - c) for c in glob.values()) / (n * (n - 1))
+    want = 1.0 - (pd_ / pt) / de
+    got = q_krippendorff_alpha_nominal(spark, SF).collect()[0]
+    assert got.alpha == pytest.approx(want, abs=1e-5)
+    assert got.n_votes == n and got.n_docs == len(by_doc)
+    # annotators mostly agree (noise <= 0.37) -> alpha must be positive
+    assert got.alpha > 0.2
+
+
 def test_winrate_leaderboard_rank_consistent(spark):
     from commercial_rfp_data_pipeline_spark.queries.eval_q import (
         q_winrate_wilson_leaderboard,
