@@ -219,6 +219,148 @@ def token_index_n_docs(spark: SparkSession, sf_dir: str, k: int = 3, emb_dim: in
     return int(m["n_docs"])
 
 
+def lineitem_key(spark: SparkSession, sf_dir: str) -> str:
+    """Content signature of the lineitem columns the graph family
+    consumes (l_orderkey, l_partkey): row count + order-insensitive
+    xxhash64 sum, exactly the `corpus_key` discipline. A changed
+    lineitem table produces a new key, so stale graph artifacts are
+    never served."""
+    ck = (os.path.join(sf_dir, "__lineitem__"), _table_mtime(sf_dir, "lineitem"))
+    hit = _SIG_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    sig = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("l_orderkey", "l_partkey").cast("decimal(38,0)")
+            ).alias("h"),
+        )
+        .collect()[0]
+    )
+    key = hashlib.md5(f"{sig['n']}:{sig['h']}".encode()).hexdigest()[:16]
+    _SIG_CACHE[ck] = key
+    return key
+
+
+def _table_mtime(sf_dir: str, name: str) -> float:
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        return os.path.getmtime(p)
+    except OSError:
+        return 0.0
+
+
+def graph_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    return os.path.join(
+        warehouse_root(), f"graph-{lineitem_key(spark, sf_dir)}"
+    )
+
+
+def ensure_copurchase_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Durable co-purchase graph for the corpus at ``sf_dir`` —
+    (wedges, degrees), built once, then served as parquet reads
+    (VERDICT r8 next-round #1: the 11-query graph family rebuilt the
+    identical lineitem self-join per query).
+
+    ``wedges``: the SYMMETRIC weighted edge list (src, dst, w, w_dist)
+    where ``w`` = raw co-occurrence multiplicity (every lineitem pair
+    sharing an order — the `weighted_pagerank` semantics) and
+    ``w_dist`` = number of DISTINCT shared orders (the tie-strength
+    `kcore` semantics). Every graph query's edge set derives without
+    touching lineitem again:
+
+    - directed distinct edges  = wedges.select(src, dst)
+    - undirected (u < v) edges = wedges.filter(src < dst)
+    - weighted edges           = wedges.select(src, dst, w)
+    - tie-strength >= t edges  = wedges.filter(w_dist >= t)
+
+    ``degrees``: (id, d) distinct-neighbor degree — a groupBy of the
+    symmetric wedges, stored so the triangle orientation and
+    link-prediction scoring read it instead of recounting.
+
+    Build cost: ONE lineitem self-join (fanout bounded by
+    items-per-order squared) pre-collapsed through a multiplicity
+    aggregate, so the join runs on the distinct (order, part) table and
+    w = sum(m_a * m_b) reproduces the raw-pair count exactly. Same
+    crash discipline as the chunk/BM25 artifacts: tables stage, one
+    atomic manifest publish. At 100 TB this is the materialized edge
+    table a production graph stack maintains; per-query cost becomes a
+    partition-pruned parquet read."""
+    wh = graph_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "copurchase")
+    edges_path = os.path.join(root, "wedges")
+    deg_path = os.path.join(root, "degrees")
+    if _manifest(root) is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        lp = li.groupBy("l_orderkey", "l_partkey").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+        a, b = lp.alias("a"), lp.alias("b")
+        (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(
+                F.sum(F.col("a.m") * F.col("b.m")).alias("w"),
+                F.count(F.lit(1)).alias("w_dist"),
+            )
+            .write.mode("overwrite")
+            .parquet(edges_path)
+        )
+        built = spark.read.parquet(edges_path)
+        (
+            built.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .write.mode("overwrite")
+            .parquet(deg_path)
+        )
+        _commit(root, {"tables": ["wedges", "degrees"]})
+    return spark.read.parquet(edges_path), spark.read.parquet(deg_path)
+
+
+def ensure_purchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable DISTINCT customer->part purchase edge list (the HITS
+    bipartite graph): one orders ⨝ lineitem join + distinct,
+    materialized under the same graph warehouse + manifest. Keyed by
+    the lineitem signature — orders and lineitem are written together
+    by the generator, so a changed orders table implies a changed
+    lineitem signature in this corpus layout."""
+    wh = graph_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "bipartite")
+    path = os.path.join(root, "edges")
+    if _manifest(root) is None:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _commit(root, {"tables": ["edges"]})
+    return spark.read.parquet(path)
+
+
 def dedup_index_for(spark: SparkSession, sf_dir: str) -> str:
     """The durable dedup-cluster index ensured at this corpus's
     warehouse; returns the index root for the dedup_index.* readers."""

@@ -1,0 +1,105 @@
+"""Round-9 additions: the durable co-purchase graph artifact
+(plans/artifacts.py — VERDICT r8 next-round #1) and its consumers.
+
+The graph family's oracle SQL still derives the edge list from
+lineitem inline, so every driver correctness row ALSO proves the
+artifact equals the inline derivation; these tests pin the artifact's
+own contract (content equivalence, reuse-without-rebuild, structural
+invalidation on a changed corpus).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from commercial_rfp_data_pipeline_spark.io import load_table
+
+
+def _inline_wedges(spark, sf_dir):
+    """The pre-round-9 inline derivation, restated: raw-pair
+    multiplicity w and distinct-shared-order count w_dist."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"),
+        F.col("b.l_partkey").alias("dst"),
+        F.col("a.l_orderkey").alias("ok"),
+    )
+    return raw.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w"),
+        F.countDistinct("ok").alias("w_dist"),
+    )
+
+
+def test_copurchase_artifact_matches_inline(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    wedges, degrees = A.ensure_copurchase_graph(spark, sf_dir)
+    got = {(r.src, r.dst): (r.w, r.w_dist) for r in wedges.collect()}
+    want = {
+        (r.src, r.dst): (r.w, r.w_dist)
+        for r in _inline_wedges(spark, sf_dir).collect()
+    }
+    assert got == want
+    # symmetric: every (a, b) has its (b, a) twin with identical weights
+    for (s, d), wv in got.items():
+        assert got[(d, s)] == wv
+    # degrees = distinct-neighbor count over the symmetric edge list
+    wantdeg = {}
+    for s, _ in got:
+        wantdeg[s] = wantdeg.get(s, 0) + 1
+    assert {(r.id): r.d for r in degrees.collect()} == wantdeg
+
+
+def test_copurchase_artifact_reuse_and_invalidation(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    wh1 = A.graph_warehouse(spark, sf_dir)
+    A.ensure_copurchase_graph(spark, sf_dir)
+    mpath = os.path.join(wh1, "copurchase", "MANIFEST.json")
+    mt0 = os.path.getmtime(mpath)
+    # second ensure serves the committed tables — no rebuild
+    A.ensure_copurchase_graph(spark, sf_dir)
+    assert os.path.getmtime(mpath) == mt0
+
+    # a CHANGED lineitem table (subset under a new dir) re-keys the
+    # graph warehouse: stale edges are structurally unreachable
+    alt = str(tmp_path / "altsf")
+    os.makedirs(alt)
+    li = load_table(spark, sf_dir, "lineitem")
+    li.filter(F.col("l_orderkey") % 2 == 0).write.parquet(
+        os.path.join(alt, "lineitem.parquet")
+    )
+    wh2 = A.graph_warehouse(spark, alt)
+    assert wh2 != wh1
+
+
+def test_purchase_bipartite_artifact(spark, sf_dir, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    edges = A.ensure_purchase_bipartite(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    want = {
+        (r.o_custkey, r.l_partkey)
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    assert {(r.src, r.dst) for r in edges.collect()} == want
