@@ -250,11 +250,35 @@ def main() -> None:
             "load1": round(os.getloadavg()[0], 2),
         }
 
+    # fixed-work calibration probe (round 9, VERDICT r8 #6): the
+    # steal/ext-cores gate is blind to memory-bandwidth/LLC co-tenancy
+    # that slows EVERY attempt equally (the r8 driver window was
+    # inflated 5-13x with clean counters). Before each query, time a
+    # constant workload — a BLAS matmul + a 1e7-row JVM aggregate —
+    # and publish calib_ratio = probe_t / min(probe_t over the run).
+    # A reader discards or rescales entries whose probe itself ran
+    # >= 1.5x slow; scripts/retime.py automates the re-adjudication.
+    def _calib_probe() -> float:
+        import numpy as np
+
+        a = np.full((512, 512), 1.000001)
+        t0 = time.time()
+        for _ in range(3):
+            a = a @ a * 1e-9
+        spark.range(10_000_000).selectExpr(
+            "sum(id * 2654435761)"
+        ).collect()
+        return round(time.time() - t0, 4)
+
+    _calib_probe()  # one untimed warm (BLAS threads, codegen)
+
     timings: dict[str, float] = {}
     env: dict[str, dict] = {}
+    probes: dict[str, float] = {}
     dirty_queries: list[str] = []
     for name in names:
         try:
+            probes[name] = _calib_probe()
             attempts = [run_once(name)]
             # best-of-2 for anything slow (pure variance smoothing)
             if attempts[-1]["t"] > RERUN_THRESHOLD_S and len(attempts) < 2:
@@ -272,7 +296,18 @@ def main() -> None:
                     return None
                 bc = min(clean, key=lambda r: r["t"])
                 fastest = min(runs, key=lambda r: r["t"])
-                return bc if fastest["t"] >= 0.6 * bc["t"] else None
+                if fastest["t"] >= 0.6 * bc["t"]:
+                    return bc
+                # ADVICE r8: one anomalously fast DIRTY run must not
+                # permanently block certification (it burned the whole
+                # retry budget and published a dirty-flagged minimum
+                # even when genuinely clean runs existed). Fallback: a
+                # clean run at or under the MEDIAN of all attempts is
+                # representative, not lucky — certify it.
+                import statistics
+
+                med = statistics.median(r["t"] for r in runs)
+                return bc if bc["t"] <= med else None
 
             while _certified(attempts) is None and len(attempts) < MAX_ATTEMPTS:
                 _brief_quiet_wait()
@@ -304,6 +339,12 @@ def main() -> None:
             print(f"bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
             spark.catalog.clearCache()
+    calib_base = min(probes.values()) if probes else 0.0
+    for name, p in probes.items():
+        if name in env:
+            env[name]["calib_ratio"] = (
+                round(p / calib_base, 2) if calib_base > 0 else 1.0
+            )
     total_all = round(sum(t for t in timings.values() if t >= 0), 3)
     total = round(
         sum(
@@ -362,6 +403,8 @@ def main() -> None:
     compact["max_steal_pct"] = max(steals) if steals else 0.0
     exts = [v["ext_cores"] for v in env.values()]
     compact["max_ext_cores"] = max(exts) if exts else 0.0
+    ratios = [v.get("calib_ratio", 1.0) for v in env.values()]
+    compact["max_calib_ratio"] = max(ratios) if ratios else 1.0
     print(json.dumps(compact))
 
 

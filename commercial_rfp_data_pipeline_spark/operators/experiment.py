@@ -150,7 +150,8 @@ def wilson_lower_bound_sql(wins: str, n: str) -> str:
 
 AB_SEED = "ab1:"
 ARM_A_MAX = frac_to_hex(0.5)  # u60 50/50 split point
-SEQ_HORIZON = 30  # planned days (events corpus spans Jan 1-30)
+SEQ_START = "2024-01-01"  # experiment start (events corpus: Jan 1-30)
+SEQ_HORIZON = 30  # planned days
 OBF_C = 2.2414  # O'Brien-Fleming boundary shape constant, two-sided
 # alpha=.05: z_crit(t) = C / sqrt(t) at information fraction t
 
@@ -167,10 +168,22 @@ def arm_assignment(user_col: Column) -> Column:
 def daily_arm_moments(events: DataFrame) -> DataFrame:
     """Per (day, arm) exact-DECIMAL moment partials (n, s, ss) of event
     value — the only corpus-sized pass of the monitor; map-side
-    combining groupBy, mergeable across micro-batches (sums of sums)."""
+    combining groupBy, mergeable across micro-batches (sums of sums).
+
+    The experiment day is 1-based from SEQ_START (datediff, ADVICE r8:
+    dayofmonth alone silently aliases Jan 5 with Feb 5 if the corpus
+    ever spans a month boundary — in BOTH engines, so the oracle could
+    not catch it), and events outside the planned [1, SEQ_HORIZON]
+    window are excluded explicitly rather than by corpus shape."""
     v = F.col("value").cast("decimal(18,2)")
-    return events.groupBy(
-        F.dayofmonth("ts").cast("int").alias("day"),
+    day = (
+        F.datediff(F.col("ts").cast("date"), F.lit(SEQ_START).cast("date"))
+        + 1
+    ).cast("int")
+    return events.withColumn("day", day).filter(
+        (F.col("day") >= 1) & (F.col("day") <= SEQ_HORIZON)
+    ).groupBy(
+        "day",
         arm_assignment(F.col("user_id")).alias("arm"),
     ).agg(
         F.count(F.lit(1)).alias("n"),

@@ -591,6 +591,138 @@ def audio_energy_grid(
     )
 
 
+AUDIO_SYNTH_N = 512  # samples per synthesized signal (64 cells x 8)
+
+
+def synth_wav_corpus(
+    df: DataFrame, id_col: str = "doc_id", n: int = AUDIO_SYNTH_N
+) -> DataFrame:
+    """Deterministic WAV payloads from doc ids — REAL RIFF/PCM bytes
+    via functions/wav.encode_wav, synthesized so the sample arithmetic
+    is restatable in ANSI SQL (the audio analogue of the md5 text
+    fakes: the BYTES are real and executor-side, the SIGNAL is
+    closed-form).
+
+    Signal family for doc d (all int64-exact, no clipping):
+      base = d - d % 5;  gain g = 1 + d % 5
+      s[k] = g * (((base * 2654435761 + (k+1) * 40503) % 12289) - 6144)
+      head-zeroed variant: d % 5 == 4 additionally zeroes s[k] for
+      k < 40 (a small perceptual edit — lands NEAR its family, joining
+      the cluster only if its Hamming distance clears the threshold)
+      channel layout: d % 2 == 1 encodes duplicated-channel stereo,
+      else mono — the re-encoded-duplicate class.
+    |s| <= 5 * 6144 = 30720 < 32767, so int16 encoding is lossless and
+    the decode round-trip is exact."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from commercial_rfp_data_pipeline_spark.functions.wav import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            ids, payloads, mimes = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                base, g = d - d % 5, 1 + d % 5
+                s = [
+                    0
+                    if (d % 5 == 4 and k < 40)
+                    else g
+                    * (((base * 2654435761 + (k + 1) * 40503) % 12289) - 6144)
+                    for k in range(n)
+                ]
+                if d % 2 == 1:
+                    inter = [v for v in s for _ in range(2)]
+                    payloads.append(encode_wav(inter, n_channels=2))
+                else:
+                    payloads.append(encode_wav(s, n_channels=1))
+                ids.append(d)
+                mimes.append("audio/wav")
+            yield pd.DataFrame(
+                {id_col: ids, "payload": payloads, "mime": mimes}
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary, mime string"
+    )
+
+
+def audio_envelope_cells(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    cells: int = 64,
+) -> DataFrame:
+    """REAL audio decode -> time-envelope energy grid, in EXACT integer
+    arithmetic: WAV parse (functions/wav.decode_wav), channel-SUM
+    downmix (stays integral — a duplicated-stereo re-encode doubles the
+    signal, scaling every cell by 4 uniformly, which the mean-threshold
+    encode cancels), then ``cells`` equal time segments with
+    cell = sum of squared samples (int64). Unlike the rfft band grid
+    (audio_energy_grid), every cell is an exact integer both engines
+    reproduce bit-for-bit — the oracle-checkable audio fingerprint;
+    the spectral variant remains the production-style path at the same
+    seam. Undecodable payloads yield NULL cl (the shared sentinel)."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from commercial_rfp_data_pipeline_spark.functions.wav import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            ids, cls = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = decode_wav(bytes(p))
+                    nc = d["n_channels"]
+                    samp = d["samples"]
+                    if nc > 1:
+                        usable = (len(samp) // nc) * nc
+                        y = [
+                            sum(samp[j : j + nc])
+                            for j in range(0, usable, nc)
+                        ]
+                    else:
+                        y = samp
+                    seg = len(y) // cells
+                    if seg < 1:
+                        raise ValueError("signal too short")
+                    cl = [
+                        sum(v * v for v in y[t * seg : (t + 1) * seg])
+                        for t in range(cells)
+                    ]
+                except ValueError:
+                    cl = None
+                ids.append(i)
+                cls.append(cl)
+            yield pd.DataFrame({id_col: ids, "cl": cls})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, cl array<long>"
+    )
+
+
+def perceptual_ahash_audio_envelope(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """aHash over the exact-integer audio envelope grid: decode ->
+    64 time-segment energies -> the SAME mean-threshold/banding encode
+    as the image path. Gain-invariant (energies scale uniformly;
+    64*cell > sum comparisons are unchanged under positive scaling)
+    and stereo-duplicate-invariant (channel-sum downmix)."""
+    return _ahash_from_cells(
+        audio_envelope_cells(df, payload_col, id_col), id_col, "ahash"
+    )
+
+
 def perceptual_ahash_audio(
     df: DataFrame,
     payload_col: str = "payload",

@@ -39,6 +39,7 @@ from commercial_rfp_data_pipeline_spark.operators.experiment import (
     ARM_A_MAX,
     OBF_C,
     SEQ_HORIZON,
+    SEQ_START,
     bradley_terry,
     bradley_terry_oracle_ctes,
     daily_arm_moments,
@@ -364,8 +365,8 @@ peruser AS (
 ),
 assigned AS (
   SELECT user_id,
-         CAST(xs AS DECIMAL(14,2)) AS x,
-         CAST(ys AS DECIMAL(14,2)) AS y,
+         CAST(xs AS DECIMAL(18,2)) AS x,
+         CAST(ys AS DECIMAL(18,2)) AS y,
          CASE WHEN {u60_hex_sql(
              "'" + _AB_SEED + "' || CAST(user_id AS VARCHAR)")}
               < '{_ARM_A_MAX}' THEN 'A' ELSE 'B' END AS arm
@@ -393,8 +394,11 @@ def _assigned_users(spark, sf_dir):
     ).otherwise(F.lit("B"))
     return per.select(
         "user_id",
-        F.col("xs").cast("decimal(14,2)").alias("x"),
-        F.col("ys").cast("decimal(14,2)").alias("y"),
+        # (18,2) end-to-end (ADVICE r8): the old (14,2) narrowing was a
+        # truncation point where non-ANSI Spark NULLs while DuckDB CAST
+        # raises — an asymmetric oracle break instead of a shared error
+        F.col("xs").cast("decimal(18,2)").alias("x"),
+        F.col("ys").cast("decimal(18,2)").alias("y"),
         arm.alias("arm"),
     )
 
@@ -405,7 +409,7 @@ def _assigned_users(spark, sf_dir):
     WITH {_XY_CTE.strip()},
     pool AS (
       -- upcasts force DuckDB's int128 multiply (the int64 fast path
-      -- overflows); Spark's (14,2)x(14,2)->(29,4) is already exact
+      -- overflows); Spark's (18,2)x(18,2)->(37,4) is already exact
       SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
              sum(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)))
                AS sxx,
@@ -1044,14 +1048,20 @@ def q_kaplan_meier_repurchase(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SEQ_HORIZON = SEQ_HORIZON
+_SEQ_START = SEQ_START
 _OBF_C = OBF_C
 
 
 @query(
     "sequential_ab_monitoring",
     f"""
-    WITH daily AS (
-      SELECT CAST(date_part('day', ts) AS INT) AS day,
+    WITH daily0 AS (
+      SELECT CAST(date_diff('day', DATE '{_SEQ_START}', CAST(ts AS DATE))
+                  + 1 AS INT) AS day, user_id, value
+      FROM events
+    ),
+    daily AS (
+      SELECT day,
              CASE WHEN {u60_hex_sql(
                  "'" + _AB_SEED + "' || CAST(user_id AS VARCHAR)")}
                   < '{_ARM_A_MAX}' THEN 'A' ELSE 'B' END AS arm,
@@ -1059,7 +1069,8 @@ _OBF_C = OBF_C
              sum(CAST(value AS DECIMAL(18,2))) AS s,
              sum(CAST(value AS DECIMAL(19,2))
                  * CAST(value AS DECIMAL(19,2))) AS ss
-      FROM events GROUP BY 1, 2
+      FROM daily0 WHERE day BETWEEN 1 AND {_SEQ_HORIZON}
+      GROUP BY 1, 2
     ),
     cum AS (
       SELECT a.day, a.arm, sum(b.n) AS cn, sum(b.s) AS cs,

@@ -69,6 +69,18 @@ def monitor_ingest_sink(
     backfill; swap the trigger for continuous monitoring)."""
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            # Fresh checkpoint over an existing store (ADVICE r8): the
+            # per-batch dir overwrite is only idempotent for replays
+            # under the SAME checkpoint — a re-run with new batch
+            # boundaries would double-count stale partials. batch 0
+            # fires exactly once per checkpoint lineage (foreachBatch
+            # is sequential; a batch-0 replay means nothing later ever
+            # committed), so clearing the partials root here is safe
+            # and mirrors streaming/ingest.py's manifest discipline.
+            import shutil
+
+            shutil.rmtree(_partials_dir(store), ignore_errors=True)
         if bdf.isEmpty():
             return
         part = daily_arm_moments(bdf)

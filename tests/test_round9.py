@@ -103,3 +103,76 @@ def test_purchase_bipartite_artifact(spark, sf_dir, tmp_path, monkeypatch):
         .collect()
     }
     assert {(r.src, r.dst) for r in edges.collect()} == want
+
+
+def test_monitor_fresh_checkpoint_clears_stale_partials(spark, sf_dir, tmp_path):
+    """ADVICE r8 (streaming/monitor.py): re-running the monitor stream
+    with a FRESH checkpoint over an existing store must not
+    double-count the stale per-batch partials — batch 0 clears the
+    partials root, so the readout equals the single-run readout."""
+    from commercial_rfp_data_pipeline_spark.streaming.monitor import (
+        monitor_ingest_sink,
+        monitor_readout,
+        read_events_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inp = str(tmp_path / "in")
+    events.coalesce(1).write.parquet(inp)
+    store = str(tmp_path / "store")
+
+    q = monitor_ingest_sink(
+        read_events_stream(spark, inp), spark, store, str(tmp_path / "ck1")
+    )
+    q.awaitTermination()
+    r1 = {tuple(r) for r in monitor_readout(spark, store).collect()}
+
+    # same store, NEW checkpoint: without the batch-0 clear this
+    # doubles every n/s/ss and shifts every z
+    q2 = monitor_ingest_sink(
+        read_events_stream(spark, inp), spark, store, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination()
+    r2 = {tuple(r) for r in monitor_readout(spark, store).collect()}
+    assert r2 == r1
+
+
+def test_audio_envelope_hash_invariances(spark):
+    """Round-9 audio chain: gain-scaled and duplicated-channel-stereo
+    re-encodings of one signal are byte-distinct WAVs that hash
+    IDENTICALLY through the exact-integer envelope path, while an
+    independent signal does not; the synthesized corpus clusters by
+    5-doc gain family."""
+    from commercial_rfp_data_pipeline_spark.functions.wav import encode_wav
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        perceptual_ahash_audio_envelope,
+        synth_wav_corpus,
+    )
+
+    base = [((17 * (k + 1) * 2654435761) % 9001) - 4500 for k in range(512)]
+    rows = [
+        (0, encode_wav(base, n_channels=1)),
+        (1, encode_wav([3 * v for v in base], n_channels=1)),  # gain x3
+        (2, encode_wav([v for v in base for _ in (0, 1)], n_channels=2)),
+        (3, encode_wav([((k * 7919) % 9001) - 4500 for k in range(512)])),
+    ]
+    assert len({r[1] for r in rows}) == 4  # all byte-distinct
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.ahash
+        for r in perceptual_ahash_audio_envelope(df).collect()
+    }
+    assert got[0] == got[1] == got[2]
+    assert got[3] != got[0]
+
+    # synthesized corpus: members 0-3 of a gain family share the hash
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    h = {
+        r.doc_id: r.ahash
+        for r in perceptual_ahash_audio_envelope(
+            synth_wav_corpus(docs)
+        ).collect()
+    }
+    for fam in range(0, 20, 5):
+        assert h[fam] == h[fam + 1] == h[fam + 2] == h[fam + 3]
+    assert h[0] != h[5]
