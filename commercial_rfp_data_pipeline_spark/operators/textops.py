@@ -1751,11 +1751,13 @@ def nfc_normalize(
 
 
 def jaccard_prefix_filter_pairs(
-    sh: DataFrame,
+    sh: DataFrame | None,
     id_col: str = "doc_id",
     t_num: int = 1,
     t_den: int = 2,
     max_doc_freq: int = 100,
+    distinct_sh: DataFrame | None = None,
+    dft: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs at threshold t = t_num/t_den via PREFIX
     FILTERING (the PPJoin/AllPairs candidate rule): order every
@@ -1779,9 +1781,22 @@ def jaccard_prefix_filter_pairs(
     pinned by test); rarity ordering concentrates prefixes on rare
     shingles, exactly why AllPairs sorts by ascending frequency. The
     verify stage joins candidates to per-doc sorted sets and
-    intersects arrays — bounded by candidates, no token re-shuffle."""
-    distinct_sh = sh.select(id_col, "sh").distinct()
-    dft = distinct_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    intersects arrays — bounded by candidates, no token re-shuffle.
+
+    ``distinct_sh``/``dft`` (round 9, VERDICT r8 #5): callers that hold
+    the durable token-index artifact (plans/artifacts.py — the same
+    distinct (doc, shingle) postings + df table) pass it here and skip
+    the shingle/distinct/df derivation entirely; ``sh`` may then be
+    None. Semantics are identical — the artifact IS this derivation,
+    materialized once per corpus."""
+    if distinct_sh is None:
+        distinct_sh = sh.select(id_col, "sh").distinct()
+    else:
+        distinct_sh = distinct_sh.select(id_col, "sh")
+    if dft is None:
+        dft = distinct_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    else:
+        dft = dft.select("sh", "df")
     # pinned: consumed three times (doc sizes, prefix ranking, verify
     # sets) — unpinned, the shingle->distinct->df chain recomputes per
     # consumer (measured 53s -> ~17s at sf0.1)

@@ -326,8 +326,25 @@ def ensure_copurchase_graph(
             .write.mode("overwrite")
             .parquet(deg_path)
         )
-        _commit(root, {"tables": ["wedges", "degrees"]})
+        _commit(
+            root,
+            {"tables": ["wedges", "degrees"], "n_edges": built.count()},
+        )
     return spark.read.parquet(edges_path), spark.read.parquet(deg_path)
+
+
+def copurchase_n_edges(spark: SparkSession, sf_dir: str) -> int:
+    """Directed symmetric edge count from the co-purchase manifest (a
+    literal, not a scan); falls back to one parquet count for
+    manifests written before the key existed. Consumers use it to pick
+    a physical strategy (e.g. broadcast vs partitioned closure join in
+    the triangle count) without an extra job."""
+    wh = graph_warehouse(spark, sf_dir)
+    m = _manifest(os.path.join(wh, "copurchase"))
+    if m is not None and "n_edges" in m:
+        return int(m["n_edges"])
+    edges, _ = ensure_copurchase_graph(spark, sf_dir)
+    return edges.count()
 
 
 def ensure_purchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:

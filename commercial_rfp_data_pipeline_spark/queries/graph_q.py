@@ -10,6 +10,8 @@ graph keeps the oracle self-contained and exercises dangling vertices
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -162,22 +164,39 @@ def q_triangle_count(spark, sf_dir):
     endpoint in the total order (degree, id) — every node's
     out-degree is then O(sqrt(E)) regardless of skew (Schank 2007;
     the GraphX/Cohen MapReduce formulation). Wedges pair out-neighbors
-    of a common source and close against the oriented edge set with
-    one equi-join on (dst1, dst2); each triangle is counted EXACTLY
-    once, at its minimum-order vertex. The oracle restates the count
-    with the simpler id-orientation — a different per-node attribution
-    but provably the same triangle set, so the totals agree. The wedge
-    denominator sum(C(d,2)) stays in exact integer arithmetic.
+    of a common source and close against the oriented edge set;
+    each triangle is counted EXACTLY once, at its minimum-order
+    vertex. The oracle restates the count with the simpler
+    id-orientation — a different per-node attribution but provably
+    the same triangle set, so the totals agree. The wedge denominator
+    sum(C(d,2)) stays in exact integer arithmetic.
 
-    At 100 TB: the undirected edges and the degree table are parquet
-    reads of the durable artifact; one wedge-join shuffle remains."""
+    Round 9 (the second scale decade caught alpha 1.31 here —
+    sf1 237 s): two restructures, measured back to ~linear (116 s):
+    (1) wedges are generated from per-source sorted out-neighbor
+    ARRAYS (groupBy + combination transform — the ppjoin postings
+    pattern) instead of a self-join: the Σd² pair stream is emitted
+    by an expression, never shuffled into existence. Per-row array
+    memory is C(outdeg, 2) with outdeg ≤ O(sqrt E) by orientation —
+    the same bound Schank's sequential algorithm carries (max 97 on
+    this graph at both decades).
+    (2) the closure probe picks its physical strategy from the
+    artifact's edge-count literal: below SPARK_GRAFT_TRI_BC_EDGES
+    (default 20M) the oriented edge set broadcasts and the wedge
+    stream is NEVER shuffled (the sf1 cliff was 410M wedge rows
+    sort-merging through 32 partitions); above it, the partitioned
+    semi-join — the only shape that scales to 100 TB — takes over,
+    with parallelism sized upstream (production_conf's 2.5x-cores
+    shuffle partitions)."""
     wedges, deg = _copurchase(spark, sf_dir)
     und = wedges.filter(F.col("src") < F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
     from commercial_rfp_data_pipeline_spark.io import pin
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
 
-    und = pin(und)
     # total-order key (degree, id) packed into one BIGINT so the
     # orientation comparison is a single column op; ids are bounded by
     # the part keyspace, degrees by n-1 — both far under 2^31 here (at
@@ -194,15 +213,31 @@ def q_triangle_count(spark, sf_dir):
         )
     )
     oriented = pin(oriented)
-    w1 = oriented.select("src", F.col("dst").alias("d1"), F.col("kdst").alias("k1"))
-    w2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("d2"), F.col("kdst").alias("k2"))
-    wedges = w1.join(
-        w2, (F.col("src") == F.col("src2")) & (F.col("k1") < F.col("k2"))
-    ).select("d1", "d2")
+    adjk = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list(F.struct("kdst", "dst"))).alias("a")
+    )
+    a = F.col("a")
+    pair_arr = F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + F.lit(2), F.size(a)),
+                lambda y: F.struct(
+                    x["dst"].alias("d1"), y["dst"].alias("d2")
+                ),
+            ),
+        )
+    )
+    wedge_pairs = adjk.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2")
+    )
     closer = oriented.select(
         F.col("src").alias("d1"), F.col("dst").alias("d2")
     )
-    tri = wedges.join(closer, ["d1", "d2"], "left_semi").agg(
+    bc_limit = int(os.environ.get("SPARK_GRAFT_TRI_BC_EDGES", "20000000"))
+    if copurchase_n_edges(spark, sf_dir) // 2 <= bc_limit:
+        closer = F.broadcast(closer)
+    tri = wedge_pairs.join(closer, ["d1", "d2"], "left_semi").agg(
         F.count(F.lit(1)).alias("t")
     )
     wed = deg.agg(

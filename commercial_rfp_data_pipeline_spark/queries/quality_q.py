@@ -1101,13 +1101,22 @@ def q_split_leakage(spark, sf_dir):
     from commercial_rfp_data_pipeline_spark.operators.textops import (
         dataset_split,
         jaccard_prefix_filter_pairs,
-        shingles,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_token_index,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
+    # round 9 (VERDICT r8 #5): postings + df from the durable
+    # token-index artifact instead of re-deriving the shingle chain
+    toks, dft, _ = ensure_token_index(spark, sf_dir, k=3)
     pairs = jaccard_prefix_filter_pairs(
-        shingles(docs, parallelism=par), t_num=1, t_den=2, max_doc_freq=100
+        None,
+        t_num=1,
+        t_den=2,
+        max_doc_freq=100,
+        distinct_sh=toks.select("doc_id", F.col("tok").alias("sh")),
+        dft=dft.select(F.col("tok").alias("sh"), "df"),
     ).select("doc_a", "doc_b", "jaccard")
     splits = dataset_split(docs.select("doc_id")).select("doc_id", "split")
     sa = splits.select(

@@ -62,6 +62,7 @@ def _register_all() -> None:
         layout_q,
         round8_q,
         eval_q,
+        round9_q,
     )
 
 

@@ -176,3 +176,20 @@ def test_audio_envelope_hash_invariances(spark):
     for fam in range(0, 20, 5):
         assert h[fam] == h[fam + 1] == h[fam + 2] == h[fam + 3]
     assert h[0] != h[5]
+
+
+def test_triangle_closure_paths_agree(spark, sf_dir, monkeypatch):
+    """Round-9 triangle restructure: the broadcast closure (edge count
+    under SPARK_GRAFT_TRI_BC_EDGES) and the partitioned semi-join
+    closure (the 100-TB path) must produce the identical count."""
+    from commercial_rfp_data_pipeline_spark.io import release_pinned
+    from commercial_rfp_data_pipeline_spark.queries.graph_q import (
+        q_triangle_count,
+    )
+
+    bc = q_triangle_count(spark, sf_dir).collect()
+    release_pinned()
+    monkeypatch.setenv("SPARK_GRAFT_TRI_BC_EDGES", "0")
+    part = q_triangle_count(spark, sf_dir).collect()
+    assert [tuple(r) for r in bc] == [tuple(r) for r in part]
+    assert bc[0].n_triangles >= 0
