@@ -591,6 +591,145 @@ def audio_energy_grid(
     )
 
 
+VIDEO_FRAMES = 6  # frames per synthesized clip (edit variant: 3)
+VIDEO_STRIDE = 2  # frame-sampling stride for the temporal fingerprint
+
+
+def synth_video_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VIDEO payloads from doc ids — REAL framestack
+    containers of REAL PNG frames (functions/framestack.py +
+    functions/png.py), synthesized so the pixel arithmetic is
+    restatable in ANSI SQL (the video sibling of synth_wav_corpus).
+
+    Clip family for doc d (all exact-integer, 8x8 grayscale frames):
+      base = d - d % 5
+      pixel(f, i) = (base * 2654435761 + (f*64 + i + 1) * 40503) % 251
+      — frame content depends ONLY on the family, so the five members
+      are pixel-identical clips; each member re-ENCODES differently
+      (PNG filter None vs Up, zlib level 1..9 by d), yielding
+      byte-distinct containers — the re-encoded-duplicate class.
+      Edit variant: d % 5 == 4 truncates to 3 frames (a trimmed clip),
+      which the stride-2 fingerprint detects (sampled frame set
+      shrinks), splitting it from its family."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from commercial_rfp_data_pipeline_spark.functions.framestack import (
+            encode_framestack,
+        )
+        from commercial_rfp_data_pipeline_spark.functions.png import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            ids, payloads, mimes = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                base = d - d % 5
+                nf = 3 if d % 5 == 4 else VIDEO_FRAMES
+                frames = []
+                for f in range(nf):
+                    px = bytes(
+                        (base * 2654435761 + (f * 64 + i + 1) * 40503)
+                        % 251
+                        for i in range(64)
+                    )
+                    frames.append(
+                        encode_png(
+                            8,
+                            8,
+                            px,
+                            color_type=0,
+                            filter_type=0 if d % 2 == 0 else 2,
+                            compress_level=1 + (d % 5) * 2,
+                        )
+                    )
+                ids.append(d)
+                payloads.append(encode_framestack(frames))
+                mimes.append("video/x-framestack")
+            yield pd.DataFrame(
+                {id_col: ids, "payload": payloads, "mime": mimes}
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary, mime string"
+    )
+
+
+def video_frame_signature(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    stride: int = VIDEO_STRIDE,
+) -> DataFrame:
+    """REAL video decode -> temporal perceptual fingerprint: parse the
+    framestack container, SAMPLE frames at ``stride`` (the clip
+    pipeline's cost lever — a 2-hour video hashes a bounded frame
+    subset), decode each sampled PNG, mean-luma-grid it, aHash the
+    grid with the shared exact-integer mean threshold, and concatenate
+    the per-frame hex hashes IN FRAME ORDER into one signature string.
+    Pixel-identical re-encodes (different PNG filters / zlib levels)
+    produce the IDENTICAL signature; a trimmed clip changes its
+    sampled frame set and splits. Undecodable payloads yield NULL (the
+    shared sentinel). Returns (id_col, n_frames, video_sig)."""
+    from collections.abc import Iterator
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from commercial_rfp_data_pipeline_spark.functions.framestack import (
+            decode_framestack,
+        )
+        from commercial_rfp_data_pipeline_spark.functions.png import (
+            decode_png,
+            luma_grid,
+        )
+
+        for pdf in batches:
+            ids, nfs, sigs = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = decode_framestack(bytes(p))
+                    parts = []
+                    for fidx in range(0, len(frames), stride):
+                        d = decode_png(frames[fidx])
+                        cells = luma_grid(
+                            d["width"],
+                            d["height"],
+                            d["channels"],
+                            d["pixels"],
+                        )
+                        s = sum(cells)
+                        bits = [
+                            1 if 64 * c > s else 0 for c in cells
+                        ]
+                        parts.append(
+                            "".join(
+                                "%02x"
+                                % sum(
+                                    bits[8 * b + j] << j
+                                    for j in range(8)
+                                )
+                                for b in range(8)
+                            )
+                        )
+                    nf, sig = len(frames), "".join(parts)
+                except ValueError:
+                    nf, sig = None, None
+                ids.append(i)
+                nfs.append(nf)
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {id_col: ids, "n_frames": nfs, "video_sig": sigs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, n_frames int, video_sig string"
+    )
+
+
 AUDIO_SYNTH_N = 512  # samples per synthesized signal (64 cells x 8)
 
 

@@ -804,3 +804,112 @@ def q_audio_phash_neardup(spark, sf_dir):
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+# ---- video frame-sampled perceptual dedup (round 9) ---------------------
+# The third modality seam, closed in-sandbox: REAL framestack+PNG
+# containers synthesized on executors, REAL per-frame decode, stride-2
+# frame sampling, per-frame exact-integer aHash, temporal signature
+# dedup. The oracle restates pixels/bits/hex/signature closed-form —
+# hash-green proves the container + PNG round-trip lossless end-to-end.
+
+_VID_FRAMES = 6
+_VID_STRIDE = 2
+
+
+@query(
+    "video_frame_phash_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 5 = 4 THEN 3 ELSE {_VID_FRAMES} END
+                  AS INTEGER) AS n_frames
+      FROM documents
+    ),
+    fr AS (
+      SELECT d.doc_id, d.n_frames, f.f
+      FROM d JOIN (SELECT unnest(generate_series(0, {_VID_FRAMES - 1}, {_VID_STRIDE})) AS f) f
+        ON f.f < d.n_frames
+    ),
+    px AS (
+      SELECT fr.doc_id, fr.f, i.i,
+             ((fr.doc_id - fr.doc_id % 5) * 2654435761
+              + (fr.f * 64 + i.i + 1) * 40503) % 251 AS v
+      FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+    ),
+    cells AS (
+      SELECT doc_id, f, list(v ORDER BY i) AS cl, sum(v) AS s
+      FROM px GROUP BY doc_id, f
+    ),
+    bits AS (
+      SELECT doc_id, f,
+             list_transform(cl, x -> CASE WHEN 64 * x > s THEN 1 ELSE 0 END)
+               AS b
+      FROM cells
+    ),
+    fhx AS (
+      SELECT doc_id, f,
+             list_aggregate(
+               list_transform(generate_series(0, 7), bb -> printf('%02x',
+                 CAST(list_sum(list_transform(generate_series(0, 7),
+                   j -> b[CAST(8 * bb + j + 1 AS INTEGER)] * (1 << j)))
+                 AS INTEGER))),
+               'string_agg', '') AS hx
+      FROM bits
+    ),
+    sig AS (
+      SELECT s.doc_id, d.n_frames,
+             string_agg(s.hx, '' ORDER BY s.f) AS video_sig
+      FROM fhx s JOIN d USING (doc_id)
+      GROUP BY s.doc_id, d.n_frames
+    )
+    SELECT doc_id, n_frames, video_sig,
+           min(doc_id) OVER (PARTITION BY video_sig) AS cluster_id,
+           count(*) OVER (PARTITION BY video_sig) AS n_members,
+           (doc_id = min(doc_id) OVER (PARTITION BY video_sig))
+             AS is_canonical
+    FROM sig
+    """,
+)
+def q_video_frame_phash_dedup(spark, sf_dir):
+    """Video near-dup detection over REAL container payloads: per doc,
+    synthesize a framestack of REAL PNG frames (pixel content shared
+    across each 5-doc family; members re-encode with different PNG
+    filters and zlib levels — byte-distinct, pixel-identical), then
+    decode executor-side, SAMPLE frames at stride 2, aHash each
+    sampled frame's mean-luma grid with the shared exact-integer
+    threshold, and dedup on the concatenated temporal signature.
+    Re-encoded clips cluster; the trimmed-clip variant (3 frames)
+    changes its sampled frame set and splits — the two behaviors a
+    frame-sampled fingerprint must exhibit.
+
+    The oracle restates pixels, bits, per-frame hex, and the ordered
+    signature closed-form and groups on it: hash-green proves the
+    container parse AND the PNG encode/decode round-trip lossless for
+    every frame of every doc — the video twin of the audio chain's
+    codec proof.
+
+    Scale: synthesis/decode/hash is one narrow Arrow-batched pass
+    (frame sampling bounds per-payload work regardless of clip
+    length); dedup is one exact groupBy on the signature string —
+    never pairwise. At 100 TB this is the shape of a real clip-dedup
+    pass: sampled-frame fingerprints into a hash-partitioned exact
+    group, with banded Hamming available one operator up
+    (ahash_neardup_pairs) when tolerance to re-grades is needed."""
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        synth_video_corpus,
+        video_frame_signature,
+    )
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = video_frame_signature(synth_video_corpus(docs))
+    w = W.partitionBy("video_sig")
+    return sigs.select(
+        "doc_id",
+        "n_frames",
+        "video_sig",
+        F.min("doc_id").over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )

@@ -193,3 +193,83 @@ def test_triangle_closure_paths_agree(spark, sf_dir, monkeypatch):
     part = q_triangle_count(spark, sf_dir).collect()
     assert [tuple(r) for r in bc] == [tuple(r) for r in part]
     assert bc[0].n_triangles >= 0
+
+
+def test_dsir_selection_is_limit_first(spark, sf_dir):
+    """dsir_importance_resample must select via TakeOrderedAndProject
+    (orderBy().limit() BEFORE the rank window — the registry's
+    limit-first discipline) and plan no CartesianProduct."""
+    from commercial_rfp_data_pipeline_spark.queries.round9_q import (
+        q_dsir_importance_resample,
+    )
+
+    p = q_dsir_importance_resample(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_target_slice_dominates(spark, sf_dir):
+    """Sanity the data curator checks: the DSIR top-100 should be
+    dominated by target-language docs (en importance weights are
+    positive by construction of the target LM)."""
+    from commercial_rfp_data_pipeline_spark.queries.round9_q import (
+        q_dsir_importance_resample,
+    )
+
+    rows = q_dsir_importance_resample(spark, sf_dir).collect()
+    assert len(rows) == 100
+    langs = [r.lang for r in rows]
+    assert langs.count("en") > 50
+    # ranks are 1..100, weights non-increasing
+    assert [r.rnk for r in rows if True] == sorted(r.rnk for r in rows)
+    ws = [r.dsir_weight for r in sorted(rows, key=lambda r: r.rnk)]
+    assert all(a >= b for a, b in zip(ws, ws[1:]))
+
+
+def test_framestack_roundtrip_and_video_signature(spark):
+    """Round-9 video seam: the framestack container round-trips frame
+    bytes exactly; pixel-identical clips re-encoded with different PNG
+    filters/zlib levels share a signature; a trimmed clip splits; a
+    corrupt payload yields the NULL sentinel."""
+    import pytest as _pytest
+
+    from commercial_rfp_data_pipeline_spark.functions.framestack import (
+        decode_framestack,
+        encode_framestack,
+    )
+    from commercial_rfp_data_pipeline_spark.functions.png import encode_png
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        synth_wav_corpus,  # noqa: F401 (audio twin import sanity)
+        synth_video_corpus,
+        video_frame_signature,
+    )
+
+    px = [bytes((17 * (f * 64 + i + 1)) % 251 for i in range(64)) for f in range(4)]
+    frames = [encode_png(8, 8, p, color_type=0) for p in px]
+    assert decode_framestack(encode_framestack(frames)) == frames
+    with _pytest.raises(ValueError):
+        decode_framestack(b"JUNKJUNKJUNK")
+
+    rows = [
+        (0, encode_framestack([encode_png(8, 8, p, color_type=0, filter_type=0, compress_level=1) for p in px])),
+        (1, encode_framestack([encode_png(8, 8, p, color_type=0, filter_type=2, compress_level=9) for p in px])),
+        (2, encode_framestack([encode_png(8, 8, p, color_type=0) for p in px[:2]])),  # trimmed
+        (3, b"not a container"),
+    ]
+    assert rows[0][1] != rows[1][1]  # byte-distinct re-encodes
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.n_frames, r.video_sig) for r in video_frame_signature(df).collect()}
+    assert got[0] == got[1]  # pixel-identical -> same signature
+    assert got[2][1] != got[0][1]  # trimmed clip splits
+    assert got[3] == (None, None)  # corrupt -> NULL sentinel
+
+    # synthesized corpus: 5-doc families share signatures except the
+    # trimmed variant (doc_id % 5 == 4)
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    h = {
+        r.doc_id: r.video_sig
+        for r in video_frame_signature(synth_video_corpus(docs)).collect()
+    }
+    assert h[0] == h[1] == h[2] == h[3]
+    assert h[4] != h[0]
+    assert h[0] != h[5]
