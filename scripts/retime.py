@@ -68,15 +68,29 @@ def main() -> int:
     child["SPARK_GRAFT_BENCH_ONLY"] = ",".join(names)
     child["SPARK_GRAFT_BENCH_JSON"] = out_json
     print(f"re-timing {len(names)} queries: {' '.join(names)}", file=sys.stderr)
-    r = subprocess.run(
+    # tee bench.py's stderr to ours live (ADVICE r9: DEVNULL swallowed
+    # both the failure diagnostics and per-query bench errors) while
+    # keeping a copy for the failure message
+    err_lines: list[str] = []
+    proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=child,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
-        check=False,
+        stderr=subprocess.PIPE,
+        text=True,
     )
-    if r.returncode != 0:
-        print("bench.py failed", file=sys.stderr)
+    assert proc.stderr is not None
+    for line in proc.stderr:
+        err_lines.append(line)
+        sys.stderr.write(line)
+    proc.communicate()
+    if proc.returncode != 0:
+        tail = "".join(err_lines[-30:])
+        print(
+            f"bench.py failed (exit {proc.returncode}); stderr tail:\n"
+            f"{tail}",
+            file=sys.stderr,
+        )
         return 1
     with open(out_json) as f:
         fresh = json.load(f)
