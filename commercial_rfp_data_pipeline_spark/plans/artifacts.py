@@ -219,29 +219,44 @@ def token_index_n_docs(spark: SparkSession, sf_dir: str, k: int = 3, emb_dim: in
     return int(m["n_docs"])
 
 
-def lineitem_key(spark: SparkSession, sf_dir: str) -> str:
-    """Content signature of the lineitem columns the graph family
-    consumes (l_orderkey, l_partkey): row count + order-insensitive
-    xxhash64 sum, exactly the `corpus_key` discipline. A changed
-    lineitem table produces a new key, so stale graph artifacts are
-    never served."""
-    ck = (os.path.join(sf_dir, "__lineitem__"), _table_mtime(sf_dir, "lineitem"))
+def _table_key(
+    spark: SparkSession, sf_dir: str, table: str, cols: list[str]
+) -> str:
+    """Content signature of the ``cols`` an artifact consumes from
+    ``table``: row count + order-insensitive xxhash64 sum, exactly the
+    `corpus_key` discipline. A changed table produces a new key, so
+    stale artifacts are never served; cached per (path, mtime)."""
+    ck = (
+        os.path.join(sf_dir, f"__{table}__" + ",".join(cols)),
+        _table_mtime(sf_dir, table),
+    )
     hit = _SIG_CACHE.get(ck)
     if hit is not None:
         return hit
     sig = (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, table)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64("l_orderkey", "l_partkey").cast("decimal(38,0)")
-            ).alias("h"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
         )
         .collect()[0]
     )
     key = hashlib.md5(f"{sig['n']}:{sig['h']}".encode()).hexdigest()[:16]
     _SIG_CACHE[ck] = key
     return key
+
+
+def lineitem_key(spark: SparkSession, sf_dir: str) -> str:
+    """Signature of the lineitem columns the graph family consumes."""
+    return _table_key(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+
+def orders_key(spark: SparkSession, sf_dir: str) -> str:
+    """Signature of the orders columns the bipartite artifact consumes
+    (ADVICE r9: the bipartite edge list joins orders, so an
+    orders-only change — custkey remap, partial regeneration — must
+    re-key it even when lineitem is unchanged)."""
+    return _table_key(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
 
 def _table_mtime(sf_dir: str, name: str) -> float:
@@ -351,11 +366,12 @@ def ensure_purchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durable DISTINCT customer->part purchase edge list (the HITS
     bipartite graph): one orders ⨝ lineitem join + distinct,
     materialized under the same graph warehouse + manifest. Keyed by
-    the lineitem signature — orders and lineitem are written together
-    by the generator, so a changed orders table implies a changed
-    lineitem signature in this corpus layout."""
+    BOTH input signatures: the warehouse dir carries the lineitem key
+    and the artifact dir carries the orders key (ADVICE r9 — an
+    orders-only change such as an o_custkey remap must re-key this
+    artifact even though lineitem is unchanged)."""
     wh = graph_warehouse(spark, sf_dir)
-    root = os.path.join(wh, "bipartite")
+    root = os.path.join(wh, f"bipartite-{orders_key(spark, sf_dir)}")
     path = os.path.join(root, "edges")
     if _manifest(root) is None:
         o = load_table(spark, sf_dir, "orders").select(

@@ -182,7 +182,7 @@ def q_triangle_count(spark, sf_dir):
     this graph at both decades).
     (2) the closure probe picks its physical strategy from the
     artifact's edge-count literal: below SPARK_GRAFT_TRI_BC_EDGES
-    (default 20M) the oriented edge set broadcasts and the wedge
+    (default 4M) the oriented edge set broadcasts and the wedge
     stream is NEVER shuffled (the sf1 cliff was 410M wedge rows
     sort-merging through 32 partitions); above it, the partitioned
     semi-join — the only shape that scales to 100 TB — takes over,
@@ -234,7 +234,11 @@ def q_triangle_count(spark, sf_dir):
     closer = oriented.select(
         F.col("src").alias("d1"), F.col("dst").alias("d2")
     )
-    bc_limit = int(os.environ.get("SPARK_GRAFT_TRI_BC_EDGES", "20000000"))
+    # default 4M oriented (long,long) rows ≈ 64 MB raw / ~150 MB as a
+    # BroadcastHashJoin hash relation — safe on default executor memory
+    # (ADVICE r9: the old 20M default could build a multi-hundred-MB
+    # relation and OOM the driver well before the cutoff was reached)
+    bc_limit = int(os.environ.get("SPARK_GRAFT_TRI_BC_EDGES", "4000000"))
     if copurchase_n_edges(spark, sf_dir) // 2 <= bc_limit:
         closer = F.broadcast(closer)
     tri = wedge_pairs.join(closer, ["d1", "d2"], "left_semi").agg(

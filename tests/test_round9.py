@@ -104,6 +104,26 @@ def test_purchase_bipartite_artifact(spark, sf_dir, tmp_path, monkeypatch):
     }
     assert {(r.src, r.dst) for r in edges.collect()} == want
 
+    # ADVICE r9 invalidation: an ORDERS-ONLY change (same lineitem, so
+    # the graph warehouse key is identical) must re-key the bipartite
+    # artifact — the stale edge list must be structurally unreachable
+    alt = str(tmp_path / "altsf_orders")
+    os.makedirs(alt)
+    load_table(spark, sf_dir, "lineitem").write.parquet(
+        os.path.join(alt, "lineitem.parquet")
+    )
+    o_all = load_table(spark, sf_dir, "orders")
+    o_all.withColumn(
+        "o_custkey", (F.col("o_custkey") + F.lit(1))
+    ).write.parquet(os.path.join(alt, "orders.parquet"))
+    assert A.graph_warehouse(spark, alt) == A.graph_warehouse(
+        spark, sf_dir
+    )
+    assert A.orders_key(spark, alt) != A.orders_key(spark, sf_dir)
+    edges2 = A.ensure_purchase_bipartite(spark, alt)
+    want2 = {(c + 1, p) for (c, p) in want}
+    assert {(r.src, r.dst) for r in edges2.collect()} == want2
+
 
 def test_monitor_fresh_checkpoint_clears_stale_partials(spark, sf_dir, tmp_path):
     """ADVICE r8 (streaming/monitor.py): re-running the monitor stream
