@@ -394,6 +394,114 @@ def ensure_purchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def customer_linkage_key(spark: SparkSession, sf_dir: str) -> str:
+    """Signature of the customer columns the fuzzy-linkage family
+    consumes (key, name, nation block)."""
+    return _table_key(
+        spark, sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    )
+
+
+def ensure_fuzzy_customer_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durable VERIFIED fuzzy-pair table for the customer corpus at
+    ``sf_dir`` (VERDICT r9 next-round #3: `entity_resolution_customers`
+    and `fuzzy_name_pairs` rebuilt the SymSpell deletion-neighborhood
+    keys + levenshtein verify per run, ~12-15 s steady at sf0.1 — the
+    registry's largest non-dirty cost center).
+
+    Columns: (id_a, id_b, name_a, name_b, dist) with id_a < id_b,
+    nation-blocked, levenshtein <= 1 — exactly `operators/linkage.py`'s
+    `fuzzy_pairs` output, which the all-pairs DuckDB oracle proves
+    exhaustive on every green verify. Built once per customer-content
+    key (the `lineitem_key` discipline: count + order-insensitive
+    xxhash64 over the consumed columns), then every consumer is a
+    parquet read + its own downstream composition (CC, survivors).
+
+    At 100 TB this is the materialized candidate/verified-match table
+    every production MDM/linkage stack maintains; re-deriving the
+    deletion-neighborhood join per query would re-shuffle the exploded
+    (len+1)-fanout key stream each time."""
+    from commercial_rfp_data_pipeline_spark.operators.linkage import (
+        fuzzy_pairs,
+    )
+
+    root = os.path.join(
+        warehouse_root(),
+        f"linkage-{customer_linkage_key(spark, sf_dir)}",
+    )
+    path = os.path.join(root, "pairs")
+    if _manifest(root) is None:
+        c = load_table(spark, sf_dir, "customer")
+        (
+            fuzzy_pairs(
+                c,
+                id_col="c_custkey",
+                name_col="c_name",
+                block_cols=["c_nationkey"],
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _commit(
+            root,
+            {
+                "tables": ["pairs"],
+                "n_pairs": spark.read.parquet(path).count(),
+            },
+        )
+    return spark.read.parquet(path)
+
+
+def ensure_customer_entity_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durable (c_custkey, cluster_id) entity-cluster table over the
+    verified fuzzy pairs — the second half of VERDICT r9 #3. The CC
+    fixpoint over the fuzzy-name chain components runs ~28 label-
+    propagation rounds (consecutive customer numbers are all lev-1
+    neighbors, so components are thousands-long chains) at ~0.35 s of
+    job overhead per round — ~10 s per query even with the pair build
+    amortized. A production MDM/linkage stack maintains the resolved
+    entity-cluster table as state, exactly like this repo's document
+    dedup index (plans/dedup_index.py); queries read it.
+
+    Keyed under the same linkage-{customer signature} root as the
+    pairs, so any change to the consumed customer columns re-keys
+    both. The entity_resolution_customers oracle still states the full
+    inline derivation (pairs CTE + recursive reachability), so every
+    green verify proves artifact == inline end-to-end."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    root = os.path.join(
+        warehouse_root(),
+        f"linkage-{customer_linkage_key(spark, sf_dir)}",
+        "clusters",
+    )
+    path = os.path.join(root, "labels")
+    if _manifest(root) is None:
+        pairs = ensure_fuzzy_customer_pairs(spark, sf_dir)
+        c = load_table(spark, sf_dir, "customer").select("c_custkey")
+        (
+            dup_clusters(
+                c, pairs, id_col="c_custkey", a_col="id_a", b_col="id_b"
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _commit(
+            root,
+            {
+                "tables": ["labels"],
+                "n_rows": spark.read.parquet(path).count(),
+            },
+        )
+    return spark.read.parquet(path)
+
+
 def dedup_index_for(spark: SparkSession, sf_dir: str) -> str:
     """The durable dedup-cluster index ensured at this corpus's
     warehouse; returns the index root for the dedup_index.* readers."""
