@@ -161,16 +161,63 @@ def q_pii(spark, sf_dir):
     return redact_pii(injected)
 
 
-def _training_pipeline_oracle() -> str:
+def _training_pipeline_oracle(dsir_topk: int | None = None) -> str:
     """The full composed pipeline as one CTE chain: quality keep →
-    decontamination → simhash pairs → CC closure → survivor argmax →
-    shard packing, every fragment the same logic its standalone oracle
-    states, re-sourced from the running subset instead of raw
-    ``documents``."""
+    decontamination → [optional DSIR importance selection, round 10] →
+    simhash pairs → CC closure → survivor argmax → shard packing,
+    every fragment the same logic its standalone oracle states,
+    re-sourced from the running subset instead of raw ``documents``.
+
+    With ``dsir_topk`` set, a DSIR stage (Xie et al. 2023 — the same
+    per-feature log-ratio scoring as the standalone
+    ``dsir_importance_resample``) runs over the decontaminated pool:
+    feature LMs are re-fit on the POOL (raw = clean docs, target =
+    the pool's 'en' slice), and only the top-K most target-like docs
+    continue into dedup — selection before dedup, the stage order a
+    pretraining curator actually runs. Docs with no 3-gram features
+    carry no evidence and are never selected (same as standalone)."""
     from commercial_rfp_data_pipeline_spark.queries.text_q import _BIT_TEST
 
     norm = _NORM
     g5 = _G5
+    pool = "clean"
+    dsir_ctes = ""
+    if dsir_topk is not None:
+        pool = "selected"
+        dsir_ctes = f"""
+    -- stage 2.5: DSIR importance selection over the clean pool
+    dw AS (SELECT doc_id, string_split({norm}, ' ') AS w FROM clean),
+    dsh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh3
+      FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM dw)
+    ),
+    ddf AS (SELECT sh3, count(*) AS cs FROM dsh GROUP BY sh3),
+    dtgt AS (
+      SELECT s.sh3, count(*) AS ct
+      FROM dsh s JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY s.sh3
+    ),
+    dtot AS (
+      SELECT (SELECT count(*) FROM ddf) AS v,
+             (SELECT sum(cs) FROM ddf) AS ns,
+             (SELECT coalesce(sum(ct), 0) FROM dtgt) AS nt
+    ),
+    dterms AS (
+      SELECT f.sh3,
+             CAST(round(ln(
+               ((coalesce(t.ct, 0) + 1) / CAST(dtot.nt + dtot.v AS DOUBLE))
+               / ((f.cs + 1) / CAST(dtot.ns + dtot.v AS DOUBLE))
+             ), 6) AS DECIMAL(12,6)) AS dsw
+      FROM ddf f LEFT JOIN dtgt t ON t.sh3 = f.sh3 CROSS JOIN dtot
+    ),
+    docw AS (SELECT s.doc_id, sum(dsw) AS wsum
+             FROM dsh s JOIN dterms USING (sh3) GROUP BY s.doc_id),
+    selrnk AS (SELECT doc_id, row_number() OVER (ORDER BY wsum DESC, doc_id) AS srnk
+               FROM docw),
+    selected AS (
+      SELECT c.doc_id, c.text FROM clean c JOIN selrnk USING (doc_id)
+      WHERE srnk <= {dsir_topk}
+    ),"""
     return f"""
     WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
     -- stage 1: Gopher repetition/symbol keep
@@ -218,9 +265,9 @@ def _training_pipeline_oracle() -> str:
       WHERE round(s.ns / CAST(t.n AS DOUBLE), 6) >= 0.05
     ),
     clean AS (SELECT k.doc_id, k.text FROM kept k
-              WHERE k.doc_id NOT IN (SELECT doc_id FROM cont)),
-    -- stage 3: simhash near-dup pairs over the clean subset
-    stoks AS (SELECT DISTINCT doc_id, unnest(string_split({norm}, ' ')) AS w FROM clean),
+              WHERE k.doc_id NOT IN (SELECT doc_id FROM cont)),{dsir_ctes}
+    -- stage 3: simhash near-dup pairs over the surviving subset
+    stoks AS (SELECT DISTINCT doc_id, unnest(string_split({norm}, ' ')) AS w FROM {pool}),
     sbits AS (SELECT doc_id, md5(w) AS h, unnest(generate_series(0, 63)) AS bit FROM stoks),
     svotes AS (
       SELECT doc_id, bit, sum(CASE WHEN {_BIT_TEST.strip()} THEN 1 ELSE -1 END) AS s
@@ -243,7 +290,7 @@ def _training_pipeline_oracle() -> str:
       SELECT doc_b AS src, doc_a AS dst FROM pairs
     ),
     reach(id, lbl) AS (
-      SELECT doc_id AS id, doc_id AS lbl FROM clean
+      SELECT doc_id AS id, doc_id AS lbl FROM {pool}
       UNION
       SELECT e2.dst AS id, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.id
     ),
@@ -257,7 +304,7 @@ def _training_pipeline_oracle() -> str:
              len(regexp_extract_all({norm}, '[.,;:!?]')) AS punct,
              len(list_filter(string_split({norm}, ' '),
                  w -> w IN ('the','a','of','to','and','in','is','for','on','it'))) AS stop
-      FROM clean
+      FROM {pool}
     ),
     qual AS (
       SELECT doc_id,
@@ -284,7 +331,7 @@ def _training_pipeline_oracle() -> str:
       SELECT s.doc_id, s.cluster_id, s.n_members,
              CASE WHEN length({norm}) = 0 THEN 0
                   ELSE len(string_split({norm}, ' ')) END AS n_tokens
-      FROM survivors s JOIN clean USING (doc_id)
+      FROM survivors s JOIN {pool} USING (doc_id)
     ),
     sc AS (
       SELECT doc_id, cluster_id, n_members, n_tokens,
@@ -374,6 +421,134 @@ def q_training_pipeline(spark, sf_dir):
         )
     )
     surv_docs = clean.join(surv, "doc_id")
+    shards = assign_token_shards(surv_docs, shard_tokens=2000)
+    return shards.join(surv, "doc_id").select(
+        "doc_id", "n_tokens", "shard_id", "cluster_id", "n_members"
+    )
+
+
+_TDP_DSIR_TOPK = 150
+
+
+@query("training_data_pipeline_dsir", _training_pipeline_oracle(_TDP_DSIR_TOPK))
+def q_training_pipeline_dsir(spark, sf_dir):
+    """The composed pretraining pipeline WITH the DSIR selection stage
+    (VERDICT r9 next-round #6): quality keep → decontaminate → DSIR
+    importance-select the top-{_TDP_DSIR_TOPK} most target-domain-like
+    docs (select BEFORE dedup — the order a curator runs, so dedup
+    spends its shuffles on data that survives selection) → simhash
+    near-dup dedup → quality-argmax survivor → token-budget shards.
+
+    DSIR re-fits the feature LMs on the POOL it selects from (raw =
+    the decontaminated docs, target = the pool's 'en' slice), unlike
+    the standalone `dsir_importance_resample` which scores the whole
+    corpus — stage composition changes the distributions, and the
+    oracle CTE chain pins that boundary exactly.
+
+    Scale shape: postings come from the durable token-index artifact
+    filtered to the pool (one semi-join — shingles of a doc don't
+    depend on other docs, so the full-corpus index serves any subset);
+    the pool df/target counts are two groupBys over those postings;
+    selection is orderBy().limit() -> TakeOrderedAndProject; the dedup
+    stage keeps its own durable sub-index keyed to this variant
+    (`tdp_dsir_v1`)."""
+    import os as _os
+
+    from commercial_rfp_data_pipeline_spark.io import pin_eager
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        cluster_survivors,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        assign_token_shards,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        corpus_warehouse,
+        ensure_token_index,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.dedup_index import (
+        dedup_tables,
+        ensure_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    kept = pin_eager(
+        corpus.join(
+            repetition_features(corpus).filter("keep").select("doc_id"),
+            "doc_id",
+        )
+    )
+    contaminated = (
+        contamination_overlap(kept, eval_docs, k=5)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    clean = pin_eager(kept.join(contaminated, "doc_id", "left_anti"))
+
+    # stage 2.5: DSIR selection over the clean pool. Postings from the
+    # durable token index, filtered to the pool; LMs fit on the pool.
+    toks, _, _ = ensure_token_index(spark, sf_dir, k=3)
+    pool_toks = toks.join(clean.select("doc_id"), "doc_id")
+    dfreq = pool_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        pool_toks.join(
+            docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id"
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = dfreq.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cs").alias("ns")
+    ).crossJoin(
+        F.broadcast(tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    )
+    terms = (
+        dfreq.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("nt") + F.col("v")).cast("double")
+                    )
+                    / (
+                        (F.col("cs") + 1)
+                        / (F.col("ns") + F.col("v")).cast("double")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("dsw"),
+        )
+    )
+    docw = (
+        pool_toks.join(terms, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("dsw").alias("wsum"))
+    )
+    selected = pin_eager(
+        clean.join(
+            docw.orderBy(F.col("wsum").desc(), "doc_id")
+            .limit(_TDP_DSIR_TOPK)
+            .select("doc_id"),
+            "doc_id",
+        )
+    )
+
+    wh = _os.path.join(corpus_warehouse(spark, sf_dir), "tdp_dsir_v1")
+    ensure_dedup_index(spark, selected, wh)
+    fp, clusters = dedup_tables(spark, wh)
+    quality = fp.select("doc_id", "quality_score")
+    surv = pin_eager(
+        cluster_survivors(clusters, quality).select(
+            "doc_id", "cluster_id", "n_members"
+        )
+    )
+    surv_docs = selected.join(surv, "doc_id")
     shards = assign_token_shards(surv_docs, shard_tokens=2000)
     return shards.join(surv, "doc_id").select(
         "doc_id", "n_tokens", "shard_id", "cluster_id", "n_members"
