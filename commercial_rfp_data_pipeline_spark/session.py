@@ -15,6 +15,31 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def _ensure_worker_protobuf_path() -> None:
+    """Prepend the vendored mini-protobuf to PYTHONPATH when no real
+    protobuf wheel exists, so Python workers forked by the (not yet
+    started) JVM can import the TWS state-protocol modules. Driver-side
+    sys.path is handled too. See streaming/protoshim_install.py."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    vendor = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "vendor", "protoshim"
+    )
+    import sys
+
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    current = os.environ.get("PYTHONPATH", "")
+    if vendor not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            vendor + (os.pathsep + current if current else "")
+        )
+
+
 def get_spark(
     app_name: str = "commercial_rfp_data_pipeline_spark",
     master: str | None = None,
@@ -33,6 +58,13 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # the transformWithStateInPandas state protocol needs a protobuf
+    # runtime in every Python process Spark spawns (incl. the pre-init
+    # driver worker, whose env snapshots the JVM's env at JVM LAUNCH —
+    # so this must run before getOrCreate builds the JVM). When the
+    # real wheel is absent, put the vendored mini-runtime
+    # (vendor/protoshim) on PYTHONPATH; no-op otherwise.
+    _ensure_worker_protobuf_path()
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )

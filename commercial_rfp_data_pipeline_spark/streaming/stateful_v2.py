@@ -16,11 +16,13 @@ local disk), partitioned by user_id across executors; each micro-batch
 touches only the keys present in the batch.
 
 Environment note: the transformWithState state-server protocol needs
-the ``protobuf`` Python package, which this container does not ship —
-the end-to-end streaming test skips without it (clearly labeled), and
-the processor's accumulation logic is unit-tested directly against
-fake state objects instead. ``streaming/stateful.py``
-(applyInPandasWithState) is the fully-runnable stateful path here.
+the ``protobuf`` Python package, which this container does not ship.
+Round 10 closes the gap with a vendored minimal pure-Python protobuf
+runtime (``vendor/protoshim`` — wire-exact varint/length-delimited
+encoding written from the public encoding spec) installed on demand by
+``streaming/protoshim_install.ensure_protobuf(spark)``; the e2e parity
+test now runs for real against the JVM state server. The processor's
+accumulation logic additionally stays unit-tested against fake state.
 """
 
 from __future__ import annotations

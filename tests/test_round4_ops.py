@@ -117,18 +117,20 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     """transformWithStateInPandas (Spark 4 typed-state API) on finite
     replay == batch groupBy aggregates: per-(user, type) counts from
     MapState, per-user totals from ValueState. Requires the RocksDB
-    state-store provider (a transformWithState constraint) AND the
-    protobuf package (the TWS state-server wire protocol) — this
-    container ships without protobuf, so the end-to-end path skips
-    here; the processor logic is covered by
-    test_tws_processor_logic_with_fake_state below."""
+    state-store provider (a transformWithState constraint) AND a
+    protobuf runtime for the TWS state-server wire protocol — this
+    container ships no protobuf wheel, so round 10's vendored
+    mini-runtime (vendor/protoshim, installed by ensure_protobuf and
+    shipped to workers via addPyFile) supplies it. The processor logic
+    is additionally covered by test_tws_processor_logic_with_fake_state
+    below."""
     import pytest
 
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState state protocol needs protobuf; "
-        "not shipped in this container",
+    from commercial_rfp_data_pipeline_spark.streaming.protoshim_install import (
+        ensure_protobuf,
     )
+
+    ensure_protobuf(spark)
     from pyspark.sql import functions as F
     from commercial_rfp_data_pipeline_spark.io import load_table
     from commercial_rfp_data_pipeline_spark.streaming.stateful_v2 import (
