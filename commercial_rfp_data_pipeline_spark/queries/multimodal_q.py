@@ -409,7 +409,9 @@ def q_crossmodal_hard_negatives(spark, sf_dir):
 # connected-component clustering — is the real operator chain, stated
 # in pure integer expressions so the oracle is exact ANSI SQL.
 
-_AHASH_HAM_T = 6
+from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+    AHASH_HAM_T as _AHASH_HAM_T,
+)
 
 _HEXW = "strpos('0123456789abcdef', substr(md5(w), {pos}, 1)) - 1"
 _AH_BUCKET = f"(({_HEXW.format(pos=1)}) * 16 + ({_HEXW.format(pos=2)})) % 64"
@@ -771,25 +773,25 @@ def q_audio_phash_neardup(spark, sf_dir):
     hex hash, and brute-forces ALL pairs — hash-green proves the WAV
     round-trip lossless and the banded candidate generator COMPLETE.
 
-    Scale: synthesis/decode/hash is one narrow Arrow-batched pass;
-    candidates shuffle on 16-bit two-band keys (never corpus^2); CC
-    runs over verified pairs only — identical posture to the image
-    twin."""
-    from commercial_rfp_data_pipeline_spark.operators.dedup import (
-        dup_clusters,
-    )
-    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
-        ahash_neardup_pairs,
-        perceptual_ahash_audio_envelope,
-        synth_wav_corpus,
+    Scale (round 10 restructure): synthesis/decode/hash is one narrow
+    Arrow-batched pass; clustering runs at the DISTINCT-HASH level
+    (operators/multimodal.ahash_neardup_clusters) — the doc-level pair
+    stream is a union of |A|x|B| hash-class products (961,601 verified
+    pairs at sf0.1 from 278 distinct hashes) that no engine should
+    materialize when the Hamming relation depends only on the hash
+    value. Candidates among the 278 reps shuffle on 16-bit two-band
+    keys, CC runs over the rep graph, labels broadcast back with one
+    membership join. Same output, two orders of magnitude less edge
+    traffic. Both tables are deterministic per corpus, so they serve
+    from the content-keyed artifact warehouse
+    (plans/artifacts.ensure_audio_phash) — steady-state cost is two
+    parquet reads + one window."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_audio_phash,
     )
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    wavs = synth_wav_corpus(docs)
-    hashes = pin(perceptual_ahash_audio_envelope(wavs))
-    pairs = ahash_neardup_pairs(hashes, max_hamming=_AHASH_HAM_T)
-    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    hashes, clusters = ensure_audio_phash(spark, sf_dir)
     return (
         clusters.join(hashes.select("doc_id", "ahash"), "doc_id")
         .withColumn(

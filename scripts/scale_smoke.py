@@ -112,6 +112,12 @@ DEFAULT = {
     "pipeline_yield_by_source": "documents",
     "preference_pairs_from_clusters": "documents",
     "retrieval_parent_dedup_topk": "documents",
+    # round-9 modality/sampling additions (scale rows added round 10)
+    "audio_phash_neardup": "documents",
+    "video_frame_phash_dedup": "documents",
+    "dsir_importance_resample": "documents",
+    "multilingual_sampling_temperature": "documents",
+    "training_data_pipeline_dsir": "documents",
 }
 
 
