@@ -10,6 +10,50 @@ from pyspark.sql import functions as F
 from commercial_rfp_data_pipeline_spark.io import load_table
 
 
+def test_cc_local_fast_path_equals_distributed(spark, monkeypatch):
+    """Round 10: dup_clusters takes a driver-side union-find fast path
+    when the verified edge set is under SPARK_GRAFT_CC_LOCAL_EDGES —
+    both paths must produce identical (id, cluster_id) labels (label =
+    component min) on chains, triangles, random graphs, empty edge
+    sets, and string ids."""
+    import random
+
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    random.seed(7)
+    nodes = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    edges = (
+        [(i, i + 1) for i in range(0, 50)]
+        + [(60, 61), (61, 62), (62, 60)]
+        + [
+            (random.randint(70, 199), random.randint(70, 199))
+            for _ in range(100)
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "100000")
+    fast = {(r.doc_id, r.cluster_id) for r in dup_clusters(nodes, pairs).collect()}
+    assert dup_clusters.last_rounds == 0  # fast path taken
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
+    slow = {(r.doc_id, r.cluster_id) for r in dup_clusters(nodes, pairs).collect()}
+    assert dup_clusters.last_rounds > 0  # distributed path taken
+    assert fast == slow
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "100000")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {(r.doc_id, r.cluster_id) for r in dup_clusters(nodes, empty).collect()}
+    assert out == {(i, i) for i in range(200)}
+
+    snodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "doc_id string")
+    spairs = spark.createDataFrame([("b", "c"), ("c", "d")], "doc_a string, doc_b string")
+    sout = {(r.doc_id, r.cluster_id) for r in dup_clusters(snodes, spairs).collect()}
+    assert sout == {("a", "a"), ("b", "b"), ("c", "b"), ("d", "b")}
+
+
 def test_protoshim_wire_format_hand_checked():
     """The vendored mini-protobuf runtime (vendor/protoshim) must be
     WIRE-EXACT: the JVM state server parses these bytes with the real
