@@ -277,25 +277,37 @@ def main() -> None:
     #     SPARK_GRAFT_CALIB_THRESHOLD (default 1.5) are flagged
     #     "calib_dirty" and EXCLUDED from the headline value, same as
     #     counter-dirty entries; scripts/retime.py re-adjudicates.
+    # threshold 1.6: quiet-box probe spread vs the p10 baseline is
+    # <= ~1.4 (measured: component-wise-min-of-5 spread 1.59 vs the
+    # absolute min), while real co-tenant windows measure >= 1.95
+    # median — 1.6 keeps full sensitivity without spurious flags
     CALIB_THRESHOLD = float(
-        os.environ.get("SPARK_GRAFT_CALIB_THRESHOLD", "1.5")
+        os.environ.get("SPARK_GRAFT_CALIB_THRESHOLD", "1.6")
     )
     CALIB_REF_S = float(os.environ.get("SPARK_GRAFT_CALIB_REF_S", "0") or 0)
 
     def _calib_probe() -> float:
+        """Component-wise minima over 5 samples: min(BLAS matmul) +
+        min(JVM aggregate). Minima dodge one-off scheduler hiccups and
+        GC pauses (which are probe noise) but NOT sustained
+        bandwidth/LLC pressure (which is the signal); summing the
+        per-component minima is tighter than min-of-sums because the
+        two components' hiccups are independent."""
         import numpy as np
 
-        best = float("inf")
-        for _ in range(3):
+        mm = jv = float("inf")
+        for _ in range(5):
             a = np.full((512, 512), 1.000001)
             t0 = time.time()
             for _ in range(3):
                 a = a @ a * 1e-9
+            t1 = time.time()
             spark.range(10_000_000).selectExpr(
                 "sum(id * 2654435761)"
             ).collect()
-            best = min(best, time.time() - t0)
-        return round(best, 4)
+            mm = min(mm, t1 - t0)
+            jv = min(jv, time.time() - t1)
+        return round(mm + jv, 4)
 
     _calib_probe()  # one untimed warm (BLAS threads, codegen)
     all_probes: list[float] = [_calib_probe()]  # seed the running floor
