@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Merge re-timed bench windows into a certified full-registry artifact.
+
+The co-tenant load on this VM comes in ~20-30 min waves, so a single
+full `bench.py` window rarely certifies all 300+ queries clean in one
+pass. The adjudication workflow (README "Re-adjudicating bench
+numbers") is: run the full bench, re-run exactly the dirty entries in
+a quieter window (`SPARK_GRAFT_BENCH_ONLY` / scripts/retime.py), and
+merge — an entry is replaced only when the NEWER window certified it
+CLEAN (counter-clean AND probe-clean under bench.py's own gate; a
+dirty retry never overwrites anything). The merged artifact recomputes
+value/total_all/n_dirty and records the provenance of every replaced
+entry in `merged_from`, so a reader can audit which window produced
+each number.
+
+Usage:
+    python scripts/merge_bench.py BASE.json RETRY1.json [RETRY2.json ...] \
+        --out BENCH_FULL_latest.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("base")
+    ap.add_argument("retries", nargs="+")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    with open(args.base) as f:
+        base = json.load(f)
+    merged_from = base.get("merged_from", {})
+
+    for path in args.retries:
+        with open(path) as f:
+            retry = json.load(f)
+        if retry.get("sf") != base.get("sf"):
+            raise SystemExit(
+                f"{path}: sf {retry.get('sf')} != base {base.get('sf')}"
+            )
+        for name, env in retry.get("env", {}).items():
+            if env.get("dirty"):
+                continue  # a dirty retry never overwrites
+            if name not in base["queries"]:
+                raise SystemExit(f"{path}: unknown query {name}")
+            base["queries"][name] = retry["queries"][name]
+            base["env"][name] = env
+            merged_from[name] = path
+
+    dirty = sorted(
+        n for n, e in base["env"].items() if e.get("dirty")
+    )
+    base["dirty_queries"] = dirty
+    base["n_dirty"] = len(dirty)
+    base["total_all"] = round(
+        sum(t for t in base["queries"].values() if t >= 0), 3
+    )
+    base["value"] = round(
+        sum(
+            t
+            for n, t in base["queries"].items()
+            if t >= 0 and n not in dirty
+        ),
+        3,
+    )
+    base["merged_from"] = merged_from
+    with open(args.out, "w") as f:
+        json.dump(base, f, indent=1)
+    print(
+        json.dumps(
+            {
+                "value": base["value"],
+                "total_all": base["total_all"],
+                "n_queries": base.get("n_queries"),
+                "n_dirty": base["n_dirty"],
+                "dirty_queries": dirty,
+                "n_merged": len(merged_from),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
