@@ -395,6 +395,7 @@ def hits(
     n_iters: int = 3,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) with sum-normalization,
     fixed ``n_iters`` rounds: auth(d) = sum of hub(s) over in-edges,
@@ -406,8 +407,14 @@ def hits(
     Scale shape: each half-step is one edges-state equi-join plus one
     map-side-combining groupBy — identical cost to a PageRank
     superstep; normalization totals ride a broadcast one-row
-    aggregate. Returns (role, id, score) with role in {hub, auth}."""
-    e = edges.select(src, dst).distinct().localCheckpoint()
+    aggregate. Returns (role, id, score) with role in {hub, auth}.
+
+    ``assume_distinct=True`` skips the dedup shuffle + materialization
+    when the caller guarantees a distinct edge list (the durable
+    bipartite artifact writes DISTINCT pairs)."""
+    e = edges.select(src, dst)
+    if not assume_distinct:
+        e = e.distinct().localCheckpoint()
     hubs = (
         e.select(F.col(src).alias("id"))
         .distinct()
@@ -419,6 +426,10 @@ def hits(
             e.join(hubs.withColumnRenamed("id", src), src)
             .groupBy(dst)
             .agg(F.sum("hub").alias("raw"))
+            # cache the half-step result: it feeds BOTH the one-row
+            # normalization total (broadcast) and the scores — without
+            # this the edges-join-groupBy runs twice per half-step
+            .localCheckpoint(eager=False)
         )
         atot = araw.agg(F.sum("raw").alias("tot"))
         auths = araw.crossJoin(F.broadcast(atot)).select(
@@ -433,6 +444,7 @@ def hits(
             e.join(auths.withColumnRenamed("id", dst), dst)
             .groupBy(src)
             .agg(F.sum("auth").alias("raw"))
+            .localCheckpoint(eager=False)
         )
         htot = hraw.agg(F.sum("raw").alias("tot"))
         hubs = hraw.crossJoin(F.broadcast(htot)).select(

@@ -500,6 +500,81 @@ def perceptual_dhash(
     return _dhash_from_cells(cells, id_col, "dhash")
 
 
+def phash_agreement_pairs(
+    ah: DataFrame,
+    dh: DataFrame,
+    max_hamming: int = AHASH_HAM_T,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Method-agreement pair table: every (doc_a < doc_b) pair EITHER
+    perceptual hash flags at Hamming <= ``max_hamming``, with BOTH
+    exact distances. Candidates are the UNION of each method's C(8,2)
+    combination-band join (each complete for its own metric at <= 7 by
+    pigeonhole, so the union is complete for the either-hits
+    predicate); the verify step joins both 64-bit vectors and computes
+    both distances in one expression-only pass.
+
+    Scale: two banded candidate generators (never corpus x corpus) +
+    one distinct + four hash-attach equi-joins on a candidate set that
+    is Θ(n²/2340) per method — the same envelope as
+    `ahash_neardup_pairs`, doubled. Returns
+    (doc_a, doc_b, ham_ahash, ham_dhash)."""
+    cand = (
+        ahash_neardup_pairs(ah, max_hamming=max_hamming, id_col=id_col)
+        .select("doc_a", "doc_b")
+        .unionByName(
+            ahash_neardup_pairs(
+                dh, max_hamming=max_hamming, id_col=id_col
+            ).select("doc_a", "doc_b")
+        )
+        .distinct()
+    )
+
+    def _ham(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: F.when(p != q, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    return (
+        cand.join(
+            ah.select(
+                F.col(id_col).alias("doc_a"), F.col("bits").alias("_aa")
+            ),
+            "doc_a",
+        )
+        .join(
+            ah.select(
+                F.col(id_col).alias("doc_b"), F.col("bits").alias("_ab")
+            ),
+            "doc_b",
+        )
+        .join(
+            dh.select(
+                F.col(id_col).alias("doc_a"), F.col("bits").alias("_da")
+            ),
+            "doc_a",
+        )
+        .join(
+            dh.select(
+                F.col(id_col).alias("doc_b"), F.col("bits").alias("_db")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            _ham(F.col("_aa"), F.col("_ab")).cast("int").alias("ham_ahash"),
+            _ham(F.col("_da"), F.col("_db")).cast("int").alias("ham_dhash"),
+        )
+        .filter(
+            (F.col("ham_ahash") <= max_hamming)
+            | (F.col("ham_dhash") <= max_hamming)
+        )
+    )
+
+
 def image_pixel_grid(
     df: DataFrame,
     payload_col: str = "payload",

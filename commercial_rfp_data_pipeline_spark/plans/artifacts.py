@@ -541,6 +541,108 @@ def ensure_audio_phash(
     return spark.read.parquet(h_path), spark.read.parquet(c_path)
 
 
+def ensure_image_phash(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Durable (ahash, dhash, pairs, clusters) for the IMAGE
+    perceptual chain — the same treatment `ensure_audio_phash` gave
+    the audio chain, motivated by the r10 certified bench:
+    `phash_method_agreement` (11.7 s) and `multimodal_phash_neardup`
+    (7.1 s) were the two largest remaining cost centers, and both
+    spend it recomputing the two hash passes + banded candidate joins
+    per run. All four tables are deterministic functions of the
+    documents corpus, so they live under the content-keyed corpus
+    warehouse: ahash/dhash = (doc_id, <hex>, bits, bands); pairs =
+    `phash_agreement_pairs` (doc_a, doc_b, ham_ahash, ham_dhash),
+    every pair either method flags at Hamming <= 6; clusters =
+    (doc_id, cluster_id) CC over the aHash-flagged pairs with ALL docs
+    as nodes (singletons included). The serving queries' oracles still
+    restate the full inline derivation (grid -> bits -> brute-forced
+    all-pairs -> recursive closure), so every green verify proves
+    artifact == inline end to end."""
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        AHASH_HAM_T,
+        attach_binary,
+        perceptual_ahash,
+        perceptual_dhash,
+        phash_agreement_pairs,
+    )
+
+    wh = corpus_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "image_phash_v1")
+    a_path = os.path.join(root, "ahash")
+    d_path = os.path.join(root, "dhash")
+    p_path = os.path.join(root, "pairs")
+    c_path = os.path.join(root, "clusters")
+    if _manifest(root) is None:
+        docs = load_table(spark, sf_dir, "documents")
+        b = attach_binary(docs)
+        perceptual_ahash(b).write.mode("overwrite").parquet(a_path)
+        perceptual_dhash(b).write.mode("overwrite").parquet(d_path)
+        ah = spark.read.parquet(a_path)
+        dh = spark.read.parquet(d_path)
+        phash_agreement_pairs(ah, dh, max_hamming=AHASH_HAM_T).write.mode(
+            "overwrite"
+        ).parquet(p_path)
+        pairs = spark.read.parquet(p_path)
+        (
+            dup_clusters(
+                docs.select("doc_id"),
+                pairs.filter(F.col("ham_ahash") <= AHASH_HAM_T),
+            )
+            .write.mode("overwrite")
+            .parquet(c_path)
+        )
+        _commit(root, {"tables": ["ahash", "dhash", "pairs", "clusters"]})
+    return (
+        spark.read.parquet(a_path),
+        spark.read.parquet(d_path),
+        spark.read.parquet(p_path),
+        spark.read.parquet(c_path),
+    )
+
+
+def ensure_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable verified word-3-gram Jaccard pair table at the shared
+    registry operating point (threshold 1/2, max_doc_freq 100): the
+    PPJoin prefix-filter join + exact verify is the dominant per-run
+    cost of BOTH `jaccard_prefix_filter_pairs` (7.7 s certified) and
+    `split_leakage_neardup` (9.3 s) — the round-9 token-index artifact
+    removed the shingle/df build but left the pair join inline. The
+    pair set is a deterministic function of the documents corpus, so
+    it lives beside the token index under the content-keyed corpus
+    warehouse; both servers' oracles restate the full postings
+    derivation, so every green verify proves stored == inline."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    wh = corpus_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "jaccard_pairs_k3_t12_df100")
+    path = os.path.join(root, "pairs")
+    if _manifest(root) is None:
+        toks, dft, _ = ensure_token_index(spark, sf_dir, k=3)
+        (
+            jaccard_prefix_filter_pairs(
+                None,
+                t_num=1,
+                t_den=2,
+                max_doc_freq=100,
+                distinct_sh=toks.select(
+                    "doc_id", F.col("tok").alias("sh")
+                ),
+                dft=dft.select(F.col("tok").alias("sh"), "df"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _commit(root, {"tables": ["pairs"]})
+    return spark.read.parquet(path)
+
+
 def dedup_index_for(spark: SparkSession, sf_dir: str) -> str:
     """The durable dedup-cluster index ensured at this corpus's
     warehouse; returns the index root for the dedup_index.* readers."""

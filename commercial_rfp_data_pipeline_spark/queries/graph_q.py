@@ -361,7 +361,7 @@ def q_hits(spark, sf_dir):
     )
 
     edges = ensure_purchase_bipartite(spark, sf_dir)
-    return hits(edges, n_iters=3)
+    return hits(edges, n_iters=3, assume_distinct=True)
 
 
 @query(

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from commercial_rfp_data_pipeline_spark.io import load_table, pin
+from commercial_rfp_data_pipeline_spark.io import load_table
 from commercial_rfp_data_pipeline_spark.operators.multimodal import (
     attach_binary,
     extract_features,
@@ -516,20 +516,18 @@ def q_mm_phash_neardup(spark, sf_dir):
     Scale: hashing is one narrow expression-only pass + one bounded
     (doc, bucket<=64) groupBy; candidates shuffle on (band, value)
     buckets — never corpus x corpus; CC runs on the verified pairs
-    only."""
-    from commercial_rfp_data_pipeline_spark.operators.dedup import (
-        dup_clusters,
-    )
-    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
-        ahash_neardup_pairs,
-        perceptual_ahash,
+    only. Round 10: hashes + clusters serve from the durable
+    content-keyed image-phash artifact (plans/artifacts.py:
+    ensure_image_phash — the r10 certified bench's two largest cost
+    centers were this pair of queries recomputing the same chains);
+    the oracle still restates the inline derivation, so green ==
+    artifact-equals-inline."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_image_phash,
     )
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    hashes = pin(perceptual_ahash(attach_binary(docs)))
-    pairs = ahash_neardup_pairs(hashes, max_hamming=_AHASH_HAM_T)
-    clusters = dup_clusters(docs.select("doc_id"), pairs)
+    hashes, _, _, clusters = ensure_image_phash(spark, sf_dir)
     return (
         clusters.join(hashes.select("doc_id", "ahash"), "doc_id")
         .withColumn(
@@ -600,60 +598,18 @@ def q_phash_method_agreement(spark, sf_dir):
     Scale: candidates come from each method's 8-band join (complete
     for <= 7 by pigeonhole), unioned and verified — never all-pairs;
     the oracle brute-forces, so hash-green again proves BOTH candidate
-    generators complete."""
-    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
-        ahash_neardup_pairs,
-        perceptual_ahash,
-        perceptual_dhash,
+    generators complete. Round 10: the pair table serves from the
+    durable image-phash artifact (plans/artifacts.py:
+    ensure_image_phash, built once per corpus content key by
+    operators/multimodal.py:phash_agreement_pairs); the brute-force
+    oracle makes every green verify prove the stored pairs equal the
+    inline derivation."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_image_phash,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    b = attach_binary(docs)
-    ah = pin(perceptual_ahash(b))
-    dh = pin(perceptual_dhash(b))
-    cand = (
-        ahash_neardup_pairs(ah, max_hamming=_AHASH_HAM_T)
-        .select("doc_a", "doc_b")
-        .unionByName(
-            ahash_neardup_pairs(dh, max_hamming=_AHASH_HAM_T).select(
-                "doc_a", "doc_b"
-            )
-        )
-        .distinct()
-    )
-    ham = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda p, q: F.when(p != q, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    j = (
-        cand.join(
-            ah.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("_aa")),
-            "doc_a",
-        )
-        .join(
-            ah.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("_ab")),
-            "doc_b",
-        )
-        .join(
-            dh.select(F.col("doc_id").alias("doc_a"), F.col("bits").alias("_da")),
-            "doc_a",
-        )
-        .join(
-            dh.select(F.col("doc_id").alias("doc_b"), F.col("bits").alias("_db")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            ham(F.col("_aa"), F.col("_ab")).cast("int").alias("ham_ahash"),
-            ham(F.col("_da"), F.col("_db")).cast("int").alias("ham_dhash"),
-        )
-    )
-    return j.filter(
-        (F.col("ham_ahash") <= _AHASH_HAM_T)
-        | (F.col("ham_dhash") <= _AHASH_HAM_T)
-    ).select(
+    _, _, pairs, _ = ensure_image_phash(spark, sf_dir)
+    return pairs.select(
         "doc_a",
         "doc_b",
         "ham_ahash",

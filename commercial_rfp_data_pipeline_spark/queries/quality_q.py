@@ -1275,24 +1275,19 @@ def q_split_leakage(spark, sf_dir):
     joined twice on the pair ids."""
     from commercial_rfp_data_pipeline_spark.operators.textops import (
         dataset_split,
-        jaccard_prefix_filter_pairs,
     )
     from commercial_rfp_data_pipeline_spark.plans.artifacts import (
-        ensure_token_index,
+        ensure_jaccard_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # round 9 (VERDICT r8 #5): postings + df from the durable
-    # token-index artifact instead of re-deriving the shingle chain
-    toks, dft, _ = ensure_token_index(spark, sf_dir, k=3)
-    pairs = jaccard_prefix_filter_pairs(
-        None,
-        t_num=1,
-        t_den=2,
-        max_doc_freq=100,
-        distinct_sh=toks.select("doc_id", F.col("tok").alias("sh")),
-        dft=dft.select(F.col("tok").alias("sh"), "df"),
-    ).select("doc_a", "doc_b", "jaccard")
+    # round 9 (VERDICT r8 #5) served postings + df from the token
+    # index; round 10 serves the verified pair table itself
+    # (plans/artifacts.py:ensure_jaccard_pairs — shared with
+    # jaccard_prefix_filter_pairs, same operating point)
+    pairs = ensure_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
     splits = dataset_split(docs.select("doc_id")).select("doc_id", "split")
     sa = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")

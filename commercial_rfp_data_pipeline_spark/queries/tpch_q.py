@@ -883,7 +883,13 @@ def q_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
     )
-    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_revenue"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).alias("total_revenue"))
+        # rev feeds BOTH the one-row max (broadcast) and the equality
+        # filter — cache it so the lineitem scan+agg runs once
+        .localCheckpoint(eager=False)
+    )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -186,3 +186,97 @@ def test_fuzzy_pairs_artifact_reuse_and_invalidation(
     assert A.customer_linkage_key(spark, alt) != A.customer_linkage_key(
         spark, sf_dir
     )
+
+
+def test_image_phash_artifact_matches_inline(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10: the image perceptual chain serves from the durable
+    corpus-keyed artifact (pairs + clusters) — artifact == the inline
+    derivation, and a second ensure() serves without rebuilding."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from commercial_rfp_data_pipeline_spark.operators.multimodal import (
+        AHASH_HAM_T,
+        attach_binary,
+        perceptual_ahash,
+        perceptual_dhash,
+        phash_agreement_pairs,
+    )
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    ah_s, dh_s, pairs_s, clusters_s = A.ensure_image_phash(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = attach_binary(docs)
+    ah_i = perceptual_ahash(b).localCheckpoint()
+    dh_i = perceptual_dhash(b).localCheckpoint()
+    pairs_i = phash_agreement_pairs(ah_i, dh_i, max_hamming=AHASH_HAM_T)
+
+    pkey = lambda df: {
+        (r.doc_a, r.doc_b, r.ham_ahash, r.ham_dhash) for r in df.collect()
+    }
+    assert pkey(pairs_s) == pkey(pairs_i)
+
+    clusters_i = dup_clusters(
+        docs.select("doc_id"),
+        pairs_i.filter(F.col("ham_ahash") <= AHASH_HAM_T),
+    )
+    ckey = lambda df: {(r.doc_id, r.cluster_id) for r in df.collect()}
+    assert ckey(clusters_s) == ckey(clusters_i)
+
+    # hash tables round-trip bits/bands through parquet losslessly
+    hkey = lambda df, hx: {
+        (r.doc_id, r[hx], tuple(r.bits), tuple(r.bands))
+        for r in df.collect()
+    }
+    assert hkey(ah_s, "ahash") == hkey(ah_i, "ahash")
+    assert hkey(dh_s, "dhash") == hkey(dh_i, "dhash")
+
+    # second ensure serves from the manifest — no rebuild
+    root = os.path.join(
+        A.corpus_warehouse(spark, sf_dir), "image_phash_v1"
+    )
+    mpath = os.path.join(root, "MANIFEST.json")
+    mt0 = os.path.getmtime(mpath)
+    A.ensure_image_phash(spark, sf_dir)
+    assert os.path.getmtime(mpath) == mt0
+
+
+def test_jaccard_pairs_artifact_matches_inline(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10: the verified Jaccard pair table serves from the
+    corpus warehouse — stored == the inline PPJoin derivation at the
+    shared operating point, and a second ensure() serves without
+    rebuilding."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        jaccard_prefix_filter_pairs,
+    )
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    served = A.ensure_jaccard_pairs(spark, sf_dir)
+    toks, dft, _ = A.ensure_token_index(spark, sf_dir, k=3)
+    inline = jaccard_prefix_filter_pairs(
+        None,
+        t_num=1,
+        t_den=2,
+        max_doc_freq=100,
+        distinct_sh=toks.select("doc_id", F.col("tok").alias("sh")),
+        dft=dft.select(F.col("tok").alias("sh"), "df"),
+    )
+    key = lambda df: {
+        (r.doc_a, r.doc_b, r.common, r.jaccard) for r in df.collect()
+    }
+    assert key(served) == key(inline)
+
+    root = os.path.join(
+        A.corpus_warehouse(spark, sf_dir), "jaccard_pairs_k3_t12_df100"
+    )
+    mpath = os.path.join(root, "MANIFEST.json")
+    mt0 = os.path.getmtime(mpath)
+    A.ensure_jaccard_pairs(spark, sf_dir)
+    assert os.path.getmtime(mpath) == mt0
