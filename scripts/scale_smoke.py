@@ -118,6 +118,10 @@ DEFAULT = {
     "dsir_importance_resample": "documents",
     "multilingual_sampling_temperature": "documents",
     "training_data_pipeline_dsir": "documents",
+    # round-10 artifact-served reroutes (fresh scale rows)
+    "phash_method_agreement": "documents",
+    "split_leakage_neardup": "documents",
+    "top_supplier_q15": "lineitem",
 }
 
 
