@@ -348,6 +348,110 @@ def ensure_copurchase_graph(
     return spark.read.parquet(edges_path), spark.read.parquet(deg_path)
 
 
+def append_to_copurchase_graph(
+    spark: SparkSession,
+    base_sf_dir: str,
+    delta_li: DataFrame,
+    out_sf_dir: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incrementally maintain the co-purchase graph artifact (round
+    10): given the PREVIOUS corpus snapshot at ``base_sf_dir`` (whose
+    artifact exists or is built here) and the ingest batch
+    ``delta_li`` of NEW lineitem rows, publish the artifact for the
+    UPDATED corpus at ``out_sf_dir`` (= base + delta, as ingest laid
+    it down) by merging the delta's edges into the stored edge table —
+    producing byte-equivalent semantics to a full rebuild, registered
+    under the SAME content key `ensure_copurchase_graph` would compute,
+    so every graph-family consumer transparently serves the appended
+    artifact with zero code changes.
+
+    Precondition (the same whole-batch discipline the dedup index
+    documents): the delta consists of WHOLE orders — co-purchase pairs
+    share an l_orderkey, so when an order's lineitems land in one
+    batch, no edge spans base and delta and the merge is exact:
+    merged w / w_dist = base ⊎ delta summed per (src, dst). An order
+    split across batches would silently undercount its cross-batch
+    pairs; `validate=` is deliberately absent because checking
+    disjointness costs the base-table scan this function exists to
+    avoid — ingest owns that invariant (it already owns atomic
+    file-level appends).
+
+    Scale: the delta self-join runs on the DELTA only (fanout bounded
+    by items-per-order squared, independent of corpus size); the merge
+    is one full-outer equi-join on (src, dst) — O(|E| + |delta edges|)
+    over the stored OUTPUT table, never the accumulated input. At
+    100 TB that is the difference between touching yesterday's edge
+    table and re-shuffling the whole lineitem history; a bucketed
+    edge layout (the dedup index's cluster-bucket scheme) would
+    further confine the rewrite to touched buckets.
+
+    Returns the served (wedges, degrees) for ``out_sf_dir``. If the
+    target artifact already exists (same content key), it is served
+    as-is; if the base has no artifact yet, it is built first."""
+    base_w, _ = ensure_copurchase_graph(spark, base_sf_dir)
+
+    wh = graph_warehouse(spark, out_sf_dir)
+    root = os.path.join(wh, "copurchase")
+    edges_path = os.path.join(root, "wedges")
+    deg_path = os.path.join(root, "degrees")
+    if _manifest(root) is None:
+        lp = (
+            delta_li.select("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey", "l_partkey")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+        a, b = lp.alias("a"), lp.alias("b")
+        delta_edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(
+                F.sum(F.col("a.m") * F.col("b.m")).alias("w"),
+                F.count(F.lit(1)).alias("w_dist"),
+            )
+        )
+        bd = base_w.alias("base")
+        dd = delta_edges.alias("d")
+        merged = (
+            bd.join(dd, ["src", "dst"], "full_outer")
+            .select(
+                "src",
+                "dst",
+                (
+                    F.coalesce(F.col("base.w"), F.lit(0))
+                    + F.coalesce(F.col("d.w"), F.lit(0))
+                ).alias("w"),
+                (
+                    F.coalesce(F.col("base.w_dist"), F.lit(0))
+                    + F.coalesce(F.col("d.w_dist"), F.lit(0))
+                ).alias("w_dist"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(edges_path)
+        built = spark.read.parquet(edges_path)
+        (
+            built.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .write.mode("overwrite")
+            .parquet(deg_path)
+        )
+        _commit(
+            root,
+            {
+                "tables": ["wedges", "degrees"],
+                "n_edges": built.count(),
+                "appended_from": graph_warehouse(spark, base_sf_dir),
+            },
+        )
+    return spark.read.parquet(edges_path), spark.read.parquet(deg_path)
+
+
 def copurchase_n_edges(spark: SparkSession, sf_dir: str) -> int:
     """Directed symmetric edge count from the co-purchase manifest (a
     literal, not a scan); falls back to one parquet count for

@@ -280,3 +280,57 @@ def test_jaccard_pairs_artifact_matches_inline(
     mt0 = os.path.getmtime(mpath)
     A.ensure_jaccard_pairs(spark, sf_dir)
     assert os.path.getmtime(mpath) == mt0
+
+
+def test_copurchase_append_equals_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10: incremental co-purchase maintenance — appending a
+    whole-order delta to the previous snapshot's artifact produces
+    exactly the edge/degree tables a full rebuild of the combined
+    corpus produces, registered under the combined corpus's content
+    key (so ensure_copurchase_graph serves it without rebuilding)."""
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    base_dir = str(tmp_path / "base_sf")
+    os.makedirs(base_dir)
+    li.filter(F.col("l_orderkey") % 2 == 0).write.parquet(
+        os.path.join(base_dir, "lineitem.parquet")
+    )
+    delta = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    # warehouse A: append path
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whA"))
+    aw, ad = A.append_to_copurchase_graph(spark, base_dir, delta, sf_dir)
+    ekey = lambda df: {
+        (r.src, r.dst, r.w, r.w_dist) for r in df.collect()
+    }
+    dkey = lambda df: {(r.id, r.d) for r in df.collect()}
+    a_edges, a_degs = ekey(aw), dkey(ad)
+
+    # the appended artifact lives under the COMBINED corpus key:
+    # ensure() must serve it, not rebuild it
+    root = os.path.join(
+        A.graph_warehouse(spark, sf_dir), "copurchase"
+    )
+    mpath = os.path.join(root, "MANIFEST.json")
+    mt0 = os.path.getmtime(mpath)
+    sw, sd = A.ensure_copurchase_graph(spark, sf_dir)
+    assert os.path.getmtime(mpath) == mt0
+    assert ekey(sw) == a_edges
+
+    # warehouse B: fresh full rebuild of the combined corpus
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whB"))
+    rw, rd = A.ensure_copurchase_graph(spark, sf_dir)
+    assert ekey(rw) == a_edges
+    assert dkey(rd) == a_degs
+
+    # manifest n_edges literal (broadcast-dispatch input) matches too
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whA"))
+    nA = A.copurchase_n_edges(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whB"))
+    nB = A.copurchase_n_edges(spark, sf_dir)
+    assert nA == nB == len(a_edges)
