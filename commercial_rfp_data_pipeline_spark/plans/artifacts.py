@@ -498,6 +498,49 @@ def ensure_purchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def append_to_purchase_bipartite(
+    spark: SparkSession,
+    base_sf_dir: str,
+    delta_orders: DataFrame,
+    delta_li: DataFrame,
+    out_sf_dir: str,
+) -> DataFrame:
+    """Incremental maintenance for the HITS bipartite artifact (the
+    customer→part twin of `append_to_copurchase_graph`): join the
+    ingest batch's orders × lineitem (delta-only — bipartite edges
+    join through o_orderkey, so whole-order batches never form an
+    edge across base and delta), then merge into the stored DISTINCT
+    edge list with a union + distinct over the OUTPUT table, and
+    publish under the combined corpus's double key (lineitem-keyed
+    warehouse, orders-keyed artifact dir) that
+    `ensure_purchase_bipartite` computes — consumers serve it
+    unchanged. O(|E| + |delta edges|), never the accumulated input."""
+    base = ensure_purchase_bipartite(spark, base_sf_dir)
+
+    wh = graph_warehouse(spark, out_sf_dir)
+    root = os.path.join(wh, f"bipartite-{orders_key(spark, out_sf_dir)}")
+    path = os.path.join(root, "edges")
+    if _manifest(root) is None:
+        o = delta_orders.select("o_orderkey", "o_custkey")
+        li = delta_li.select("l_orderkey", "l_partkey")
+        delta_edges = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+            )
+            .distinct()
+        )
+        (
+            base.unionByName(delta_edges)
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _commit(root, {"tables": ["edges"]})
+    return spark.read.parquet(path)
+
+
 def customer_linkage_key(spark: SparkSession, sf_dir: str) -> str:
     """Signature of the customer columns the fuzzy-linkage family
     consumes (key, name, nation block)."""

@@ -334,3 +334,48 @@ def test_copurchase_append_equals_rebuild(
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whB"))
     nB = A.copurchase_n_edges(spark, sf_dir)
     assert nA == nB == len(a_edges)
+
+
+def test_bipartite_append_equals_rebuild(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10: incremental bipartite maintenance — whole-order delta
+    append == full rebuild, published under the combined corpus's
+    lineitem+orders double key."""
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    base_dir = str(tmp_path / "base_sf")
+    os.makedirs(base_dir)
+    o.filter(F.col("o_orderkey") % 2 == 0).write.parquet(
+        os.path.join(base_dir, "orders.parquet")
+    )
+    li.filter(F.col("l_orderkey") % 2 == 0).write.parquet(
+        os.path.join(base_dir, "lineitem.parquet")
+    )
+    d_orders = o.filter(F.col("o_orderkey") % 2 == 1)
+    d_li = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whA"))
+    appended = A.append_to_purchase_bipartite(
+        spark, base_dir, d_orders, d_li, sf_dir
+    )
+    ekey = lambda df: {(r.src, r.dst) for r in df.collect()}
+    a_edges = ekey(appended)
+
+    root = os.path.join(
+        A.graph_warehouse(spark, sf_dir),
+        f"bipartite-{A.orders_key(spark, sf_dir)}",
+    )
+    mpath = os.path.join(root, "MANIFEST.json")
+    mt0 = os.path.getmtime(mpath)
+    assert ekey(A.ensure_purchase_bipartite(spark, sf_dir)) == a_edges
+    assert os.path.getmtime(mpath) == mt0  # served, not rebuilt
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whB"))
+    assert ekey(A.ensure_purchase_bipartite(spark, sf_dir)) == a_edges
