@@ -343,12 +343,73 @@ def ppr_oracle_cte(
     )
 
 
+
+
+# ---- driver-side small-graph fast path (round 10) --------------------
+#
+# Every distributed superstep of the fixed-round loops below costs one
+# join + one groupBy of pure job overhead (~0.3-1.6 s on this VM)
+# regardless of data size; graphs that fit comfortably on the driver
+# pay seconds for microseconds of work. The same scale-adaptive
+# discipline as `dup_clusters`' union-find fast path: when the CALLER
+# knows the edge count (a manifest literal for the durable graph
+# artifacts — no extra job) and it is under
+# SPARK_GRAFT_GRAPH_LOCAL_EDGES (default 4M directed rows, the same
+# sizing class as the triangle broadcast cutoff: 2-3 int64 columns
+# x 4M = 64-96 MB via Arrow), the loop runs as exact numpy/int
+# kernels driver-side and the result is parallelized back. Larger
+# graphs — and any caller that does not pass ``n_edges`` — keep the
+# distributed O(rounds) join/groupBy loops unchanged. Every local
+# kernel replicates the distributed arithmetic EXACTLY (integer hops/
+# distances/labels; HITS' decimal(18,6) as scaled-int micro units with
+# the identical shortest-repr HALF_UP rounding), equality-tested
+# against the distributed path and proven again by every green oracle
+# verify at the small SFs (where the local path is the one serving).
+
+
+def graph_local_limit() -> int:
+    import os as _os
+
+    return int(_os.environ.get("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "4000000"))
+
+
+def _local_eligible(n_edges: int | None) -> bool:
+    return n_edges is not None and 0 <= n_edges <= graph_local_limit()
+
+
+def _np_lookup(sorted_ids, vals):
+    """(positions, found_mask) of ``vals`` in the sorted id array."""
+    import numpy as np
+
+    pos = np.searchsorted(sorted_ids, vals)
+    ok = pos < len(sorted_ids)
+    pos = np.where(ok, pos, 0)
+    ok &= sorted_ids[pos] == vals
+    return pos, ok
+
+
+def _int_cols(df: DataFrame, *cols):
+    """Collect ``cols`` via Arrow as int64 numpy arrays, or None if any
+    column is not integer-typed (caller falls back to distributed)."""
+    import numpy as np
+
+    pdf = df.select(*cols).toPandas()
+    out = []
+    for c in cols:
+        a = pdf[c].to_numpy()
+        if not np.issubdtype(a.dtype, np.integer):
+            return None
+        out.append(a.astype(np.int64, copy=False))
+    return out
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 3,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Multi-source BFS: (id, hops) — the minimum hop count from any
     source, for every node reachable within ``max_hops``. Sources
@@ -361,7 +422,14 @@ def bfs_hops(
     lineage does not replay rounds 1..h (the same iterative hygiene as
     dup_clusters / pagerank). A fixed ``max_hops`` keeps the whole
     construction SQL-expressible — the oracle states the identical
-    bounded recursion."""
+    bounded recursion. Pass ``n_edges`` (a manifest literal) to enable
+    the driver-side small-graph fast path."""
+    if _local_eligible(n_edges):
+        out = _bfs_local(edges, sources, src, dst, max_hops)
+        if out is not None:
+            bfs_hops.last_local = True
+            return out
+    bfs_hops.last_local = False
     # edges stay LAZY: the per-round rebuild of a cheap scan-shaped
     # edge derivation beats materializing the full pair stream
     # (measured both ways at sf0.1); callers with an expensive edge
@@ -387,6 +455,46 @@ def bfs_hops(
     return dist
 
 
+def _bfs_local(edges, sources, src, dst, max_hops):
+    """Exact numpy replica of the bounded frontier BFS: integer hop
+    counts, so there is no arithmetic to drift. Returns None (caller
+    falls back) on non-integer id columns."""
+    import numpy as np
+    import pandas as pd
+
+    ed = _int_cols(edges, src, dst)
+    sc = _int_cols(sources, sources.columns[0])
+    if ed is None or sc is None:
+        return None
+    s, d = ed
+    seeds = np.unique(sc[0])
+    ids = np.unique(np.concatenate([s, d, seeds]))
+    spos, sok = _np_lookup(ids, s)
+    hops = np.full(len(ids), -1, np.int64)
+    hops[np.searchsorted(ids, seeds)] = 0
+    frontier = np.zeros(len(ids), bool)
+    frontier[np.searchsorted(ids, seeds)] = True
+    for h in range(1, max_hops + 1):
+        m = frontier[spos] & sok
+        if not m.any():
+            break
+        new = np.zeros(len(ids), bool)
+        new[np.searchsorted(ids, d[m])] = True
+        new &= hops < 0
+        if not new.any():
+            break
+        hops[new] = h
+        frontier = new
+    reached = hops >= 0
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"id": ids[reached], "hops": hops[reached].astype("int32")}
+        ),
+        "id long, hops int",
+    )
+
+
 _HITS_DEC = "decimal(18,6)"
 
 
@@ -396,6 +504,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     assume_distinct: bool = False,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) with sum-normalization,
     fixed ``n_iters`` rounds: auth(d) = sum of hub(s) over in-edges,
@@ -411,7 +520,17 @@ def hits(
 
     ``assume_distinct=True`` skips the dedup shuffle + materialization
     when the caller guarantees a distinct edge list (the durable
-    bipartite artifact writes DISTINCT pairs)."""
+    bipartite artifact writes DISTINCT pairs). Pass ``n_edges`` (a
+    manifest literal) to enable the driver-side small-graph fast path
+    — exact to the bit, because the decimal(18,6) scores are scaled
+    int64 micro-units locally and the per-half-step normalize
+    replicates Spark's shortest-repr HALF_UP rounding."""
+    if _local_eligible(n_edges) and n_iters >= 1:
+        out = _hits_local(edges, src, dst, n_iters, assume_distinct)
+        if out is not None:
+            hits.last_local = True
+            return out
+    hits.last_local = False
     e = edges.select(src, dst)
     if not assume_distinct:
         e = e.distinct().localCheckpoint()
@@ -466,6 +585,78 @@ def hits(
     )
 
 
+def _hits_local(edges, src, dst, n_iters, assume_distinct):
+    """Exact scaled-int replica of the decimal(18,6) HITS loop.
+
+    Sums are exact (int64 micro-units, order-independent like the
+    decimal sums they mirror). The per-half-step normalize replicates
+    Spark's `round(raw_dec.cast(double) / tot_dec.cast(double), 6)
+    .cast(decimal(18,6))` chain bit-for-bit: decimal->double casts are
+    correctly rounded (CPython float(Decimal) likewise), the division
+    is one IEEE op, and Spark's Round(double) goes through
+    BigDecimal.valueOf = Double.toString = shortest round-trip repr —
+    the same string CPython's repr() produces — then HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    ed = _int_cols(edges, src, dst)
+    if ed is None:
+        return None
+    s, d = ed
+    if not assume_distinct and len(s):
+        pair = np.stack([s, d], axis=1)
+        pair = np.unique(pair, axis=0)
+        s, d = pair[:, 0], pair[:, 1]
+    if not len(s):
+        return None  # degenerate: let the distributed path define it
+    src_ids = np.unique(s)
+    dst_ids = np.unique(d)
+    spos = np.searchsorted(src_ids, s)
+    dpos = np.searchsorted(dst_ids, d)
+    six = Decimal("0.000001")
+
+    def _norm6(raw: np.ndarray) -> np.ndarray:
+        tot = float(Decimal(int(raw.sum())).scaleb(-6))
+        memo: dict[int, int] = {}
+        out = np.empty(len(raw), np.int64)
+        for i, r in enumerate(raw.tolist()):
+            v = memo.get(r)
+            if v is None:
+                x = float(Decimal(r).scaleb(-6)) / tot
+                v = int(
+                    Decimal(repr(x)).quantize(six, ROUND_HALF_UP).scaleb(6)
+                )
+                memo[r] = v
+            out[i] = v
+        return out
+
+    hub = np.full(len(src_ids), 10**6, np.int64)
+    auth = None
+    for _ in range(n_iters):
+        araw = np.zeros(len(dst_ids), np.int64)
+        np.add.at(araw, dpos, hub[spos])
+        auth = _norm6(araw)
+        hraw = np.zeros(len(src_ids), np.int64)
+        np.add.at(hraw, spos, auth[dpos])
+        hub = _norm6(hraw)
+
+    def _dbl(m: np.ndarray) -> list[float]:
+        return [float(Decimal(int(v)).scaleb(-6)) for v in m]
+
+    pdf = pd.DataFrame(
+        {
+            "role": ["hub"] * len(src_ids) + ["auth"] * len(dst_ids),
+            "id": np.concatenate([src_ids, dst_ids]),
+            "score": _dbl(hub) + _dbl(auth),
+        }
+    )
+    return edges.sparkSession.createDataFrame(
+        pdf, "role string, id long, score double"
+    )
+
+
 def label_propagation(
     nodes: DataFrame,
     edges: DataFrame,
@@ -473,6 +664,7 @@ def label_propagation(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection: every round
     each node adopts the most frequent label among its in-neighbors
@@ -485,7 +677,15 @@ def label_propagation(
 
     Per round: one edges-labels join + two map-side-combining groupBys
     ((node, lbl) counts, then per-node argmax) — the PageRank-superstep
-    cost envelope. Returns (id, community)."""
+    cost envelope. Returns (id, community). Pass ``n_edges`` (a
+    manifest literal) to enable the driver-side small-graph fast
+    path."""
+    if _local_eligible(n_edges):
+        out = _lpa_local(nodes, edges, n_iters, id_col, src, dst)
+        if out is not None:
+            label_propagation.last_local = True
+            return out
+    label_propagation.last_local = False
     # the edge list feeds every round — materialize it once (the same
     # iterative hygiene as hits/pagerank/sssp; callers often pass an
     # expensive lazy self-join). Measured ~2x at sf0.1 on the
@@ -513,6 +713,55 @@ def label_propagation(
     return labels.select("id", F.col("lbl").alias("community"))
 
 
+def _lpa_local(nodes, edges, n_iters, id_col, src, dst):
+    """Exact numpy replica of the synchronous frequency-vote rounds:
+    integer labels, (count DESC, label ASC) tiebreak — nothing to
+    drift. Returns None (caller falls back) on non-integer ids or a
+    non-unique node list (the distributed join semantics then weight
+    votes by node-row multiplicity, which the kernel does not model)."""
+    import numpy as np
+    import pandas as pd
+
+    nd = _int_cols(nodes.select(id_col), id_col)
+    ed = _int_cols(edges, src, dst)
+    if nd is None or ed is None:
+        return None
+    raw_ids = nd[0]
+    nid = np.unique(raw_ids)
+    if len(nid) != len(raw_ids):
+        return None
+    s, d = ed
+    spos, sok = _np_lookup(nid, s)
+    dpos, dok = _np_lookup(nid, d)
+    m = sok & dok
+    vd_all, vs_all = dpos[m], spos[m]
+    lbl = nid.copy()
+    for _ in range(n_iters):
+        if not len(vd_all):
+            break
+        vl = lbl[vs_all]
+        order = np.lexsort((vl, vd_all))
+        vd_s, vl_s = vd_all[order], vl[order]
+        new_grp = np.empty(len(vd_s), bool)
+        new_grp[0] = True
+        new_grp[1:] = (vd_s[1:] != vd_s[:-1]) | (vl_s[1:] != vl_s[:-1])
+        counts = np.bincount(np.cumsum(new_grp) - 1)
+        g_vd, g_vl = vd_s[new_grp], vl_s[new_grp]
+        # per node: max count, then smallest label
+        o2 = np.lexsort((g_vl, -counts, g_vd))
+        gvd2, gvl2 = g_vd[o2], g_vl[o2]
+        first = np.empty(len(gvd2), bool)
+        first[0] = True
+        first[1:] = gvd2[1:] != gvd2[:-1]
+        nxt = lbl.copy()
+        nxt[gvd2[first]] = gvl2[first]
+        lbl = nxt
+    return nodes.sparkSession.createDataFrame(
+        pd.DataFrame({"id": nid, "community": lbl}),
+        "id long, community long",
+    )
+
+
 def sssp_bounded(
     edges: DataFrame,
     sources: DataFrame,
@@ -520,6 +769,7 @@ def sssp_bounded(
     src: str = "src",
     dst: str = "dst",
     w: str = "w",
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Bounded Bellman-Ford single/multi-source shortest paths: after
     ``rounds`` relaxation supersteps, (id, dist) holds the exact
@@ -533,7 +783,15 @@ def sssp_bounded(
     a PageRank superstep, and the same fixed-round discipline keeps it
     oracle-expressible as unrolled CTEs (integer weights -> exact
     arithmetic, no float drift). State is lazily checkpointed per round
-    so round k+1 reads a materialized table."""
+    so round k+1 reads a materialized table. Pass ``n_edges`` (a
+    manifest literal) to enable the driver-side small-graph fast path
+    (integer weights only — a float weight column falls back)."""
+    if _local_eligible(n_edges):
+        out = _sssp_local(edges, sources, rounds, src, dst, w)
+        if out is not None:
+            sssp_bounded.last_local = True
+            return out
+    sssp_bounded.last_local = False
     dist = (
         sources.select(F.col(sources.columns[0]).alias("id"))
         .distinct()
@@ -555,6 +813,40 @@ def sssp_bounded(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+def _sssp_local(edges, sources, rounds, src, dst, w):
+    """Exact numpy replica of the bounded min-plus supersteps: int64
+    distances and weights, min is exact selection — nothing to drift.
+    Relaxation round k reads only the round-(k-1) distance vector,
+    exactly like the distributed union+min."""
+    import numpy as np
+    import pandas as pd
+
+    ed = _int_cols(edges, src, dst, w)
+    sc = _int_cols(sources, sources.columns[0])
+    if ed is None or sc is None:
+        return None
+    s, d, wt = ed
+    seeds = np.unique(sc[0])
+    ids = np.unique(np.concatenate([s, d, seeds]))
+    spos, sok = _np_lookup(ids, s)
+    dpos = np.searchsorted(ids, d)
+    INF = np.int64(2**62)
+    dist = np.full(len(ids), INF, np.int64)
+    dist[np.searchsorted(ids, seeds)] = 0
+    for _ in range(rounds):
+        m = sok & (dist[spos] < INF)
+        if not m.any():
+            break
+        nxt = dist.copy()
+        np.minimum.at(nxt, dpos[m], dist[spos[m]] + wt[m])
+        dist = nxt
+    reached = dist < INF
+    return edges.sparkSession.createDataFrame(
+        pd.DataFrame({"id": ids[reached], "dist": dist[reached]}),
+        "id long, dist long",
+    )
 
 
 def kcore_peel(

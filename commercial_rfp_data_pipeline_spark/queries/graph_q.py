@@ -281,6 +281,9 @@ def q_bfs_copurchase(spark, sf_dir):
     to the NEW nodes discovered, not the graph — the scalable BFS
     shape (the oracle states the same bounded recursion naively)."""
     from commercial_rfp_data_pipeline_spark.operators.graph import bfs_hops
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
 
     wedges, _ = _copurchase(spark, sf_dir)
     edges = wedges.select("src", "dst")
@@ -289,7 +292,10 @@ def q_bfs_copurchase(spark, sf_dir):
         .filter(F.col("p_size") == 50)
         .select("p_partkey")
     )
-    out = bfs_hops(edges, sources, max_hops=3)
+    out = bfs_hops(
+        edges, sources, max_hops=3,
+        n_edges=copurchase_n_edges(spark, sf_dir),
+    )
     return out.select(
         F.col("id").alias("p_partkey"), F.col("hops").cast("int").alias("hops")
     )
@@ -357,11 +363,15 @@ def q_hits(spark, sf_dir):
     iteration value-hash-checkable."""
     from commercial_rfp_data_pipeline_spark.operators.graph import hits
     from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        bipartite_n_edges,
         ensure_purchase_bipartite,
     )
 
     edges = ensure_purchase_bipartite(spark, sf_dir)
-    return hits(edges, n_iters=3, assume_distinct=True)
+    return hits(
+        edges, n_iters=3, assume_distinct=True,
+        n_edges=bipartite_n_edges(spark, sf_dir),
+    )
 
 
 @query(
@@ -407,13 +417,19 @@ def q_label_propagation(spark, sf_dir):
     from commercial_rfp_data_pipeline_spark.operators.graph import (
         label_propagation,
     )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
 
     wedges, _ = _copurchase(spark, sf_dir)
     edges = wedges.select("src", "dst")
     nodes = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("id")
     )
-    lp = label_propagation(nodes, edges, n_iters=2)
+    lp = label_propagation(
+        nodes, edges, n_iters=2,
+        n_edges=copurchase_n_edges(spark, sf_dir),
+    )
     sizes = lp.groupBy("community").agg(F.count(F.lit(1)).alias("community_size"))
     return lp.join(sizes, "community").select(
         F.col("id").alias("p_partkey"), "community", "community_size"
@@ -504,17 +520,26 @@ def q_sssp_weighted(spark, sf_dir):
     shortest-path distance within 3 relaxation rounds from seed parts
     {{1,2,3}} — the weighted sibling of bfs_hops_copurchase. Min-plus
     supersteps, unrolled-CTE oracle, integer arithmetic throughout."""
-    from commercial_rfp_data_pipeline_spark.operators.graph import sssp_bounded
+    from commercial_rfp_data_pipeline_spark.operators.graph import (
+        _local_eligible,
+        sssp_bounded,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
 
     wedges, _ = _copurchase(spark, sf_dir)
     edges = wedges.select("src", "dst").withColumn(
         "w", (1 + (F.col("src") + F.col("dst")) % 5).cast("long")
     )
-    # every relaxation round re-reads the edges: keep them in memory
-    # (the build itself is now a parquet read of the durable artifact)
-    edges = edges.localCheckpoint()
+    ne = copurchase_n_edges(spark, sf_dir)
+    if not _local_eligible(ne):
+        # every relaxation round re-reads the edges: keep them in
+        # memory (the build itself is a read of the durable artifact);
+        # the local fast path collects them once instead
+        edges = edges.localCheckpoint()
     seeds = spark.createDataFrame([(1,), (2,), (3,)], "id long")
-    out = sssp_bounded(edges, seeds, rounds=3)
+    out = sssp_bounded(edges, seeds, rounds=3, n_edges=ne)
     return out.select(F.col("id").alias("p_partkey"), "dist")
 
 
@@ -667,6 +692,9 @@ def q_community_modularity(spark, sf_dir):
     from commercial_rfp_data_pipeline_spark.operators.graph import (
         label_propagation,
     )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
 
     wedges, degrees = _copurchase(spark, sf_dir)
     edges = wedges.select("src", "dst")
@@ -674,7 +702,10 @@ def q_community_modularity(spark, sf_dir):
 
     edges = pin(edges, "modularity_edges")
     nodes = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
-    labels = label_propagation(nodes, edges, n_iters=2).select("id", "community")
+    labels = label_propagation(
+        nodes, edges, n_iters=2,
+        n_edges=copurchase_n_edges(spark, sf_dir),
+    ).select("id", "community")
     deg = degrees.select("id", F.col("d").alias("k"))
     m2 = edges.count()  # 2m — a scalar the driver holds, like the CC fixpoint probe
     la = labels.select(F.col("id").alias("src"), F.col("community").alias("ca"))

@@ -317,9 +317,22 @@ def q_ivf_search(spark, sf_dir):
     assignment, probing, ranking — so unlike most ANN implementations
     the whole path is oracle-checked; recall loss vs
     knn_exact_cosine_topk is a measured property of nprobe, not noise
-    (tests pin it)."""
+    (tests pin it). The trained centroids + cell layout serve from the
+    durable `ensure_ivf_models` artifact (round 10) — the index a
+    production ANN service maintains; the oracle states the full Lloyd
+    unroll, so green verify proves artifact == inline."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_ivf_models,
+    )
+
+    cents, asg = ensure_ivf_models(spark, sf_dir)
     out = ivf_search(
-        _vectors(spark, sf_dir), _queries_df(spark, sf_dir), n_centroids=16, nprobe=2, k=5
+        None,
+        _queries_df(spark, sf_dir),
+        nprobe=2,
+        k=5,
+        cents=cents,
+        assigned=asg.select("vec_id", "embedding", "cent_id", "_n"),
     )
     return out.select("q_id", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
 
@@ -498,19 +511,20 @@ def q_semdedup(spark, sf_dir):
     cent_id, fanout bounded by cell occupancy, never corpus x corpus);
     clustering reuses the shared CC operator (edge-subgraph iteration);
     the final keep flag is a projection, not another shuffle."""
-    from commercial_rfp_data_pipeline_spark.io import pin_eager
     from commercial_rfp_data_pipeline_spark.operators.dedup import dup_clusters
-    from commercial_rfp_data_pipeline_spark.operators.vector import (
-        cosine,
-        ivf_assign,
+    from commercial_rfp_data_pipeline_spark.operators.vector import cosine
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_ivf_models,
     )
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    # eager stage boundary: the CC loop below runs per-round actions
-    # that would otherwise re-plan the k-means prefix each round
-    asg = pin_eager(
-        ivf_assign(v, n_centroids=16).select("vec_id", "embedding", "cent_id")
-    )
+    # round 10: the k-means assignment serves from the durable
+    # `ensure_ivf_models` cell layout (already a materialized parquet
+    # table, so the CC loop's per-round actions re-read it instead of
+    # re-planning the Lloyd prefix); oracle unchanged — green verify
+    # proves artifact == inline
+    _, asg_full = ensure_ivf_models(spark, sf_dir)
+    asg = asg_full.select("vec_id", "embedding", "cent_id")
     a = asg.select(
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
@@ -927,11 +941,17 @@ def q_pq_adc(spark, sf_dir):
     and top-k ranks by the sum of per-subspace query->code-centroid
     lookups. Codebooks are 1 deterministic Lloyd round per subspace
     under exact-decimal squared-L2, so training, encoding, the lookup
-    table, and the final ranking all value-hash against the oracle."""
+    table, and the final ranking all value-hash against the oracle.
+    Codebooks + codes serve from the durable `ensure_pq_models`
+    artifact (round 10); the oracle states the full training."""
     from commercial_rfp_data_pipeline_spark.operators.vector import pq_adc_topk
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_pq_models,
+    )
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    return pq_adc_topk(v, [0, 1, 2], dim=DIM)
+    books, codes = ensure_pq_models(spark, sf_dir)
+    return pq_adc_topk(v, [0, 1, 2], dim=DIM, books=books, codes=codes)
 
 
 _IDCG5 = (
@@ -1209,21 +1229,25 @@ def q_ivfpq(spark, sf_dir):
     touches nprobe/n_centroids of the corpus and reads 4 bytes per
     candidate instead of 256. Every stage (both trainings, both
     assignments, the probe, the ADC ranking) is deterministic, so the
-    composed index is oracle-checked end to end."""
+    composed index is oracle-checked end to end. Both trained halves
+    (coarse quantizer + cell layout, PQ codebooks + codes) serve from
+    the durable `ensure_ivf_models` / `ensure_pq_models` artifacts
+    (round 10); the oracle states both full trainings."""
     from commercial_rfp_data_pipeline_spark.operators.vector import (
         _sq_l2,
-        ivf_assign,
-        ivf_centroids,
-        pq_codebooks,
-        pq_encode,
         pq_subvectors,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_ivf_models,
+        ensure_pq_models,
     )
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    cents = pin(ivf_centroids(v, n_centroids=16), key="ivfpq_cents")
-    asg = ivf_assign(v, cents=cents).select("vec_id", "cent_id")
-    books = pin(pq_codebooks(v, dim=DIM), key="ivfpq_books")
-    codes = pq_encode(v, books, dim=DIM)
+    cents, asg_full = ensure_ivf_models(spark, sf_dir)
+    cents = pin(cents, key="ivfpq_cents")
+    asg = asg_full.select("vec_id", "cent_id")
+    books, codes = ensure_pq_models(spark, sf_dir)
+    books = pin(books, key="ivfpq_books")
     qv = v.filter(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1520,11 +1544,15 @@ def q_knn_graph(spark, sf_dir):
     """Exact m-NN graph build (m=8 = 2M of the reference HNSW M=4,
     indexer:95-137): block-grid local top-m per cell, one global window
     for the final top-m per source. The oracle is the naive all-pairs
-    rank; the engine never shuffles the n^2 similarity matrix."""
-    from commercial_rfp_data_pipeline_spark.operators.vector import knn_graph
+    rank; the engine never shuffles the n^2 similarity matrix. Serves
+    from the durable `ensure_knn_graph8` artifact (round 10) — the
+    persisted half of a navigable-graph index; green verify proves
+    artifact == inline against the all-pairs oracle."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_knn_graph8,
+    )
 
-    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    return knn_graph(v, m=_GRAPH_M)
+    return ensure_knn_graph8(spark, sf_dir)
 
 
 def _beam_rounds_sql() -> str:
@@ -1587,11 +1615,13 @@ def q_graph_ann_beam(spark, sf_dir):
     value-checks the deterministic algorithm itself."""
     from commercial_rfp_data_pipeline_spark.operators.vector import (
         graph_beam_search,
-        knn_graph,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_knn_graph8,
     )
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    graph = pin(knn_graph(v, m=_GRAPH_M), "knn_graph_for_beam")
+    graph = pin(ensure_knn_graph8(spark, sf_dir), "knn_graph_for_beam")
     return graph_beam_search(
         v,
         graph,
@@ -1720,10 +1750,13 @@ def q_graph_ann_hnsw(spark, sf_dir):
         hnsw_search,
         knn_graph,
     )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_knn_graph8,
+    )
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
     upper = v.filter(hnsw_layer_pred(upper_mod=_HNSW_MOD))
-    base_graph = pin(knn_graph(v, m=_GRAPH_M), "hnsw_base_graph")
+    base_graph = pin(ensure_knn_graph8(spark, sf_dir), "hnsw_base_graph")
     # the upper layer is ~n/16 nodes; its exact graph build is tiny
     upper_graph = pin(knn_graph(upper, m=_GRAPH_M, n_blocks=2), "hnsw_upper_graph")
     return hnsw_search(
@@ -1854,11 +1887,14 @@ def q_graph_ann_hnsw_deep(spark, sf_dir):
         hnsw_search_deep,
         knn_graph,
     )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_knn_graph8,
+    )
 
     v = _vectors(spark, sf_dir).select("vec_id", "embedding")
     l1 = v.filter(hnsw_level_pred(1, upper_mod=_HNSW_DEEP_MOD))
     l2 = v.filter(hnsw_level_pred(2, upper_mod=_HNSW_DEEP_MOD))
-    base_graph = pin(knn_graph(v, m=_GRAPH_M), "hnsw_base_graph")
+    base_graph = pin(ensure_knn_graph8(spark, sf_dir), "hnsw_base_graph")
     g1 = pin(knn_graph(l1, m=_GRAPH_M, n_blocks=2), "hnsw_deep_l1_graph")
     g2 = pin(knn_graph(l2, m=_GRAPH_M, n_blocks=1), "hnsw_deep_l2_graph")
     return hnsw_search_deep(
@@ -1942,15 +1978,14 @@ def q_nn_descent(spark, sf_dir):
     stronger — this synthetic corpus is near-orthogonal, the
     hardest case). Deterministic
     LSH planes + (sim DESC, id) ranks keep even the approximate build
-    value-hash-checked."""
-    from commercial_rfp_data_pipeline_spark.operators.vector import (
-        nn_descent_graph,
+    value-hash-checked. Serves from the durable
+    `ensure_nn_descent_graph` artifact (round 10); the oracle states
+    the full LSH-init + 2-round refinement chain."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_nn_descent_graph,
     )
 
-    v = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    return nn_descent_graph(
-        v, dim=DIM, m=_GRAPH_M, rounds=_ND_ROUNDS, n_tables=6
-    )
+    return ensure_nn_descent_graph(spark, sf_dir)
 
 
 @query(
@@ -1994,12 +2029,17 @@ def q_knn_label_classification(spark, sf_dir):
     ((count DESC, label) tiebreak), reported as per-label leave-one-out
     accuracy. At scale the graph is the durable index
     (ensure_graph_index); classification is then one edge join + two
-    small aggregates — no similarity computation at serve time."""
-    from commercial_rfp_data_pipeline_spark.operators.vector import knn_graph
+    small aggregates — no similarity computation at serve time. Round
+    10 makes that literal: the graph serves from the durable
+    `ensure_knn_graph8` artifact."""
     from pyspark.sql import Window as W
 
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_knn_graph8,
+    )
+
     v = _vectors(spark, sf_dir)
-    g = knn_graph(v.select("vec_id", "embedding"), m=_GRAPH_M)
+    g = ensure_knn_graph8(spark, sf_dir)
     labels = v.select("vec_id", "label")
     votes = (
         g.join(labels.withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
@@ -2242,8 +2282,14 @@ def q_ivf_filtered(spark, sf_dir):
     matching rows in nprobe cells — unlike the post-rank filter whose
     recall loss filtered_vector_search makes visible. Same trained
     Lloyd centroids, probe order, and ranking as ivf_topk_search; the
-    oracle restates the full path including the filter placement."""
+    oracle restates the full path including the filter placement.
+    Centroids + cell layout (label stored in the cells, as a
+    filterable index field is) serve from the durable
+    `ensure_ivf_models` artifact (round 10)."""
     from commercial_rfp_data_pipeline_spark.operators.vector import ivf_search
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_ivf_models,
+    )
 
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2251,12 +2297,16 @@ def q_ivf_filtered(spark, sf_dir):
         F.col("embedding").alias("q_vec"),
         F.col("label").alias("q_label"),
     )
+    cents, asg = ensure_ivf_models(spark, sf_dir)
     out = ivf_search(
-        v,
+        None,
         q,
-        n_centroids=16,
         nprobe=2,
         k=5,
+        cents=cents,
+        assigned=asg.select(
+            "vec_id", "embedding", "cent_id", "_n", "label"
+        ),
         match_cols=("label", "q_label"),
     )
     return out.select(

@@ -379,3 +379,259 @@ def test_bipartite_append_equals_rebuild(
 
     monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "whB"))
     assert ekey(A.ensure_purchase_bipartite(spark, sf_dir)) == a_edges
+
+
+# ---- round-10 wave 2: vector-model / minhash-eval / clean-pool artifacts ----
+
+
+def _rows(df, *cols):
+    return {
+        tuple(
+            tuple(v) if isinstance(v, list) else v
+            for v in (getattr(r, c) for c in cols)
+        )
+        for r in df.collect()
+    }
+
+
+def test_ivf_models_artifact_matches_inline(spark, sf_dir, tmp_path, monkeypatch):
+    """Round 10 wave 2: the trained IVF coarse quantizer (centroids +
+    cell layout) serves from the embeddings-keyed artifact — stored ==
+    the inline Lloyd derivation, and a second ensure() serves without
+    rebuilding."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        ivf_assign,
+        ivf_centroids,
+    )
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    cents, asg = A.ensure_ivf_models(spark, sf_dir)
+    v = A._ann_vectors(spark, sf_dir)
+    inline_cents = ivf_centroids(
+        v.select("vec_id", "embedding"), n_centroids=16
+    )
+    assert _rows(cents, "cent_id", "cent_vec") == _rows(
+        inline_cents, "cent_id", "cent_vec"
+    )
+    inline_asg = ivf_assign(
+        v.select("vec_id", "embedding"), cents=inline_cents
+    ).join(v.select("vec_id", "label"), "vec_id")
+    assert _rows(asg, "vec_id", "cent_id", "label") == _rows(
+        inline_asg, "vec_id", "cent_id", "label"
+    )
+
+    root = os.path.join(A.vector_warehouse(spark, sf_dir), "ivf16_v1")
+    mt0 = os.path.getmtime(os.path.join(root, "MANIFEST.json"))
+    A.ensure_ivf_models(spark, sf_dir)
+    assert os.path.getmtime(os.path.join(root, "MANIFEST.json")) == mt0
+
+
+def test_pq_models_artifact_matches_inline(spark, sf_dir, tmp_path, monkeypatch):
+    """Round 10 wave 2: PQ codebooks + corpus codes serve from the
+    embeddings-keyed artifact — stored == inline training/encoding."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    books, codes = A.ensure_pq_models(spark, sf_dir)
+    v = A._ann_vectors(spark, sf_dir).select("vec_id", "embedding")
+    inline_books = pq_codebooks(v, dim=64)
+    assert _rows(books, "m", "code_id", "code_vec") == _rows(
+        inline_books, "m", "code_id", "code_vec"
+    )
+    inline_codes = pq_encode(v, inline_books, dim=64)
+    assert _rows(codes, "vec_id", "m", "code") == _rows(
+        inline_codes, "vec_id", "m", "code"
+    )
+
+
+def test_knn_and_nn_descent_graph_artifacts_match_inline(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10 wave 2: the exact 8-NN base graph and the NN-descent
+    approximate graph serve from embeddings-keyed artifacts — stored ==
+    the inline builds at the registry operating points."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        knn_graph,
+        nn_descent_graph,
+    )
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    v = A._ann_vectors(spark, sf_dir).select("vec_id", "embedding")
+    served = A.ensure_knn_graph8(spark, sf_dir)
+    inline = knn_graph(v, m=8)
+    assert _rows(served, "src_id", "nbr_id", "rnk") == _rows(
+        inline, "src_id", "nbr_id", "rnk"
+    )
+    served_nd = A.ensure_nn_descent_graph(spark, sf_dir)
+    inline_nd = nn_descent_graph(v, dim=64, m=8, rounds=2, n_tables=6)
+    assert _rows(served_nd, "src_id", "nbr_id", "rnk") == _rows(
+        inline_nd, "src_id", "nbr_id", "rnk"
+    )
+
+
+def test_minhash_eval_artifact_matches_inline(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10 wave 2: the MinHash signature table and the exact
+    Jaccard>=0.2 ground-truth pair table serve from the corpus-keyed
+    artifact — stored == the inline shingle->minhash / postings
+    derivations."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        N_MINHASH,
+        jaccard_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    sigs, truth = A.ensure_minhash_eval(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, parallelism=spark.sparkContext.defaultParallelism)
+    mh_cols = ["doc_id"] + [f"mh{s}" for s in range(N_MINHASH)]
+    assert _rows(sigs, *mh_cols) == _rows(
+        minhash_signatures(sh), *mh_cols
+    )
+    inline_truth = jaccard_pairs(sh, threshold=0.2, max_doc_freq=100)
+    assert _rows(truth, "doc_a", "doc_b", "common", "jaccard") == _rows(
+        inline_truth, "doc_a", "doc_b", "common", "jaccard"
+    )
+
+
+def test_clean_pool_artifact_matches_inline(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10 wave 2: the training pipelines' (kept, clean) stage
+    boundaries serve from the corpus-keyed clean-pool artifact —
+    stored == the inline quality + contamination stages."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.operators.textops import (
+        contamination_overlap,
+        repetition_features,
+    )
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    kept, clean = A.ensure_clean_pool(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    inline_kept = corpus.join(
+        repetition_features(corpus).filter("keep").select("doc_id"),
+        "doc_id",
+    )
+    assert _rows(kept, "doc_id") == _rows(inline_kept, "doc_id")
+    contaminated = (
+        contamination_overlap(inline_kept, eval_docs, k=5)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    inline_clean = inline_kept.join(contaminated, "doc_id", "left_anti")
+    assert _rows(clean, "doc_id") == _rows(inline_clean, "doc_id")
+
+
+def test_vector_warehouse_rekeys_on_embeddings_change(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A label-only embeddings change must re-key the vector warehouse
+    (labels are stored in the filtered-search cell layout), so stale
+    ANN models can never be served."""
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    alt = str(tmp_path / "altsf_emb")
+    os.makedirs(alt)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.withColumn("label", F.col("label") + F.lit(1)).write.parquet(
+        os.path.join(alt, "embeddings.parquet")
+    )
+    assert A.embeddings_key(spark, alt) != A.embeddings_key(spark, sf_dir)
+
+
+# ---- round-10 wave 2: graph small-graph fast-path equality ----------
+
+
+def test_graph_local_fast_paths_equal_distributed(spark, monkeypatch):
+    """Round 10 wave 2: bfs_hops / sssp_bounded / label_propagation /
+    hits run driver-side numpy kernels when the caller passes a
+    manifest n_edges literal under SPARK_GRAFT_GRAPH_LOCAL_EDGES —
+    each must produce IDENTICAL rows to the distributed join/groupBy
+    loop on the same graph (hits bit-for-bit on the double scores,
+    which proves the scaled-int decimal(18,6) replication)."""
+    import random
+
+    from commercial_rfp_data_pipeline_spark.operators import graph as G
+
+    random.seed(11)
+    edges = sorted(
+        {
+            (random.randint(0, 120), random.randint(0, 120))
+            for _ in range(400)
+        }
+    )
+    # duplicates exercise the assume_distinct=False dedup parity
+    dup_edges = edges + edges[:50]
+    e = spark.createDataFrame(dup_edges, "src long, dst long")
+    we = spark.createDataFrame(
+        [(s, d, 1 + (s + d) % 5) for s, d in edges], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    nodes = spark.createDataFrame([(i,) for i in range(121)], "id long")
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "100000")
+
+    fast = {
+        (r.id, r.hops)
+        for r in G.bfs_hops(e, seeds, max_hops=3, n_edges=len(dup_edges)).collect()
+    }
+    assert G.bfs_hops.last_local
+    slow = {(r.id, r.hops) for r in G.bfs_hops(e, seeds, max_hops=3).collect()}
+    assert not G.bfs_hops.last_local
+    assert fast == slow and fast
+
+    fast = {
+        (r.id, r.dist)
+        for r in G.sssp_bounded(we, seeds, rounds=3, n_edges=len(edges)).collect()
+    }
+    assert G.sssp_bounded.last_local
+    slow = {(r.id, r.dist) for r in G.sssp_bounded(we, seeds, rounds=3).collect()}
+    assert not G.sssp_bounded.last_local
+    assert fast == slow and fast
+
+    fast = {
+        (r.id, r.community)
+        for r in G.label_propagation(
+            nodes, e, n_iters=2, n_edges=len(dup_edges)
+        ).collect()
+    }
+    assert G.label_propagation.last_local
+    slow = {
+        (r.id, r.community)
+        for r in G.label_propagation(nodes, e, n_iters=2).collect()
+    }
+    assert not G.label_propagation.last_local
+    assert fast == slow and fast
+
+    for df, distinct in ((e, False), (e.distinct(), True)):
+        fast = {
+            (r.role, r.id, r.score)
+            for r in G.hits(
+                df, n_iters=3, assume_distinct=distinct, n_edges=500
+            ).collect()
+        }
+        assert G.hits.last_local
+        slow = {
+            (r.role, r.id, r.score)
+            for r in G.hits(df, n_iters=3, assume_distinct=distinct).collect()
+        }
+        assert not G.hits.last_local
+        assert fast == slow and fast
+
+    # over-limit n_edges must keep the distributed path
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "10")
+    G.bfs_hops(e, seeds, max_hops=1, n_edges=len(dup_edges)).collect()
+    assert not G.bfs_hops.last_local
