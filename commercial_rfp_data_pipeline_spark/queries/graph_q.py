@@ -64,10 +64,17 @@ def q_pagerank_copurchase(spark, sf_dir):
     mass rides a broadcast one-row aggregate, never a driver collect.
     State is per-round localCheckpoint'd so superstep k+1 doesn't
     recompute 1..k."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
+
     wedges, _ = _copurchase(spark, sf_dir)
     edges = wedges.select("src", "dst")
     nodes = load_table(spark, sf_dir, "part").select("p_partkey")
-    pr = pagerank(nodes, edges, id_col="p_partkey")
+    pr = pagerank(
+        nodes, edges, id_col="p_partkey",
+        n_edges=copurchase_n_edges(spark, sf_dir),
+    )
     return pr.select(
         "p_partkey",
         "outdeg",
@@ -110,12 +117,17 @@ def q_personalized_pagerank(spark, sf_dir):
             F.col("p_partkey").isin(*_PPR_SEEDS), F.lit(1.0 / len(_PPR_SEEDS))
         ).otherwise(F.lit(0.0)),
     )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
+
     pr = pagerank(
         nodes,
         edges,
         id_col="p_partkey",
         symmetric=False,
         teleport_col="tp",
+        n_edges=copurchase_n_edges(spark, sf_dir),
     )
     return pr.select(
         "p_partkey",
@@ -193,9 +205,18 @@ def q_triangle_count(spark, sf_dir):
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
     from commercial_rfp_data_pipeline_spark.io import pin
+    from commercial_rfp_data_pipeline_spark.operators.graph import (
+        _local_eligible_heavy,
+        triangle_stats_local,
+    )
     from commercial_rfp_data_pipeline_spark.plans.artifacts import (
         copurchase_n_edges,
     )
+
+    if _local_eligible_heavy(copurchase_n_edges(spark, sf_dir)):
+        out = triangle_stats_local(und, deg)
+        if out is not None:
+            return out
 
     # total-order key (degree, id) packed into one BIGINT so the
     # orientation comparison is a single column op; ids are bounded by
@@ -573,8 +594,13 @@ def q_weighted_pagerank(spark, sf_dir):
     wedges, _ = _copurchase(spark, sf_dir)
     edges = wedges.select("src", "dst", "w")
     nodes = load_table(spark, sf_dir, "part").select("p_partkey")
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
+
     pr = pagerank(
-        nodes, edges, id_col="p_partkey", weight_col="w"
+        nodes, edges, id_col="p_partkey", weight_col="w",
+        n_edges=copurchase_n_edges(spark, sf_dir),
     )
     return pr.select(
         "p_partkey",
@@ -612,11 +638,18 @@ def q_kcore_copurchase(spark, sf_dir):
     is a degree count + two semi-joins on a strictly shrinking edge
     list, localCheckpoint'd so rounds never replan their prefix."""
     from commercial_rfp_data_pipeline_spark.operators.graph import kcore_peel
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
 
     wedges, _ = _copurchase(spark, sf_dir)
     # tie strength = DISTINCT shared orders (the artifact's w_dist)
     edges = wedges.filter(F.col("w_dist") >= 2).select("src", "dst")
-    return kcore_peel(edges, k=3, rounds=12)
+    # the manifest literal upper-bounds the filtered edge count, which
+    # is all the small-graph dispatch needs
+    return kcore_peel(
+        edges, k=3, rounds=12, n_edges=copurchase_n_edges(spark, sf_dir)
+    )
 
 
 _LPA_LABELS_CTE = f"""
@@ -647,6 +680,95 @@ _LPA_LABELS_CTE = f"""
     l2 AS (SELECT l1.id, coalesce(b2.lbl, l1.lbl) AS lbl
            FROM l1 LEFT JOIN b2 USING (id))
 """
+
+
+def _mod_local_ok(spark, sf_dir) -> bool:
+    from commercial_rfp_data_pipeline_spark.operators.graph import (
+        _local_eligible_heavy,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        copurchase_n_edges,
+    )
+
+    return _local_eligible_heavy(copurchase_n_edges(spark, sf_dir))
+
+
+def _modularity_local(spark, labels, deg, edges):
+    """Driver-side replica of the modularity aggregation (round 10):
+    per-community numerators are exact integer counts, and the one
+    double expression per community (intra/2m - (ds/2m)^2, round 6,
+    negative-zero canonicalized) replicates the distributed column
+    expression op for op — elementwise, no sums, so it is bit-exact,
+    with the same shortest-repr HALF_UP rounding as Spark's
+    round(double, 6). Falls back (None) on non-integer ids or an
+    empty edge list."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from commercial_rfp_data_pipeline_spark.operators.graph import _int_cols
+
+    lc = _int_cols(labels, "id", "community")
+    dc = _int_cols(deg, "id", "k")
+    ec = _int_cols(edges, "src", "dst")
+    if lc is None or dc is None or ec is None or len(ec[0]) == 0:
+        return None
+    lid, lcom = lc
+    order = np.argsort(lid)
+    lid, lcom = lid[order], lcom[order]
+    if len(lid) > 1 and (lid[1:] == lid[:-1]).any():
+        return None
+    did, dk = dc
+    s, d = ec
+    m2 = len(s)
+    coms, cpos = np.unique(lcom, return_inverse=True)
+    n_nodes = np.bincount(cpos, minlength=len(coms))
+    # degree_sum: labels LEFT JOIN deg — nodes without a degree row sum 0
+    dorder = np.argsort(did)
+    did, dk = did[dorder], dk[dorder]
+    p = np.searchsorted(did, lid)
+    ok = p < len(did)
+    p = np.where(ok, p, 0)
+    ok &= did[p] == lid
+    kvals = np.where(ok, dk[p], 0)
+    degree_sum = np.bincount(cpos, weights=kvals, minlength=len(coms)).astype(
+        np.int64
+    )
+    # intra: directed edges whose two endpoints carry the same label
+    sp = np.searchsorted(lid, s)
+    sok = sp < len(lid)
+    sp = np.where(sok, sp, 0)
+    sok &= lid[sp] == s
+    dp = np.searchsorted(lid, d)
+    dok = dp < len(lid)
+    dp = np.where(dok, dp, 0)
+    dok &= lid[dp] == d
+    m = sok & dok & (lcom[sp] == lcom[dp])
+    intra = np.bincount(cpos[sp[m]], minlength=len(coms))
+    m2f = float(m2)
+    six = Decimal("0.000001")
+    contrib = []
+    for i in range(len(coms)):
+        # pure Python floats so repr() is the shortest round-trip form
+        ds = int(degree_sum[i]) / m2f
+        x = int(intra[i]) / m2f - ds * ds
+        contrib.append(
+            float(Decimal(repr(x)).quantize(six, ROUND_HALF_UP)) + 0.0
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "community": coms,
+                "n_nodes": n_nodes,
+                "degree_sum": degree_sum,
+                "intra_directed": intra,
+                "modularity_contrib": contrib,
+            }
+        ),
+        "community long, n_nodes long, degree_sum long, "
+        "intra_directed long, modularity_contrib double",
+    )
 
 
 @query(
@@ -707,6 +829,10 @@ def q_community_modularity(spark, sf_dir):
         n_edges=copurchase_n_edges(spark, sf_dir),
     ).select("id", "community")
     deg = degrees.select("id", F.col("d").alias("k"))
+    if _mod_local_ok(spark, sf_dir):
+        out = _modularity_local(spark, labels, deg, edges)
+        if out is not None:
+            return out
     m2 = edges.count()  # 2m — a scalar the driver holds, like the CC fixpoint probe
     la = labels.select(F.col("id").alias("src"), F.col("community").alias("ca"))
     lb = labels.select(F.col("id").alias("dst"), F.col("community").alias("cb"))

@@ -635,3 +635,154 @@ def test_graph_local_fast_paths_equal_distributed(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "10")
     G.bfs_hops(e, seeds, max_hops=1, n_edges=len(dup_edges)).collect()
     assert not G.bfs_hops.last_local
+
+
+def test_pagerank_local_fast_path_equals_distributed(spark, monkeypatch):
+    """Round 10 wave 3: the driver-side PageRank kernel must agree
+    with the distributed supersteps — outdeg exactly, rank/rank_rel at
+    the 9 dp / 6 dp precision every registered consumer publishes
+    (the per-destination double-sum order is the only difference, and
+    the published rounding is the contract) — for all three registered
+    semantics: uniform closed-form, personalized teleport, weighted."""
+    import random
+
+    from commercial_rfp_data_pipeline_spark.operators import graph as G
+
+    random.seed(23)
+    edir = sorted(
+        {
+            (random.randint(0, 150), random.randint(0, 150))
+            for _ in range(500)
+        }
+    )
+    edir = [(a, b) for a, b in edir if a != b]
+    sym = sorted({(a, b) for a, b in edir} | {(b, a) for a, b in edir})
+    e_sym = spark.createDataFrame(sym, "src long, dst long")
+    e_w = spark.createDataFrame(
+        [(a, b, 1 + (a * b) % 4) for a, b in sym], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(160)], "id long")
+    tp_nodes = nodes.withColumn(
+        "tp",
+        F.when(F.col("id").isin(1, 2, 3), F.lit(1.0 / 3)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+
+    def rounded(df):
+        return {
+            (r.id, r.outdeg, r.rank, r.rank_rel)
+            for r in df.select(
+                "id",
+                "outdeg",
+                F.round("rank", 9).alias("rank"),
+                F.round("rank_rel", 6).alias("rank_rel"),
+            ).collect()
+        }
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "100000")
+    cases = [
+        dict(nodes=nodes, edges=e_sym),
+        dict(nodes=tp_nodes, edges=e_sym, symmetric=False, teleport_col="tp"),
+        dict(nodes=nodes, edges=e_w, weight_col="w"),
+    ]
+    for kw in cases:
+        fast = rounded(G.pagerank(n_edges=len(sym), **kw))
+        assert G.pagerank.last_local
+        slow = rounded(G.pagerank(**kw))
+        assert not G.pagerank.last_local
+        assert fast == slow and fast
+
+
+def test_kcore_local_fast_path_equals_distributed(spark, monkeypatch):
+    """Round 10 wave 3: the driver-side k-core peel must produce
+    identical (id, core_deg) rows to the distributed fixed-round
+    peel."""
+    import random
+
+    from commercial_rfp_data_pipeline_spark.operators import graph as G
+
+    random.seed(31)
+    und = sorted(
+        {
+            tuple(sorted((random.randint(0, 80), random.randint(0, 80))))
+            for _ in range(300)
+        }
+    )
+    und = [(a, b) for a, b in und if a != b]
+    sym = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "100000")
+    fast = {
+        (r.id, r.core_deg)
+        for r in G.kcore_peel(e, k=3, rounds=12, n_edges=len(sym)).collect()
+    }
+    assert G.kcore_peel.last_local
+    slow = {
+        (r.id, r.core_deg)
+        for r in G.kcore_peel(e, k=3, rounds=12).collect()
+    }
+    assert not G.kcore_peel.last_local
+    assert fast == slow and fast
+
+
+def test_triangle_stats_local_exact_vs_bruteforce(spark):
+    """Round 10 wave 3: triangle_stats_local (the small-graph path of
+    triangle_count_copurchase) must match a brute-force triangle /
+    wedge count on a random graph (the query-level artifact==inline
+    proof is the oracle verify at sf0.001/sf0.01)."""
+    import random
+    from itertools import combinations
+
+    from commercial_rfp_data_pipeline_spark.operators.graph import (
+        triangle_stats_local,
+    )
+
+    random.seed(41)
+    und = sorted(
+        {
+            tuple(sorted((random.randint(0, 60), random.randint(0, 60))))
+            for _ in range(250)
+        }
+    )
+    und = [(a, b) for a, b in und if a != b]
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(nbrs), 3)
+        if b in nbrs[a] and c in nbrs[a] and c in nbrs[b]
+    )
+    wed = sum(len(s) * (len(s) - 1) // 2 for s in nbrs.values())
+    und_df = spark.createDataFrame(und, "u long, v long")
+    deg_df = spark.createDataFrame(
+        [(i, len(s)) for i, s in nbrs.items()], "id long, d long"
+    )
+    row = triangle_stats_local(und_df, deg_df).collect()[0]
+    assert row.n_triangles == tri
+    assert row.n_wedges == wed
+    assert row.global_clustering == round(3.0 * tri / wed, 6)
+
+
+def test_modularity_and_triangle_local_equal_distributed_path(
+    spark, sf_dir, monkeypatch
+):
+    """Round 10 wave 3: community_modularity and
+    triangle_count_copurchase produce IDENTICAL rows whether the
+    small-graph driver-side path serves them or the distributed path
+    does (env toggle on the real sf0.001 corpus — the modularity
+    doubles must match bit-for-bit because the local expression
+    replicates the distributed one elementwise)."""
+    from commercial_rfp_data_pipeline_spark.queries.graph_q import (
+        q_community_modularity,
+        q_triangle_count,
+    )
+
+    for fn in (q_community_modularity, q_triangle_count):
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "100000000")
+        fast = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "0")
+        slow = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        assert fast == slow and fast
