@@ -301,6 +301,21 @@ def bradley_terry(battles: DataFrame, n_iters: int = BT_ITERS) -> DataFrame:
     )
     models = models.join(nb, "m").coalesce(1).localCheckpoint()
 
+    # round 10: the MM iteration itself is models^2-bounded work — 10
+    # rounds of single-task Spark stages whose cost is pure job/plan
+    # overhead. After the two distributed groupBys reduce the battle
+    # log, finish the loop driver-side with exact DECIMAL(28,9)
+    # arithmetic (Python Decimal replicates Spark's round(double, 9)
+    # via the shortest-repr HALF_UP chain, and decimal sums are exact,
+    # so the result is bit-identical — regression-tested). The collect
+    # is bounded by SPARK_GRAFT_BT_LOCAL_PAIRS (models^2 rows, ~40
+    # bytes each); above the cap the distributed loop runs unchanged.
+    out = _bt_local(models, npair, n_iters)
+    if out is not None:
+        bradley_terry.last_local = True
+        return out
+    bradley_terry.last_local = False
+
     floor = F.lit(_BT_FLOOR).cast(_BT_DEC)
     s = models.select("m", F.lit(1).cast(_BT_DEC).alias("s"))
     # the MM map is scale-invariant, so normalization happens ONCE at
@@ -353,6 +368,62 @@ def bradley_terry(battles: DataFrame, n_iters: int = BT_ITERS) -> DataFrame:
                 F.col("s").cast("double") / F.col("tot").cast("double"), 9
             ).alias("strength"),
         )
+    )
+
+
+def _bt_local(models, npair, n_iters):
+    """Driver-side MM loop on the collected pair-count table — exact
+    replica of the distributed rounds: term = HALF_UP-9dp of
+    float(n) / float(s_i + s_j) (Spark's round(double, 9) over the
+    double-cast decimal sum), denoms sum as exact Decimal, the update
+    floors at _BT_FLOOR, and the final normalize divides double-cast
+    sums. Every float op mirrors the distributed expression
+    elementwise; the only aggregations are Decimal sums, which are
+    order-independent. Returns None above the collect cap (the
+    distributed loop handles it)."""
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cap = int(os.environ.get("SPARK_GRAFT_BT_LOCAL_PAIRS", "200000"))
+    if cap <= 0:
+        return None
+    prows = npair.limit(cap + 1).collect()
+    if len(prows) > cap:
+        return None
+    mrows = models.collect()  # <= one row per model by construction
+
+    nine = Decimal("0.000000001")
+
+    def r9(x: float) -> Decimal:
+        return Decimal(repr(float(x))).quantize(nine, ROUND_HALF_UP)
+
+    floor = Decimal(_BT_FLOOR)
+    wins = {r["m"]: int(r["wins"]) for r in mrows}
+    nbat = {r["m"]: int(r["n_battles"]) for r in mrows}
+    s = {m: Decimal(1).quantize(nine) for m in wins}
+    pairs = [(r["i"], r["j"], int(r["n"])) for r in prows]
+    for _ in range(n_iters):
+        denom = {m: Decimal(0) for m in s}
+        for i, j, n in pairs:
+            denom[i] += r9(float(n) / float(s[i] + s[j]))
+        s = {
+            m: max(r9(float(wins[m]) / float(denom[m])), floor)
+            for m in s
+        }
+    tot = sum(s.values(), Decimal(0))
+    m_field = models.schema["m"].dataType.simpleString()
+    out = [
+        (
+            m,
+            nbat[m],
+            wins[m],
+            float(r9(float(s[m]) / float(tot))),
+        )
+        for m in sorted(s)
+    ]
+    return models.sparkSession.createDataFrame(
+        out,
+        f"model {m_field}, n_battles long, wins long, strength double",
     )
 
 

@@ -435,22 +435,16 @@ def q_label_propagation(spark, sf_dir):
     community structure CC cannot see: reachability merges everything
     connected, LPA's majority vote keeps dense purchase clusters
     apart. Same per-round cost envelope as a PageRank superstep."""
-    from commercial_rfp_data_pipeline_spark.operators.graph import (
-        label_propagation,
-    )
+    # round 10: the 2-round label table is the durable
+    # `ensure_lpa_labels` artifact (content-keyed on lineitem + part;
+    # community_modularity derives from the same table) — the oracle
+    # still states the full unrolled LPA chain, so green verify proves
+    # artifact == inline
     from commercial_rfp_data_pipeline_spark.plans.artifacts import (
-        copurchase_n_edges,
+        ensure_lpa_labels,
     )
 
-    wedges, _ = _copurchase(spark, sf_dir)
-    edges = wedges.select("src", "dst")
-    nodes = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id")
-    )
-    lp = label_propagation(
-        nodes, edges, n_iters=2,
-        n_edges=copurchase_n_edges(spark, sf_dir),
-    )
+    lp = ensure_lpa_labels(spark, sf_dir, n_iters=2)
     sizes = lp.groupBy("community").agg(F.count(F.lit(1)).alias("community_size"))
     return lp.join(sizes, "community").select(
         F.col("id").alias("p_partkey"), "community", "community_size"
@@ -811,11 +805,12 @@ def q_community_modularity(spark, sf_dir):
     Scale: degrees and intra counts are each ONE groupBy over the edge
     list after two label joins partitioned on the edge endpoints — no
     new shape beyond the LPA supersteps that produced the labels."""
-    from commercial_rfp_data_pipeline_spark.operators.graph import (
-        label_propagation,
-    )
+    # round 10: labels come from the durable `ensure_lpa_labels`
+    # artifact shared with label_propagation_communities — one LPA
+    # derivation per (lineitem, part) content signature, not one per
+    # consuming query; the oracle still states the full LPA chain
     from commercial_rfp_data_pipeline_spark.plans.artifacts import (
-        copurchase_n_edges,
+        ensure_lpa_labels,
     )
 
     wedges, degrees = _copurchase(spark, sf_dir)
@@ -823,11 +818,9 @@ def q_community_modularity(spark, sf_dir):
     from commercial_rfp_data_pipeline_spark.io import pin
 
     edges = pin(edges, "modularity_edges")
-    nodes = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("id"))
-    labels = label_propagation(
-        nodes, edges, n_iters=2,
-        n_edges=copurchase_n_edges(spark, sf_dir),
-    ).select("id", "community")
+    labels = ensure_lpa_labels(spark, sf_dir, n_iters=2).select(
+        "id", "community"
+    )
     deg = degrees.select("id", F.col("d").alias("k"))
     if _mod_local_ok(spark, sf_dir):
         out = _modularity_local(spark, labels, deg, edges)

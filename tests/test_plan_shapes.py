@@ -304,14 +304,20 @@ def test_tpch_q10_aggregates_before_customer_join(spark, sf_dir):
     assert "hashpartitioning(c_custkey" not in p
 
 
-def test_pagerank_pins_edges_and_plans_no_cartesian(spark, sf_dir):
-    """The PageRank superstep plan reuses the pinned edge table
-    (InMemoryTableScan) and contains no CartesianProduct (the teleport
-    constant folds into the projection on the symmetric fast path)."""
+def test_pagerank_pins_edges_and_plans_no_cartesian(
+    spark, sf_dir, monkeypatch
+):
+    """The DISTRIBUTED PageRank superstep plan reuses the pinned edge
+    table (InMemoryTableScan) and contains no CartesianProduct (the
+    teleport constant folds into the projection on the symmetric fast
+    path). The small-graph local kernel is forced off: this test pins
+    the shape of the distributed loop, which is what runs above the
+    SPARK_GRAFT_GRAPH_LOCAL_EDGES cutoff."""
     from commercial_rfp_data_pipeline_spark.queries.graph_q import (
         q_pagerank_copurchase,
     )
 
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "0")
     p = plan(q_pagerank_copurchase(spark, sf_dir))
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p

@@ -786,3 +786,79 @@ def test_modularity_and_triangle_local_equal_distributed_path(
         monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "0")
         slow = {tuple(r) for r in fn(spark, sf_dir).collect()}
         assert fast == slow and fast
+
+
+def test_lpa_labels_artifact_matches_inline_and_invalidates(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 10 wave 4: the durable LPA label table must equal the
+    inline 2-round propagation (distributed path forced, so the test
+    crosses the artifact AND the kernel boundary), be served (not
+    rebuilt) on the second call, and re-key on a part-only node-set
+    change even when lineitem is unchanged."""
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "art"))
+    from commercial_rfp_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+    from commercial_rfp_data_pipeline_spark.plans import artifacts as A
+
+    served = A.ensure_lpa_labels(spark, sf_dir, n_iters=2)
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "0")
+    wedges, _ = A.ensure_copurchase_graph(spark, sf_dir)
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id")
+    )
+    inline = label_propagation(nodes, wedges.select("src", "dst"), n_iters=2)
+    key = lambda df: {(r.id, r.community) for r in df.collect()}
+    assert key(served) == key(inline) and key(served)
+
+    root = os.path.join(
+        A.graph_warehouse(spark, sf_dir),
+        f"lpa2-{A.part_nodes_key(spark, sf_dir)}",
+    )
+    mpath = os.path.join(root, "MANIFEST.json")
+    mt0 = os.path.getmtime(mpath)
+    A.ensure_lpa_labels(spark, sf_dir, n_iters=2)
+    assert os.path.getmtime(mpath) == mt0  # served, not rebuilt
+
+    # a PART-ONLY change (node keyspace) re-keys the label artifact
+    alt = str(tmp_path / "altsf_part")
+    os.makedirs(alt)
+    p = load_table(spark, sf_dir, "part")
+    p.withColumn(
+        "p_partkey", F.col("p_partkey") + F.lit(1_000_000)
+    ).write.parquet(os.path.join(alt, "part.parquet"))
+    assert A.part_nodes_key(spark, alt) != A.part_nodes_key(spark, sf_dir)
+
+
+def test_bradley_terry_local_finisher_equals_distributed(
+    spark, monkeypatch
+):
+    """Round 10 wave 4: the driver-side MM finisher must be
+    BIT-IDENTICAL to the distributed rounds (DECIMAL state: exact
+    sums; each float division replicates the distributed expression
+    elementwise), and the collect cap must route oversized pair
+    tables back to the distributed loop."""
+    import random
+
+    from pyspark.sql import Row
+
+    from commercial_rfp_data_pipeline_spark.operators.experiment import (
+        bradley_terry,
+    )
+
+    random.seed(17)
+    names = [f"m{i}" for i in range(8)]
+    rows = []
+    for _ in range(400):
+        a, b = random.sample(names, 2)
+        rows.append(
+            Row(model_a=a, model_b=b, winner=a if random.random() < 0.6 else b)
+        )
+    df = spark.createDataFrame(rows)
+    fast = {tuple(r) for r in bradley_terry(df).collect()}
+    assert bradley_terry.last_local
+    monkeypatch.setenv("SPARK_GRAFT_BT_LOCAL_PAIRS", "0")
+    slow = {tuple(r) for r in bradley_terry(df).collect()}
+    assert not bradley_terry.last_local
+    assert fast == slow and fast

@@ -207,6 +207,10 @@ def test_triangle_closure_paths_agree(spark, sf_dir, monkeypatch):
         q_triangle_count,
     )
 
+    # force the distributed paths: the round-10 small-graph local
+    # kernel would otherwise serve both sides identically and void
+    # the broadcast-vs-partitioned comparison this test exists for
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_LOCAL_EDGES", "0")
     bc = q_triangle_count(spark, sf_dir).collect()
     release_pinned()
     monkeypatch.setenv("SPARK_GRAFT_TRI_BC_EDGES", "0")
