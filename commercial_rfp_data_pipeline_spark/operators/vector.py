@@ -267,6 +267,26 @@ def _hyperplane(dim: int, bit: int) -> list[float]:
     return out
 
 
+def _bit_sql(vec_col: str, plane: list[float]) -> str:
+    """SQL text for one sign bit: the SAME fold as ``_dot`` (zip_with
+    multiply, sequential left-fold add from 0.0D), planes embedded as
+    D-suffixed shortest-repr literals — ``repr(x) + 'D'`` parses to the
+    bit-identical IEEE double ``F.lit(x)`` would produce. Built as TEXT
+    so the JVM parses the whole bucketing projection in one call:
+    constructing the same tree through the py4j Column API costs one
+    bridge round-trip per node (24 planes x 64 components ≈ 1,536
+    literal nodes — measured ~5 s of pure DataFrame-construction time
+    per knn_lsh call at DIM=64), while parsing the equivalent SQL
+    string is milliseconds. Expression-for-expression the analyzed plan
+    is unchanged."""
+    arr = "array(" + ",".join(repr(x) + "D" for x in plane) + ")"
+    dot = (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
+
+
 def lsh_buckets(
     vectors: DataFrame,
     dim: int,
@@ -276,11 +296,8 @@ def lsh_buckets(
     """Sign-random-projection LSH: bucket = concat of sign bits of
     <v, plane_b>. Cosine-similar vectors collide with probability
     1 - theta/pi per bit. Narrow map; bucket id is a short string."""
-    bits = []
-    for b in range(n_bits):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b)])
-        bits.append(F.when(_dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return vectors.withColumn("bucket", F.concat(*bits))
+    bits = [_bit_sql(vec_col, _hyperplane(dim, b)) for b in range(n_bits)]
+    return vectors.withColumn("bucket", F.expr(f"concat({', '.join(bits)})"))
 
 
 def lsh_buckets_multi(
@@ -304,18 +321,16 @@ def lsh_buckets_multi(
     L-times narrow expansion of ids and vectors, no shuffle."""
     tbl_structs = []
     for t in range(n_tables):
-        bits = []
-        for b in range(n_bits):
-            plane = F.array(*[F.lit(x) for x in _hyperplane(dim, t * n_bits + b)])
-            bits.append(
-                F.when(_dot(F.col(vec_col), plane) >= 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-            )
+        bits = [
+            _bit_sql(vec_col, _hyperplane(dim, t * n_bits + b))
+            for b in range(n_bits)
+        ]
         tbl_structs.append(
-            F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bucket"))
+            f"struct({t} AS tbl, concat({', '.join(bits)}) AS bucket)"
         )
-    exploded = vectors.withColumn("_tb", F.explode(F.array(*tbl_structs)))
+    exploded = vectors.withColumn(
+        "_tb", F.explode(F.expr(f"array({', '.join(tbl_structs)})"))
+    )
     return exploded.select(
         *vectors.columns,
         F.col("_tb.tbl").alias("tbl"),
@@ -1010,6 +1025,55 @@ def pq_adc_topk(
     )
 
 
+def _kcenter_local(vectors, k, id_col, vec_col, seed):
+    """Driver-side replica of the Gonzalez rounds (see kcenter_coreset
+    docstring). Returns None (caller falls back) on oversized input or
+    non-integer ids."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    cap = beam_local_limit()
+    st = _collect_vecs(vectors, id_col, vec_col, cap)
+    if st is None:
+        return None
+    ids, V, _nv, _pos = st
+    n, d = V.shape
+    q9 = Decimal("0.000000001")
+
+    rows_l = [r.tolist() for r in V]  # python floats: repr() is the
+    # bare shortest form Decimal parses (np.float64 repr is not)
+
+    def dist(p: int, sv: list) -> Decimal:
+        acc = Decimal(0)
+        row = rows_l[p]
+        for j in range(d):
+            t = (row[j] - sv[j]) * (row[j] - sv[j])
+            acc += Decimal(repr(t)).quantize(q9, ROUND_HALF_UP)
+        return acc
+
+    # seed: md5(f"{seed}:{id}") min, tiebreak id — ids are sorted, so
+    # the first index attaining the min hash is the tiebreak winner
+    hashes = [
+        hashlib.md5(f"{seed}:{int(i)}".encode()).hexdigest() for i in ids
+    ]
+    s0 = min(range(n), key=lambda p: (hashes[p], int(ids[p])))
+    selected = [(0, int(ids[s0]), None)]
+    sel_rows = [rows_l[s0]]
+    mind: list = [None] * n
+    for rnd in range(1, k):
+        sv = sel_rows[-1]
+        for p in range(n):
+            dnew = dist(p, sv)
+            if mind[p] is None or dnew < mind[p]:
+                mind[p] = dnew
+        far = max(range(n), key=lambda p: (mind[p], -int(ids[p])))
+        selected.append((rnd, int(ids[far]), float(mind[far])))
+        sel_rows.append(rows_l[far])
+    return selected
+
+
 def kcenter_coreset(
     vectors: DataFrame,
     k: int = 6,
@@ -1029,7 +1093,21 @@ def kcenter_coreset(
     expressions); each round is ONE corpus scan computing min-distance
     to the set followed by TakeOrdered(1) — k scans total, nothing
     quadratic. The per-round single-row collect is trainer state, the
-    same documented exception as the BPE trainer's argmax."""
+    same documented exception as the BPE trainer's argmax.
+
+    Corpora under the bounded-collect cap run the k rounds driver-side
+    (k+1 Spark jobs of ~0.5 s pure overhead otherwise — the scan work
+    at that size is microseconds): the kernel replicates the md5-min
+    seed (hashlib md5 of the decimal id string == Spark's md5), the
+    per-term (x-y)*(x-y) IEEE multiply, the shortest-repr HALF_UP
+    9-dp term round, and the exact DECIMAL(20,9) sum — equality-tested
+    against the distributed path and proven by the green oracle at the
+    small SFs."""
+    local = _kcenter_local(vectors, k, id_col, vec_col, seed)
+    if local is not None:
+        kcenter_coreset.last_local = True
+        return local
+    kcenter_coreset.last_local = False
     arr = F.col(vec_col).cast("array<double>")
     seeded = (
         vectors.select(
@@ -1047,11 +1125,25 @@ def kcenter_coreset(
     selected = [(0, seeded[0], None)]
     sel_vecs = [seeded[1]]
     base = vectors.select(F.col(id_col).alias("id"), arr.alias("v"))
+
+    # the selected vectors are embedded as SQL TEXT, not as py4j-built
+    # literal trees: repr(x)+'D' parses to the bit-identical IEEE
+    # double F.lit(x) would produce, and one JVM parse replaces one
+    # py4j round-trip per literal node (64 components x k(k-1)/2
+    # selected-vector references ≈ 1,000 bridge calls — measured ~6 s
+    # of pure DataFrame-construction time per call at sf0.1). The
+    # analyzed expression — zip_with square, per-term round, exact
+    # DECIMAL fold (same as _sq_l2) — is unchanged.
+    def _sq_l2_sql(sv: list[float]) -> str:
+        arr_sql = "array(" + ",".join(repr(float(x)) + "D" for x in sv) + ")"
+        return (
+            f"aggregate(zip_with(v, {arr_sql}, (x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS {PQ_DEC}), "
+            f"(acc, t) -> CAST(acc + CAST(round(t, 9) AS {PQ_DEC}) AS {PQ_DEC}))"
+        )
+
     for rnd in range(1, k):
-        dists = [
-            _sq_l2(F.col("v"), F.array(*[F.lit(float(x)) for x in sv]))
-            for sv in sel_vecs
-        ]
+        dists = [F.expr(_sq_l2_sql(sv)) for sv in sel_vecs]
         mind = dists[0]
         for d in dists[1:]:
             mind = F.least(mind, d)
@@ -1166,6 +1258,194 @@ def knn_graph(
     )
 
 
+def beam_local_limit() -> int:
+    """Corpus-row cutoff for the driver-side beam-search kernel (same
+    scale-adaptive discipline as operators.graph's small-graph kernels:
+    a manifest/bounded-probe literal decides, larger corpora keep the
+    distributed loop). 100k x 64 doubles ≈ 51 MB via Arrow — the same
+    sizing class as the CC/graph local kernels."""
+    import os as _os
+
+    return int(_os.environ.get("SPARK_GRAFT_BEAM_LOCAL_VECS", "100000"))
+
+
+def _round6_half_up(x: float):
+    """Spark round(double, 6): BigDecimal.valueOf(d) (shortest repr)
+    .setScale(6, HALF_UP).doubleValue() — the same chain the graph
+    kernels replicate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _collect_vecs(df, id_col, vec_col, cap, cache=None):
+    """Bounded Arrow collect of an (id, vector) table → (ids, V, norms,
+    pos_of) or None when over ``cap`` / non-integer ids / duplicate ids
+    / zero or non-finite norms. Norms replicate ``_norm`` exactly: the
+    sequential left-fold acc = acc + x*x in element order, then sqrt.
+    ``cache`` (keyed on the DataFrame object) lets a layered search
+    collect each input once."""
+    import numpy as np
+
+    key = id(df)
+    if cache is not None and key in cache:
+        return cache[key]
+    vp = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).limit(cap + 1).toPandas()
+    out = None
+    if 0 < len(vp) <= cap:
+        ids = vp["_id"].to_numpy()
+        if np.issubdtype(ids.dtype, np.integer):
+            ids = ids.astype(np.int64, copy=False)
+            V = np.array(vp["_v"].tolist(), dtype=np.float64)
+            if V.ndim == 2:
+                order = np.argsort(ids)
+                ids, V = ids[order], V[order]
+                if len(ids) == 1 or not (ids[1:] == ids[:-1]).any():
+                    acc = np.zeros(len(ids))
+                    for j in range(V.shape[1]):
+                        acc = acc + V[:, j] * V[:, j]
+                    nv = np.sqrt(acc)
+                    if np.isfinite(nv).all() and not (nv == 0.0).any():
+                        pos_of = {int(i): p for p, i in enumerate(ids)}
+                        out = (ids, V, nv, pos_of)
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
+def _collect_graph(df, cap, cache=None):
+    """Bounded collect of (src_id, nbr_id) edges → adjacency dict."""
+    key = id(df)
+    if cache is not None and key in cache:
+        return cache[key]
+    gp = df.select("src_id", "nbr_id").limit(cap + 1).toPandas()
+    out = None
+    if len(gp) <= cap:
+        adj: dict = {}
+        for s, nbr in zip(
+            gp["src_id"].to_numpy().tolist(),
+            gp["nbr_id"].to_numpy().tolist(),
+        ):
+            adj.setdefault(s, []).append(nbr)
+        out = adj
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
+def _beam_rows(vstate, adj, qstate, k, ef, rounds, entries):
+    """Pure-python replica of one graph_beam_search invocation over
+    collected state. ``entries`` is {q_id: set(vec_id)} or None (global
+    min-id entry). Returns {q_id: [(sim, vec_id), ...]} — the final
+    top-``k`` per query under (sim DESC, vec_id), self-matches
+    excluded, sims from the same fold/divide/HALF_UP-round chain as the
+    distributed expressions."""
+    ids, V, nv, pos_of = vstate
+    q_ids, Q, nq, qpos_of = qstate
+    d = V.shape[1]
+
+    def sim_of(qi: int, vid: int):
+        p, qpos = pos_of[vid], qpos_of[qi]
+        s = 0.0
+        for j in range(d):  # _dot: sequential fold of zip products
+            s = s + V[p, j] * Q[qpos, j]
+        return _round6_half_up(s / (nv[p] * nq[qpos]))
+
+    if entries is not None:
+        beams = {qi: set(vs) for qi, vs in entries.items()}
+    else:
+        entry = int(ids.min())
+        beams = {int(qi): {entry} for qi in q_ids}
+    for _ in range(rounds):
+        new_beams = {}
+        for qi, beam in beams.items():
+            cand = set(beam)
+            for vid in beam:
+                cand.update(adj.get(vid, ()))
+            scored = sorted(
+                ((sim_of(qi, vid), vid) for vid in cand if vid in pos_of),
+                key=lambda t: (-t[0], t[1]),
+            )[:ef]
+            new_beams[qi] = {vid for _, vid in scored}
+        beams = new_beams
+    return {
+        qi: sorted(
+            ((sim_of(qi, vid), vid) for vid in beams[qi] if vid != qi),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for qi in beams
+    }
+
+
+def _beam_result_df(spark, result):
+    import pandas as pd
+
+    rows = []
+    for qi in sorted(result):
+        rows.extend(
+            (qi, vid, s, r + 1)
+            for r, (s, vid) in enumerate(result[qi])
+        )
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["q_id", "vec_id", "sim", "rnk"]),
+        "q_id long, vec_id long, sim double, rnk int",
+    )
+
+
+def _collect_queries(queries, q_id_col, q_vec_col, cap, cache=None):
+    st = _collect_vecs(queries, q_id_col, q_vec_col, cap, cache)
+    if st is None:
+        return None
+    ids, Q, nq, pos_of = st
+    return (ids, Q, nq, pos_of)
+
+
+def _beam_local(
+    vectors, graph, queries, k, ef, rounds,
+    id_col, vec_col, q_id_col, q_vec_col, entry_beam,
+):
+    """Driver-side replica of graph_beam_search for bounded corpora.
+
+    Each distributed round costs one full analyze/optimize/physical-
+    plan pass (the lazy localCheckpoint still plans to an RDD) plus a
+    multi-stage job — measured ~0.8-1.0 s of pure overhead per round on
+    this VM for beams of n_queries x ef ≈ 80 rows. The kernel
+    replicates the round arithmetic exactly: norms and dots are the
+    same sequential left-folds over the vector components (one multiply
+    then one add per element, in element order), sim is one divide by
+    the pre-multiplied norm product, rounded via the shortest-repr
+    HALF_UP chain that IS Spark's round(double, 6); beam selection is
+    (sim DESC, vec_id ASC) — no arithmetic left to drift, and the
+    local==distributed equality test plus every green oracle verify at
+    the small SFs prove it. Returns None (caller falls back) on
+    oversized/bad input."""
+    cap = beam_local_limit()
+    vstate = _collect_vecs(vectors, id_col, vec_col, cap)
+    if vstate is None:
+        return None
+    qstate = _collect_queries(queries, q_id_col, q_vec_col, cap)
+    if qstate is None or qstate[1].shape[1] != vstate[1].shape[1]:
+        return None
+    adj = _collect_graph(graph, 32 * cap)
+    if adj is None:
+        return None
+    entries = None
+    if entry_beam is not None:
+        ep = entry_beam.select("q_id", "vec_id").limit(cap + 1).toPandas()
+        if len(ep) > cap:
+            return None
+        entries = {}
+        for qi, vid in zip(
+            ep["q_id"].to_numpy().tolist(), ep["vec_id"].to_numpy().tolist()
+        ):
+            entries.setdefault(qi, set()).add(vid)
+    result = _beam_rows(vstate, adj, qstate, k, ef, rounds, entries)
+    return _beam_result_df(vectors.sparkSession, result)
+
+
 def graph_beam_search(
     vectors: DataFrame,
     graph: DataFrame,
@@ -1203,7 +1483,22 @@ def graph_beam_search(
     O(rounds x ef x m x dim) per query — independent of corpus size,
     which is the entire point of a navigable-graph index. Recall is a
     measured property of (ef, rounds) vs the exact oracle (tests pin
-    it), exactly like the IVF nprobe trade."""
+    it), exactly like the IVF nprobe trade.
+
+    Corpora under SPARK_GRAFT_BEAM_LOCAL_VECS (bounded limit-probe,
+    default 100k vectors) serve from the driver-side kernel — each
+    distributed round otherwise pays a full physical-planning pass
+    plus a multi-stage job (~1 s of pure overhead per round on this
+    VM) for a beam of n_queries x ef ≈ 80 rows; larger corpora keep
+    the distributed loop below unchanged."""
+    out = _beam_local(
+        vectors, graph, queries, k, ef, rounds,
+        id_col, vec_col, q_id_col, q_vec_col, entry_beam,
+    )
+    if out is not None:
+        graph_beam_search.last_local = True
+        return out
+    graph_beam_search.last_local = False
     vecs = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     ).withColumn("_n", _norm(F.col("_v")))
@@ -1313,6 +1608,14 @@ def hnsw_search(
     what the hierarchy buys. Deterministic end to end: md5 layer
     draw, min-id upper entry, (sim DESC, vec_id) ties — every step
     oracle-expressible."""
+    out = _hnsw_chain_local(
+        [(upper_vectors, upper_graph, upper_rounds)],
+        vectors, base_graph, queries,
+        k, ef, base_rounds, n_entry,
+        id_col, vec_col, q_id_col, q_vec_col,
+    )
+    if out is not None:
+        return out
     entries = graph_beam_search(
         upper_vectors,
         upper_graph,
@@ -1338,6 +1641,45 @@ def hnsw_search(
         q_vec_col=q_vec_col,
         entry_beam=entries.select("q_id", "vec_id"),
     )
+
+
+def _hnsw_chain_local(
+    layer_stages, vectors, base_graph, queries,
+    k, ef, base_rounds, n_entry,
+    id_col, vec_col, q_id_col, q_vec_col,
+):
+    """Local kernel for a whole HNSW descent: run every layer's beam
+    search in-process over ONE bounded collect per distinct input
+    (queries are collected once for all layers; entry handoffs stay
+    python dicts instead of round-tripping through createDataFrame +
+    re-collect). Stage semantics are exactly graph_beam_search's —
+    each layer emits its top-``n_entry`` rows (self-matches excluded)
+    as the next stage's entry set, the base stage emits top-``k``.
+    Returns None (callers fall back to the distributed chain) when any
+    input exceeds the bounded-collect cap."""
+    cap = beam_local_limit()
+    cache: dict = {}
+    qstate = _collect_queries(queries, q_id_col, q_vec_col, cap, cache)
+    if qstate is None:
+        return None
+    entries = None
+    for lv, lg, rounds in layer_stages:
+        vstate = _collect_vecs(lv, id_col, vec_col, cap, cache)
+        if vstate is None or qstate[1].shape[1] != vstate[1].shape[1]:
+            return None
+        adj = _collect_graph(lg, 32 * cap, cache)
+        if adj is None:
+            return None
+        result = _beam_rows(vstate, adj, qstate, n_entry, ef, rounds, entries)
+        entries = {qi: {vid for _, vid in rows} for qi, rows in result.items()}
+    vstate = _collect_vecs(vectors, id_col, vec_col, cap, cache)
+    if vstate is None or qstate[1].shape[1] != vstate[1].shape[1]:
+        return None
+    adj = _collect_graph(base_graph, 32 * cap, cache)
+    if adj is None:
+        return None
+    result = _beam_rows(vstate, adj, qstate, k, ef, base_rounds, entries)
+    return _beam_result_df(vectors.sparkSession, result)
 
 
 def hnsw_level_pred(
@@ -1392,6 +1734,14 @@ def hnsw_search_deep(
     entry quality replaces base-layer hops (measured: equal recall
     with fewer total expansion rounds than the 2-layer form)."""
     rounds = layer_rounds or [1] * len(layers)
+    out = _hnsw_chain_local(
+        [(lv, lg, r) for (lv, lg), r in zip(layers, rounds)],
+        vectors, base_graph, queries,
+        k, ef, base_rounds, n_entry,
+        id_col, vec_col, q_id_col, q_vec_col,
+    )
+    if out is not None:
+        return out
     entries = None
     for (lv, lg), r in zip(layers, rounds):
         res = graph_beam_search(

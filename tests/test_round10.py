@@ -862,3 +862,80 @@ def test_bradley_terry_local_finisher_equals_distributed(
     slow = {tuple(r) for r in bradley_terry(df).collect()}
     assert not bradley_terry.last_local
     assert fast == slow and fast
+
+
+def test_beam_search_local_equals_distributed(spark, sf_dir, monkeypatch):
+    """Round 10 wave 5: the driver-side beam kernel (flat, 2-layer and
+    3-layer HNSW) must produce IDENTICAL rows to the distributed
+    per-round loop on the real corpus — sims replicate the fold/divide/
+    HALF_UP-round chain bit-for-bit, so set equality is exact."""
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        q_graph_ann_beam,
+        q_graph_ann_hnsw,
+        q_graph_ann_hnsw_deep,
+    )
+
+    for fn in (q_graph_ann_beam, q_graph_ann_hnsw, q_graph_ann_hnsw_deep):
+        monkeypatch.setenv("SPARK_GRAFT_BEAM_LOCAL_VECS", "100000")
+        fast = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        monkeypatch.setenv("SPARK_GRAFT_BEAM_LOCAL_VECS", "0")
+        slow = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        assert fast == slow and fast
+
+
+def test_kcenter_local_equals_distributed(spark, sf_dir, monkeypatch):
+    """Round 10 wave 5: the driver-side Gonzalez kernel must replicate
+    the distributed rounds exactly — md5-min seed, per-term HALF_UP
+    9-dp round, exact DECIMAL(20,9) sums, (dist DESC, id) argmax."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        kcenter_coreset,
+    )
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        q_kcenter,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BEAM_LOCAL_VECS", "100000")
+    fast = {tuple(r) for r in q_kcenter(spark, sf_dir).collect()}
+    assert kcenter_coreset.last_local
+    monkeypatch.setenv("SPARK_GRAFT_BEAM_LOCAL_VECS", "0")
+    slow = {tuple(r) for r in q_kcenter(spark, sf_dir).collect()}
+    assert not kcenter_coreset.last_local
+    assert fast == slow and fast
+
+
+def test_lsh_bucket_expr_text_matches_column_api(spark):
+    """Round 10 wave 5: lsh_buckets' SQL-text construction must yield
+    the same buckets the py4j Column-API construction produced — pin
+    it against a hand-built Column form on a small random corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        _dot,
+        _hyperplane,
+        lsh_buckets,
+    )
+
+    random.seed(23)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_id, r.bucket)
+        for r in lsh_buckets(df, dim=16, n_bits=6).collect()
+    }
+    bits = []
+    for b in range(6):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(16, b)])
+        bits.append(
+            F.when(_dot(F.col("embedding"), plane) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    want = {
+        (r.vec_id, r.bucket)
+        for r in df.withColumn("bucket", F.concat(*bits)).collect()
+    }
+    assert got == want and len(got) == 50
