@@ -725,6 +725,55 @@ def hamming_distance(a: Column, b: Column) -> Column:
     ).cast("int")
 
 
+def _pca_local(e, vec_col, id_col, dim, n_iter):
+    """Driver-side replica of the power-iteration rounds for bounded
+    corpora. Every intermediate the distributed loop materializes is
+    rounded to 6 dp (the Lloyd convention) BECAUSE partial-sum order
+    differs between engines — the oracle already re-sums every
+    aggregate in DuckDB's order and value-matches, so the rounding
+    absorbs sum-order residue by construction; the kernel sums with
+    numpy under the same 6-dp discipline and is equality-tested against
+    the distributed path at every SF. Returns None (caller falls back)
+    on oversized input."""
+    import numpy as np
+
+    st = _collect_vecs(e, id_col, vec_col, beam_local_limit())
+    if st is None:
+        return None
+    _ids, V, _nv, _pos = st
+    n, d = V.shape
+    if d != dim:
+        return None
+
+    def r6(a):
+        # + 0.0 AFTER rounding: BigDecimal.setScale never yields -0.0,
+        # np.round does — normalize so repr-level value hashes agree
+        return np.round(a, 6) + 0.0
+
+    mu = r6(V.sum(axis=0) / n)
+    XC = V - mu
+    w = np.full(d, round(1.0 / dim**0.5, 6))
+    for _ in range(n_iter):
+        s = r6(XC @ w)
+        z = r6(XC.T @ s)
+        nz = np.sqrt((z * z).sum())
+        w = r6(z / nz)
+    s = r6(XC @ w)
+    ev = np.round((s * s).sum() / n, 4)
+    import pandas as pd
+
+    return e.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "idx": np.arange(1, d + 1, dtype=np.int64),
+                "loading": w,
+                "eigenvalue": np.full(d, ev),
+            }
+        ),
+        "idx int, loading double, eigenvalue double",
+    )
+
+
 def pca_top_component(
     e: DataFrame,
     vec_col: str = "embedding",
@@ -754,7 +803,16 @@ def pca_top_component(
     partial sums for the accumulation — no d x d covariance shuffle,
     no driver-side linear algebra; cost is O(nnz) per iteration like
     a sparse matvec. Centered components are computed ONCE and pinned
-    across iterations."""
+    across iterations. Corpora under the bounded-collect cap run the
+    rounds driver-side (n_iter x 3 chained shuffles of pure overhead
+    otherwise), under the same 6-dp-per-intermediate discipline that
+    already absorbs engine sum-order differences for the oracle —
+    local == distributed equality-tested at every SF."""
+    local = _pca_local(e, vec_col, id_col, dim, n_iter)
+    if local is not None:
+        pca_top_component.last_local = True
+        return local
+    pca_top_component.last_local = False
     from commercial_rfp_data_pipeline_spark.io import pin
 
     spark = e.sparkSession

@@ -1617,7 +1617,12 @@ def q_cohens_kappa(spark, sf_dir):
     heur = lang_id(docs).select(
         "doc_id", F.col("lang_pred").alias("rater_b")
     )
-    both = nb.join(heur, "doc_id")
+    # the (rater_a, rater_b) table feeds FOUR aggregates (n/agree, both
+    # marginals, the product sum) — without truncation the NB training
+    # chain and the lang-id pass execute once per consumer; one lazy
+    # localCheckpoint computes the classifiers once (same compute-once
+    # discipline as top_supplier_q15 / hits)
+    both = nb.join(heur, "doc_id").localCheckpoint(eager=False)
     n_agree = both.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(

@@ -939,3 +939,24 @@ def test_lsh_bucket_expr_text_matches_column_api(spark):
         for r in df.withColumn("bucket", F.concat(*bits)).collect()
     }
     assert got == want and len(got) == 50
+
+
+def test_pca_local_equals_distributed(spark, sf_dir, monkeypatch):
+    """Round 10 wave 5: the driver-side power-iteration kernel matches
+    the distributed rounds exactly — every intermediate is 6-dp rounded
+    (the discipline that already absorbs engine sum-order differences
+    for the oracle), so row equality is exact."""
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        pca_top_component,
+    )
+    from commercial_rfp_data_pipeline_spark.queries.vector_q import (
+        q_pca_top_component,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_BEAM_LOCAL_VECS", "100000")
+    fast = {tuple(r) for r in q_pca_top_component(spark, sf_dir).collect()}
+    assert pca_top_component.last_local
+    monkeypatch.setenv("SPARK_GRAFT_BEAM_LOCAL_VECS", "0")
+    slow = {tuple(r) for r in q_pca_top_component(spark, sf_dir).collect()}
+    assert not pca_top_component.last_local
+    assert fast == slow and fast
