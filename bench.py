@@ -284,7 +284,20 @@ def main() -> None:
     CALIB_THRESHOLD = float(
         os.environ.get("SPARK_GRAFT_CALIB_THRESHOLD", "1.6")
     )
-    CALIB_REF_S = float(os.environ.get("SPARK_GRAFT_CALIB_REF_S", "0") or 0)
+    # floor default 0.13 s: the measured quiet-box component-wise
+    # min-of-5 probe on this VM class. Without a floor, one lucky
+    # probe on a fast box drags the p10 baseline low enough that the
+    # 1.6 gate brands NORMAL probe variance dirty (measured: a
+    # floorless full run flagged 62 entries in its first 20 minutes;
+    # the same gate with the floor flagged the genuinely contaminated
+    # ones only). Entries flagged dirty are EXCLUDED from the headline
+    # value, so a hypersensitive gate silently shrinks the headline —
+    # the floor keeps the published value computed over the whole
+    # registry unless the box is actually sick. Override per box via
+    # SPARK_GRAFT_CALIB_REF_S (0 disables the floor).
+    CALIB_REF_S = float(
+        os.environ.get("SPARK_GRAFT_CALIB_REF_S", "0.13") or 0
+    )
 
     def _calib_probe() -> float:
         """Component-wise minima over 5 samples: min(BLAS matmul) +
