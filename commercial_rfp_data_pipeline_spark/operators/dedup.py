@@ -213,7 +213,13 @@ def dup_clusters(
         if mapping is not None:
             out = out.join(F.broadcast(mapping), "id", "left")
         else:
-            out = out.withColumn("lbl", F.lit(None).cast("long"))
+            # VERDICT r10 #7: the null label must carry the id
+            # column's OWN type — a hardcoded long under a STRING id
+            # graph makes the coalesce below a type-resolution hazard
+            # under ANSI
+            out = out.withColumn(
+                "lbl", F.lit(None).cast(nodes.schema[id_col].dataType)
+            )
         return out.select(
             F.col("id").alias(id_col),
             F.coalesce("lbl", "id").alias("cluster_id"),

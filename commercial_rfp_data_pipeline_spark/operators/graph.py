@@ -166,11 +166,58 @@ def pagerank(
 
     consts: list[float] | None = None
     if symmetric:
-        m_isolated = n - e.select("_src").distinct().count()
+        # round 11: count the dangling nodes on the PINNED base (one
+        # cached-scan job) instead of a full distinct pass over the
+        # edge list — same value whenever edge srcs come from the node
+        # universe (symmetric=True's contract), and the more faithful
+        # reading of "isolated" when they don't (it is exactly the set
+        # whose rank the closed-form constants model)
+        m_isolated = base.filter(F.col("outdeg") == 0).count()
         consts = _teleport_constants(n, m_isolated, damping, iterations)
 
+    # round 11 (VERDICT r10 #4): the non-closed-form loop paid a full
+    # state pass (dangling-mass aggregate) plus a broadcast exchange
+    # PER SUPERSTEP. That mass is PROVABLY 0.0 for every round when
+    # each dangling (outdeg == 0) vertex both carries zero teleport
+    # weight and receives no contributions (no in-edges): by induction
+    # rank_k(v) = (1-d)*0 + d*(0 + D_{k-1}*0) = 0, so D_k = 0. Check
+    # the precondition ONCE (two early-out probes) and drop the
+    # per-round aggregate — the emitted ranks are bit-identical
+    # (s + 0.0*t_v == s for the non-negative contributions here).
+    # The personalized co-purchase query hits this: its isolated parts
+    # have t_v = 0 and, on a symmetrized edge list, no in-edges.
+    import os as _os
+
+    dangling_zero = False
+    if consts is None and _os.environ.get(
+        "SPARK_GRAFT_PR_DANGLING_FAST", "1"
+    ) not in ("0", "false"):
+        tpc = F.col("_tp") if teleport_col is not None else F.lit(1.0 / n)
+        d_nodes = base.filter(F.col("outdeg") == 0)
+        dangling_zero = (
+            d_nodes.filter(tpc != 0.0).limit(1).count() == 0
+            and e.join(
+                F.broadcast(d_nodes.select(F.col("_id").alias("_dst"))),
+                "_dst",
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+            == 0
+        )
+
+    # round 11: when the dangling mass is closed-form (consts) or
+    # provably zero, ``state`` has exactly ONE consumer per round
+    # (contribs) — the whole 5-round recurrence is a straight chain
+    # over the two PINNED relations (e, base), so nothing can
+    # recompute and the per-round localCheckpoint is pure overhead
+    # (measured ~0.8-2 s of analyze/optimize/RDD-planning per round on
+    # this VM, the dominant cost of the distributed loop at sf0.1).
+    # Only the in-plan dangling-aggregate path still double-consumes
+    # state and keeps the per-round truncation.
+    single_consumer = consts is not None or dangling_zero
     for k in range(iterations):
-        if checkpoint:
+        if checkpoint and not single_consumer:
             # truncate lineage so each superstep is one job over a
             # materialized state table, not a recompute of all priors
             state = state.localCheckpoint(eager=False)
@@ -189,6 +236,11 @@ def pagerank(
         nxt = base.join(contribs, F.col("_id") == F.col("_dst"), "left")
         if consts is not None:
             rank = F.lit(consts[k]) + damping * F.coalesce("_s", F.lit(0.0))
+        elif dangling_zero:
+            tp = F.col("_tp") if teleport_col is not None else F.lit(1.0 / n)
+            rank = (1.0 - damping) * tp + damping * F.coalesce(
+                "_s", F.lit(0.0)
+            )
         else:
             dangling = state.agg(
                 F.coalesce(

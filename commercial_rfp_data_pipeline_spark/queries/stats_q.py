@@ -672,20 +672,24 @@ def q_item_cf_similar(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     bask = li.select("l_orderkey", "l_partkey").distinct()
     freq = bask.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
-    a, b = bask.alias("a"), bask.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
+    # round 11 (VERDICT r10 #5): the co-occurrence table IS the
+    # durable co-purchase artifact's w_dist column (number of DISTINCT
+    # shared orders per ordered pair — the same distinct-basket
+    # self-join, maintained once per corpus and already serving the
+    # graph family); measurable warm vs inline under the
+    # SPARK_GRAFT_ARTIFACTS contract. Only the per-part basket
+    # frequency stays inline (one scan + groupBy) — it is not a graph
+    # quantity.
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_copurchase_graph,
     )
+
+    wedges, _ = ensure_copurchase_graph(spark, sf_dir)
+    co = wedges.select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        F.col("w_dist").alias("n_ab"),
+    ).filter(F.col("n_ab") >= 2)
     scored = (
         co.join(
             freq.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("_fa")),

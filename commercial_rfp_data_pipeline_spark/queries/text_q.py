@@ -1737,6 +1737,28 @@ def q_late_interaction(spark, sf_dir):
         .distinct()
     )
 
+    # round 11 (VERDICT r10 #3, guide §4.2): the MaxSim rescore runs
+    # as ONE grouped-Arrow pass — per candidate doc, a (t_q x 8) @
+    # (8 x t_d) accumulation replaces |q_toks| x |doc_toks| interpreted
+    # HOF cosine rows (3.74M at sf0.1) and both aggregate exchanges;
+    # bit-replication argument and bounded-collect caps documented on
+    # operators.vector.li_maxsim_scores. Over-cap inputs (or
+    # SPARK_GRAFT_LI_ARROW=0) keep the SQL form below.
+    from commercial_rfp_data_pipeline_spark.operators.vector import (
+        li_maxsim_scores,
+    )
+
+    scored = li_maxsim_scores(toks, qt, tokemb, cand)
+    if scored is not None:
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("li_score").desc(), "doc_id"
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 3)
+            .select("q_id", "doc_id", "li_score", "n_qtoks", "rnk")
+        )
+
     # per-token vectors come pre-materialized from the durable token
     # index (each DISTINCT shingle embedded exactly once at build time;
     # the inline form recomputed the embedding per similarity row —

@@ -27,8 +27,19 @@ import json
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("base")
-    ap.add_argument("retries", nargs="+")
+    ap.add_argument("retries", nargs="*")
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--inline",
+        default=None,
+        help=(
+            "bench artifact produced with SPARK_GRAFT_ARTIFACTS=off: "
+            "its per-query times are attached as the queries_inline "
+            "column (VERDICT r10 #1 — warm AND inline numbers for "
+            "every artifact-served query), never merged into the warm "
+            "timings"
+        ),
+    )
     args = ap.parse_args()
 
     with open(args.base) as f:
@@ -77,7 +88,32 @@ def main() -> int:
         ),
         3,
     )
+    if args.inline:
+        with open(args.inline) as f:
+            inline = json.load(f)
+        if inline.get("artifacts_mode") != "off":
+            raise SystemExit(
+                f"{args.inline}: artifacts_mode is "
+                f"{inline.get('artifacts_mode')!r}, need 'off'"
+            )
+        if inline.get("sf") != base.get("sf"):
+            raise SystemExit(
+                f"{args.inline}: sf {inline.get('sf')} != base "
+                f"{base.get('sf')}"
+            )
+        base["queries_inline"] = {
+            n: t for n, t in inline["queries"].items() if t >= 0
+        }
+        base["inline_dirty_queries"] = sorted(
+            inline.get("dirty_queries", [])
+        )
     base["merged_from"] = merged_from
+    # VERDICT r10 #6: a merged artifact is a best-of-N COMPOSITE across
+    # windows, not a single-window run — flag it at the top level so no
+    # reader can mistake it for one. Single-window bench.py artifacts
+    # carry composite: false (attaching an inline column alone does not
+    # make the warm timings composite).
+    base["composite"] = bool(merged_from) or bool(base.get("composite"))
     with open(args.out, "w") as f:
         json.dump(base, f, indent=1)
     print(

@@ -53,6 +53,16 @@ def test_cc_local_fast_path_equals_distributed(spark, monkeypatch):
     sout = {(r.doc_id, r.cluster_id) for r in dup_clusters(snodes, spairs).collect()}
     assert sout == {("a", "a"), ("b", "b"), ("c", "b"), ("d", "b")}
 
+    # VERDICT r10 #7: STRING ids + EMPTY pair table — the fast path's
+    # null label must carry the id type (a hardcoded long null makes
+    # coalesce(long, string) a type-resolution hazard under ANSI)
+    sempty = spark.createDataFrame([], "doc_a string, doc_b string")
+    sout2 = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(snodes, sempty).collect()
+    }
+    assert sout2 == {("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")}
+
 
 def test_protoshim_wire_format_hand_checked():
     """The vendored mini-protobuf runtime (vendor/protoshim) must be
