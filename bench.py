@@ -197,8 +197,13 @@ def main() -> None:
     # a measurement above RERUN_THRESHOLD_S is re-run once and the min
     # reported: this VM has periodic external load spikes that can stall
     # any single query by 10-60s, and best-of-2 keeps one stall from
-    # polluting the recorded number while leaving fast queries at one run
-    RERUN_THRESHOLD_S = 3.0
+    # polluting the recorded number while leaving fast queries at one run.
+    # Overridable (scripts/scale_cert.py raises it so the forced-
+    # distributed matrix doesn't double every inline entry); the
+    # canonical warm bench keeps the default.
+    RERUN_THRESHOLD_S = float(
+        os.environ.get("SPARK_GRAFT_RERUN_THRESHOLD_S", "3.0")
+    )
 
     # clean-run certification (round 8, VERDICT r7 #1): a query's
     # PUBLISHED number must come from a run with steal_pct < 1 and
@@ -471,6 +476,12 @@ def main() -> None:
         3,
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf) if sf else None
+    except ValueError:
+        # non-numeric dataset dirs (e.g. the synthesized scale10
+        # decade) — keep the label, don't crash after a full run
+        sf_num = sf
     # headline contract (VERDICT r10 #6): "value" sums CLEAN entries
     # only, and the clean subset varies per window — so cross-ROUND
     # totals must be compared on "total_all" (every query, dirty
@@ -485,7 +496,7 @@ def main() -> None:
         "composite": False,
         "artifacts_mode": art_mode,
         "queries": timings,
-        "sf": float(sf) if sf else None,
+        "sf": sf_num,
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "n_dirty": len(dirty_queries),

@@ -69,11 +69,18 @@ FORCED_ENV = {
     "SPARK_GRAFT_BEAM_LOCAL_VECS": "0",
     "SPARK_GRAFT_BT_LOCAL_PAIRS": "0",
     "SPARK_GRAFT_CLEAN_RETRIES": "1",
+    "SPARK_GRAFT_RERUN_THRESHOLD_S": "1e9",  # one run per entry
 }
 
 
 def run_cell(sf_dir: str, cpus: int, queries: list[str], tag: str) -> dict:
     out_json = f"/tmp/scale_cert_{tag}.json"
+    if os.path.exists(out_json) and not os.environ.get(
+        "SPARK_GRAFT_CERT_FRESH"
+    ):
+        print(f"scale_cert: cell {tag} cached at {out_json}", flush=True)
+        with open(out_json) as f:
+            return json.load(f)
     env = dict(os.environ)
     env.update(FORCED_ENV)
     env.update(
