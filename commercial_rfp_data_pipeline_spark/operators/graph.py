@@ -74,6 +74,7 @@ def pagerank(
     teleport_col: str | None = None,
     weight_col: str | None = None,
     n_edges: int | None = None,
+    edges_symmetric: bool = False,
 ) -> DataFrame:
     """PageRank with uniform — or PERSONALIZED — teleport and
     dangling-mass redistribution.
@@ -194,17 +195,23 @@ def pagerank(
     ) not in ("0", "false"):
         tpc = F.col("_tp") if teleport_col is not None else F.lit(1.0 / n)
         d_nodes = base.filter(F.col("outdeg") == 0)
-        dangling_zero = (
-            d_nodes.filter(tpc != 0.0).limit(1).count() == 0
-            and e.join(
-                F.broadcast(d_nodes.select(F.col("_id").alias("_dst"))),
-                "_dst",
-                "left_semi",
+        dangling_zero = d_nodes.filter(tpc != 0.0).limit(1).count() == 0
+        # ``edges_symmetric`` (caller hint, e.g. the symmetrized
+        # co-purchase wedges): outdeg-0 nodes have no in-edges by
+        # construction, so the in-edge probe is vacuous — skip its job
+        if dangling_zero and not edges_symmetric:
+            dangling_zero = (
+                e.join(
+                    F.broadcast(
+                        d_nodes.select(F.col("_id").alias("_dst"))
+                    ),
+                    "_dst",
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
+                == 0
             )
-            .limit(1)
-            .count()
-            == 0
-        )
 
     # round 11: when the dangling mass is closed-form (consts) or
     # provably zero, ``state`` has exactly ONE consumer per round

@@ -128,6 +128,10 @@ def q_personalized_pagerank(spark, sf_dir):
         symmetric=False,
         teleport_col="tp",
         n_edges=copurchase_n_edges(spark, sf_dir),
+        # wedges is symmetric by construction: isolated parts have no
+        # in-edges, so the dangling-zero check needs only the teleport
+        # probe (operators/graph.py)
+        edges_symmetric=True,
     )
     return pr.select(
         "p_partkey",

@@ -1299,16 +1299,27 @@ def q_containment(spark, sf_dir):
     high containment but low Jaccard. Threshold 0.15 keeps the result
     non-trivial on near-orthogonal synthetic text; the construction
     (postings lists, df cap, pair-keyed groupBy) is jaccard_pairs'
-    exactly."""
+    exactly.
+
+    Round 11 (VERDICT r10 #5): the shingle stream comes from the
+    durable token index (the same k=3 word shingles
+    `jaccard_prefix_filter_pairs` reads) instead of re-exploding the
+    corpus per run — jaccard_pairs' collect_set postings are
+    SET-semantics, so the distinct posting rows produce identical
+    pairs while shrinking the groupBy input ~4x. Warm vs inline cost
+    is published under the SPARK_GRAFT_ARTIFACTS contract."""
     from commercial_rfp_data_pipeline_spark.operators.textops import (
         containment_pairs,
-        shingles,
+    )
+    from commercial_rfp_data_pipeline_spark.plans.artifacts import (
+        ensure_token_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
+    toks, _, _ = ensure_token_index(spark, sf_dir, k=3)
     return containment_pairs(
-        shingles(docs, parallelism=par), threshold=0.15, max_doc_freq=100
+        toks.select("doc_id", F.col("tok").alias("sh")),
+        threshold=0.15,
+        max_doc_freq=100,
     )
 
 
